@@ -1,0 +1,170 @@
+"""Relational core: the reference's scan/project/filter/aggregate surface.
+
+Reference parity map (SURVEY.md §2):
+
+- ``flow_stats``      — homework-1 MapReduce traffic job (Main.java:19-36,
+                        MyMapper.java:20-32, MyReduce.java:20-31): ops
+                        S1/P1/P2/A1/S2 as one DataFrame chain.
+- ``null_filter_empty`` — homework-5 query 1 (README.md:86): nested
+                        filter/project with ``id <> null`` NULL semantics;
+                        Catalyst prunes the whole plan to empty
+                        (README.md:266-287). Op F1/P3.
+- ``cast_filter``     — ``cast(id as int) > 100`` (README.md:359). Op F2/X3.
+- ``const_score_order`` — ``(100-10) as score ... order by score``
+                        (README.md:340,358): ConstantFolding + ORDER BY.
+                        Ops P4/O1.
+- ``distinct_pairs``  — ``select DISTINCT id,name`` -> Aggregate rewrite
+                        (README.md:52-57,410-422). Op A5.
+- ``except_anti``     — homework-5 query 2's EXCEPT -> left-anti join with
+                        null-safe keys (README.md:59-67,395-407). Ops O3/J1.
+- ``student_q2``      — homework-5 query 2 verbatim shape (README.md:340):
+                        EXCEPT + cast-filter + constant column + ORDER BY.
+- ``prefix_scan_desc`` — homework-3 HBase reversed prefix scan
+                        (HBaseClient.java:63-68). Ops S4/F3/O2.
+- ``point_lookup``    — homework-2 RPC lookup *intended* semantics
+                        (CallRpcImp.java:17-22; the reference's predicate is
+                        unsatisfiable — we implement the intent, not the
+                        bug). Op F4.
+
+Scale notes: every aggregate here plans as partial+final HashAggregate
+(map-side combine), strictly better than the reference MR job which
+registers no combiner (Main.java:22-28). Filters/projections reach the
+parquet scan via pushdown/pruning — verified by plan-shape tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+
+def flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user traffic rollup — homework-1's phone-traffic job re-hosted on
+    ``events`` (user_id ≈ phone; 'click' value ≈ upstream bytes, 'view'
+    value ≈ downstream bytes).
+
+    Single shuffle on ``user_id``; conditional sums are map-side partial
+    aggregates so the shuffle carries one row per (partition, user).
+    """
+    events = table(spark, sf_dir, "events")
+    up = F.when(F.col("event_type") == "click", F.col("value")).otherwise(F.lit(0.0))
+    down = F.when(F.col("event_type") == "view", F.col("value")).otherwise(F.lit(0.0))
+    return (
+        events.select("user_id", up.alias("up"), down.alias("down"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("up"), 6).alias("sum_up"),
+            F.round(F.sum("down"), 6).alias("sum_down"),
+            F.round(F.sum(F.col("up") + F.col("down")), 6).alias("sum_total"),
+        )
+    )
+
+
+def null_filter_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homework-5 query 1 shape on ``customer``: the ``<> NULL`` predicate is
+    never true under SQL three-valued logic, so the result is provably empty
+    — Catalyst folds it via NullPropagation -> ReplaceNullWithFalseInPredicate
+    -> PruneFilters -> LocalRelation <empty> (README.md:266-287)."""
+    c = table(spark, sf_dir, "customer")
+    inner = c.filter(
+        (F.col("c_acctbal") > 18) & (F.col("c_custkey") != F.lit(None))
+    ).select("c_custkey", "c_name", "c_acctbal")
+    return inner.filter(F.col("c_acctbal") < 35).select("c_name")
+
+
+def cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter through an explicit cast (README.md:359): treat the numeric key
+    as a string column and cast it back — exercises X3 cast semantics."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_custkey").cast("string").alias("id"), "c_name")
+        .filter(F.col("id").cast("int") > 100)
+        .select("id", "c_name")
+    )
+
+
+def const_score_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant expression column + global ORDER BY (README.md:340,358).
+    ConstantFolding turns (100-10) into literal 90; FoldablePropagation then
+    lets EliminateSorts drop the constant sort (README.md:500-516,670-680) —
+    we keep a real tiebreak column so the output order is deterministic."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            (F.lit(100) - F.lit(10)).cast("int").alias("score"),
+        )
+        .orderBy("score", "c_custkey")
+    )
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection -> ReplaceDistinctWithAggregate (README.md:52-57).
+    Uses (c_nationkey, c_mktsegment) so the distinct actually removes rows."""
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+def except_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of two subqueries -> ReplaceExceptWithAntiJoin with
+    null-safe ``<=>`` join keys (README.md:59-67,395-407): customers with
+    acctbal > 0 except those in the BUILDING segment."""
+    c = table(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_name")
+    right = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return left.exceptAll(right).distinct()
+
+
+def student_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homework-5 query 2 (README.md:340) re-hosted on ``customer``:
+
+        select id, name, (100-10) as score
+        from (select id,name from t where age>18
+              except select distinct id,name from t where sex='m')
+        where id > 100 order by score
+
+    Exercises EXCEPT->anti-join, DISTINCT->aggregate, cast-filter on the
+    outer id, constant folding, and ORDER BY in one plan."""
+    c = table(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_acctbal") > 18).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    right = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+        .distinct()
+    )
+    return (
+        left.exceptAll(right)
+        .distinct()
+        .filter(F.col("id").cast("int") > 100)
+        .select("id", "name", (F.lit(100) - F.lit(10)).cast("int").alias("score"))
+        .orderBy("score", "id")
+    )
+
+
+def prefix_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homework-3's reversed prefix scan (HBaseClient.java:63-68):
+    ``PrefixFilter('G202005790') + setReversed(true)`` becomes a
+    ``startswith`` predicate + descending sort. The prefix predicate
+    compiles to a StartsWith pushed to the parquet scan."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_name").startswith("Customer#00000001"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(F.col("c_name").desc())
+    )
+
+
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homework-2's RPC lookup, intended semantics (CallRpcImp.java:17-22):
+    equality point-get by key, empty result for unknown keys. A single
+    pushed-down equality predicate — at scale this is a partition- or
+    bucket-prunable probe, not a scan."""
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name")

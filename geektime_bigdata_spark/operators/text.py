@@ -1,0 +1,125 @@
+"""Text / inverted-index operators — homework-4 parity (InvertedMain.scala).
+
+The reference builds inverted indexes with RDD ``flatMap``/``reduceByKey``
+(InvertedMain.scala:13-29). Here the same semantics are one declarative
+chain: ``explode(split(text))`` -> ``groupBy`` -> collect — Catalyst plans a
+partial+final aggregate pair, so the shuffle carries per-partition partial
+posting lists instead of one record per token occurrence (the RDD version's
+``reduceByKey`` map-side combine, but with codegen'd hash aggregation).
+
+Posting lists are emitted BOTH as typed arrays (the natural Spark shape)
+and as canonical strings (``_str`` variants) so the DuckDB oracle can
+hash-compare across dialects without array-type coercion surprises.
+
+Scale note: ``collect_set``/``collect_list`` per key are fine while posting
+lists fit in executor memory (true for word->doc indexes at 100 TB only with
+doc-partitioning); the ``_str`` variants cap nothing — for truly giant keys
+one would bucket by (word, doc_id range). Tokenization stays entirely in
+whole-stage codegen (split/explode are native expressions, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """``(doc_id, word)`` one row per token occurrence — X1 split + X2
+    explode (InvertedMain.scala:14-15,23-24)."""
+    return df.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+
+
+def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(word, doc) term frequency — InvertedMain.scala:24-25's
+    ``((word, docId), 1) reduceByKey _+_`` as a groupBy count. Op A2."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word -> sorted distinct doc set — InvertedMain.scala:13-19 variant 1.
+    Op A3 (+X1/X2). ``sort_array`` makes the set deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+    )
+
+
+def inverted_index_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-friendly twin of :func:`inverted_index`: posting set as a
+    canonical comma-joined string plus document frequency."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy("word")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias(
+                "doc_ids"
+            ),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+def posting_list_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word -> posting list with term frequencies — InvertedMain.scala:22-29
+    variant 2 (``(word, Array((docId, cnt)))``). Ops A2+A4.
+
+    Two-level aggregation: tf per (word, doc), then list-of-struct per word.
+    Both aggregations hash-partition on ``word``-prefixed keys so AQE can
+    reuse/coalesce the exchange."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("word").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings")
+    )
+
+
+def posting_list_tf_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-friendly twin of :func:`posting_list_tf`: postings rendered as
+    ``doc:tf`` pairs joined by commas, sorted by doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        _tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.withColumn("pair", F.struct("doc_id", "tf"))
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("pair")),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+            ).alias("postings"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word count — the canonical explode+groupBy job; feeds
+    plan-shape tests for partial/final HashAggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return _tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,77 @@
+"""Table registry over the driver's parquet testdata.
+
+Loads the ten synthetic tables (TESTDATA.md) as DataFrames and registers
+them as temp views so both the DataFrame API and ``spark.sql`` address the
+same catalog — mirroring the reference's Hive-catalog resolution path
+(homework-5/README.md:126-137, ``UnresolvedRelation`` -> table relation)
+without requiring a Hive metastore.
+
+At cluster scale these would be external catalog tables (partitioned,
+possibly bucketed on join keys); the parquet scan path — with column
+pruning and predicate pushdown — is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Testdata columns written as parquet TIMESTAMP(NANOS). With
+# ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as LongType
+# (nanoseconds since epoch); we truncate to microseconds — the same
+# conversion DuckDB applies — so the engine sees real TimestampType.
+_NANOS_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer division: double math would lose sub-microsecond bits
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Read every testdata table under ``sf_dir`` and (optionally) register
+    each as a temp view named after the table."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single table without touching the view catalog."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name in _NANOS_TS_COLS:
+        # runtime SQL conf; set defensively for driver-provided sessions
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_timestamps(name, df)

@@ -1,0 +1,62 @@
+"""Local mirror of the driver's DuckDB differential check.
+
+Runs a Spark query and its oracle SQL side by side, then compares
+row count, column names, and an order-insensitive value comparison
+(sorted rows of stringified values, floats rounded).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from geektime_bigdata_spark.registry import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def assert_matches_oracle(spark_df, con, sql: str, name: str = "?"):
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    spark_cols = spark_df.columns
+    res = con.execute(sql)
+    oracle_cols = [d[0] for d in res.description]
+    oracle_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} "
+        f"oracle={sorted(oracle_cols)}"
+    )
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+    s, o = _rowset(spark_rows, spark_cols), _rowset(oracle_rows, oracle_cols)
+    mismatches = [i for i, (a, b) in enumerate(zip(s, o)) if a != b]
+    assert not mismatches, (
+        f"{name}: value mismatch at sorted-row {mismatches[0]}: "
+        f"spark={s[mismatches[0]]} oracle={o[mismatches[0]]}"
+    )
