@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geektime_bigdata_spark.operators import relational, text
+from geektime_bigdata_spark.operators import joins, relational, text, windows
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -35,6 +35,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "student_q2": relational.student_q2,
         "prefix_scan_desc": relational.prefix_scan_desc,
         "point_lookup": relational.point_lookup,
+        # --- text / inverted index (homework-4 parity) ---
+        # --- joins / flagship analytics (J1-J3 + TPC-H-style) ---
+        "q1_pricing_summary": joins.q1_pricing_summary,
+        "q3_shipping_priority": joins.q3_shipping_priority,
+        "q5_local_supplier_volume": joins.q5_local_supplier_volume,
+        "broadcast_dim_join": joins.broadcast_dim_join,
+        "semi_anti_join": joins.semi_anti_join,
+        "top_k_orders": joins.top_k_orders,
+        # --- windows / time-series ---
+        "window_topn_orders": windows.window_topn_orders,
+        "running_user_totals": windows.running_user_totals,
+        "sessionize": windows.sessionize,
+        "asof_last_click": windows.asof_last_click,
+        "hourly_event_rollup": windows.hourly_event_rollup,
+        "json_props_extract": windows.json_props_extract,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
@@ -90,6 +105,130 @@ def oracle_sql() -> dict[str, str]:
         """,
         "point_lookup": """
             SELECT c_custkey, c_name FROM customer WHERE c_custkey = 42
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name IN ('AMERICA', 'ASIA')
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "broadcast_dim_join": """
+            SELECT n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey IN (
+                       SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                   ) THEN 1 ELSE 0 END AS has_urgent
+            FROM customer
+        """,
+        "top_k_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+        "window_topn_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "running_user_totals": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 6) AS running_value,
+                   count(*) OVER w AS event_idx
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, ts, event_id, value,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS session_value,
+                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "asof_last_click": """
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                   max(c.ts) AS last_click_ts,
+                   count(c.ts) AS n_prior_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        "hourly_event_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "json_props_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "term_freq": """
             SELECT word, doc_id, count(*) AS tf FROM (

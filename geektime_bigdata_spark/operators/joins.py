@@ -1,0 +1,175 @@
+"""Join strategies + TPC-H-style flagship analytics (SURVEY.md §2.4 J1-J3).
+
+The reference's only join is Catalyst-synthesized (EXCEPT -> left-anti,
+homework-5/README.md:395-407, covered in :mod:`relational`). Real analytics
+need the full join surface, so the flagship queries here adapt TPC-H Q1/Q3/Q5
+to the testdata schema and exercise:
+
+- multi-way equi-joins with dimension broadcast (`F.broadcast` hint; AQE
+  also converts SMJ->BHJ at runtime when a side is small),
+- join + aggregate + top-k pipelines,
+- explicit broadcast-vs-shuffle choice.
+
+Scale notes (100 TB): fact-fact joins (orders x lineitem) hash-partition on
+the join key — at 1000 executors that is the unavoidable shuffle, kept to
+one per query by projecting/filtering BEFORE the join so the exchange
+carries only needed columns (Catalyst pushes these down, verified in plan
+tests). All dimension joins broadcast (region/nation/customer/supplier are
+tiny relative to facts). Aggregates are partial+final. Top-k is
+`orderBy().limit(k)` which Spark executes as per-partition TakeOrdered +
+driver merge — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) on ``lineitem``: scan-heavy
+    partial+final aggregation — the per-core scan/agg throughput yardstick.
+
+    Single exchange on the tiny (returnflag, linestatus) grouping key;
+    everything else is map-side. The shipdate filter is pushed to parquet.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join customer ⋈ orders ⋈ lineitem
+    with selective filters on both sides, grouped revenue, deterministic
+    top-10.
+
+    customer is far smaller than the fact tables -> broadcast hint removes
+    one shuffle; orders⋈lineitem hash-partitions on o_orderkey/l_orderkey
+    only. Filters applied pre-join so the exchange carries filtered rows.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-way join
+    region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    c_nationkey = s_nationkey locality condition, revenue per nation.
+
+    All four dimension sides broadcast; the only repartition exchanges are
+    the two fact joins (orders on custkey, lineitem on orderkey). Catalyst
+    reorders the join tree under AQE with runtime stats.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dim = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name").isin("AMERICA", "ASIA"))),
+              n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of a fact to a dimension: customers per
+    nation name. The hint guarantees no shuffle on the fact side regardless
+    of statistics — plan-shape test asserts BroadcastHashJoin."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti in one result: per customer, whether they have
+    any 'purchase'-priority order — expressed as existence flags via
+    left-semi/anti joins unioned. Exercises J3 semi/anti surface."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    with_urgent = (
+        c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("has_urgent", F.lit(1))
+    )
+    without_urgent = (
+        c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("has_urgent", F.lit(0))
+    )
+    return with_urgent.unionByName(without_urgent)
+
+
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tiebreak (O4 extension): TakeOrdered,
+    not a full sort — per-partition heap + driver merge of k rows."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )

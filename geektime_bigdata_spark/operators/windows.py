@@ -1,0 +1,160 @@
+"""Window functions, sessionization, as-of joins, time bucketing.
+
+Extension scope (SURVEY.md §2.7 notes the reference has no streaming /
+windowing at all): these are the time-series operators a 100 TB event
+pipeline needs, expressed with native window frames — no Python in the
+hot path, single hash-partition per partition key.
+
+Scale notes: window functions shuffle once on the PARTITION BY key and
+sort within partitions (Tungsten spillable sort). Skewed users would need
+salting for the ranking ops; the sessionize cumulative-sum is inherently
+per-key sequential but each key's stream fits memory by construction.
+The as-of join is an equi-join on the entity key plus a range predicate —
+planned as a hash join with post-filter, NOT a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+
+def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — ``row_number`` over
+    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey).
+    Deterministic tiebreak on the key."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum + event index over the event stream — the
+    cumulative frame (UNBOUNDED PRECEDING .. CURRENT ROW). event_id breaks
+    timestamp ties deterministically."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("event_idx"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) — the classic
+    lag + boundary-flag + cumulative-sum window chain, entirely native:
+
+        new_session = (ts - lag(ts)) > gap
+        session_id  = sum(new_session) over (user ORDER BY ts)
+
+    Returns one row per session with size and duration. One shuffle on
+    user_id covers both windows (same partitioning)."""
+    e = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_ord)
+    # full-precision interval comparison (unix_timestamp would truncate
+    # microseconds and disagree with the fractional-epoch oracle)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumn("session_id", F.sum(is_new).over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+        # whole-second duration; floor on both engines (see oracle SQL)
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within the event stream: for each purchase, the most
+    recent click by the same user at-or-before the purchase time.
+
+    Expressed as equi-join on user_id + range filter + groupBy max — the
+    join partitions on user_id (no cartesian); the reduction is a
+    partial+final max/count. The streaming analogue would keep per-user
+    last-click state (see streaming module)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases["user_id"] == clicks["c_user_id"])
+            & (clicks["click_ts"] <= purchases["purchase_ts"]),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.max("click_ts").alias("last_click_ts"),
+            F.count("click_ts").alias("n_prior_clicks"),
+        )
+    )
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup in batch form: events bucketed per hour per
+    type — `date_trunc` keeps it oracle-comparable; the streaming twin uses
+    ``window(ts, '1 hour')`` (see streaming module) with identical output."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 extension: JSON extraction from the events.props payload with
+    ``get_json_object`` (codegen'd JsonPath, no Python), aggregated per
+    event_type."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
