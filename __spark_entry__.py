@@ -12,7 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geektime_bigdata_spark.operators import joins, relational, text, windows
+from geektime_bigdata_spark.operators import (
+    dedup,
+    joins,
+    relational,
+    similarity,
+    text,
+    textstats,
+    windows,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -50,6 +58,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": windows.asof_last_click,
         "hourly_event_rollup": windows.hourly_event_rollup,
         "json_props_extract": windows.json_props_extract,
+        # --- dedup suite (training-data pipeline) ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- similarity search ---
+        "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        # --- text analysis ---
+        "token_counts": textstats.token_counts,
+        "lang_id_heuristic": textstats.lang_id_heuristic,
+        "doc_quality_scores": textstats.doc_quality_scores,
+        "doc_fingerprints": textstats.doc_fingerprints,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
@@ -229,6 +252,230 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signatures": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), seeds AS (SELECT unnest(generate_series(0, 11)) AS seed)
+            SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+                   min(md5(seed || ':' || shingle)) AS mh
+            FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+        """,
+        "minhash_lsh_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+            mh AS (
+                SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+            ), bands AS (
+                SELECT doc_id, seed // 3 AS band,
+                       md5(string_agg(mh, '' ORDER BY seed)) AS sig
+                FROM mh GROUP BY doc_id, seed // 3
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "simhash_fingerprints": """
+            WITH tf AS (
+                SELECT doc_id, word, count(*) AS tf,
+                       ('0x' || substr(md5(word), 1, 4))::BIGINT AS h
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id, word
+            ), votes AS (
+                SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1) - 1)) AS s
+                FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) bits
+                GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes x ON doc_a = x.doc_id
+            JOIN sizes y ON doc_b = y.doc_id
+            WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 5
+            ), pairs AS (
+                SELECT query_id, c.vec_id AS cand_id, q_emb, c.embedding AS c_emb
+                FROM q CROSS JOIN embeddings c WHERE c.vec_id <> query_id
+            ), sums AS (
+                SELECT query_id, cand_id,
+                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS dot,
+                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)) AS qq,
+                       sum(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS cc
+                FROM (SELECT query_id, cand_id, q_emb, c_emb,
+                             unnest(generate_series(1, len(q_emb))) AS i
+                      FROM pairs)
+                GROUP BY query_id, cand_id
+            ), scored AS (
+                SELECT query_id, cand_id,
+                       round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+                FROM sums
+            )
+            SELECT query_id, cand_id, cos_sim, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
+        """,
+        "lsh_hyperplane_buckets": """
+            WITH dims AS (
+                SELECT vec_id, pos - 1 AS d, CAST(embedding[pos] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS pos
+                      FROM embeddings)
+            ), planes AS (
+                SELECT p, d,
+                       ((('0x' || substr(md5(p || ',' || d), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS w
+                FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                     (SELECT unnest(generate_series(0, 63)) AS d)
+            ), proj AS (
+                SELECT vec_id, p, sum(x * w) AS proj
+                FROM dims JOIN planes USING (d) GROUP BY vec_id, p
+            )
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        """,
+        "embedding_neardup_pairs": """
+            WITH dims AS (
+                SELECT vec_id, pos - 1 AS d, CAST(embedding[pos] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS pos
+                      FROM embeddings)
+            ), planes AS (
+                SELECT p, d,
+                       ((('0x' || substr(md5(p || ',' || d), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS w
+                FROM (SELECT unnest(generate_series(0, 7)) AS p),
+                     (SELECT unnest(generate_series(0, 63)) AS d)
+            ), proj AS (
+                SELECT vec_id, p, sum(x * w) AS proj
+                FROM dims JOIN planes USING (d) GROUP BY vec_id, p
+            ), buckets AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                FROM proj GROUP BY vec_id
+            ), ev AS (
+                SELECT e.vec_id, e.embedding, b.bucket
+                FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+            ), cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.embedding AS emb_a, b.embedding AS emb_b
+                FROM ev a JOIN ev b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ), sums AS (
+                SELECT id_a, id_b,
+                       sum(CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)) AS dot,
+                       sum(CAST(emb_a[i] AS DOUBLE) * CAST(emb_a[i] AS DOUBLE)) AS aa,
+                       sum(CAST(emb_b[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)) AS bb
+                FROM (SELECT id_a, id_b, emb_a, emb_b,
+                             unnest(generate_series(1, len(emb_a))) AS i
+                      FROM cand)
+                GROUP BY id_a, id_b
+            )
+            SELECT id_a, id_b,
+                   round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+            FROM sums
+            WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_pieces,
+                   len(list_distinct(string_split(text, ' '))) AS n_types,
+                   round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS chars_per_token
+            FROM documents
+        """,
+        "lang_id_heuristic": """
+            WITH scores AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN word IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+                       CAST(sum(CASE WHEN word IN ('the','a','is','what','it','and') THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+                       CAST(sum(CASE WHEN word IN ('el','la','los','es','y') THEN 1 ELSE 0 END) AS BIGINT) AS score_es,
+                       CAST(sum(CASE WHEN word IN ('le','la','les','est','et') THEN 1 ELSE 0 END) AS BIGINT) AS score_fr,
+                       CAST(sum(CASE WHEN word IN ('的','是','了','在') THEN 1 ELSE 0 END) AS BIGINT) AS score_zh
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN score_de = m THEN 'de'
+                        WHEN score_en = m THEN 'en'
+                        WHEN score_es = m THEN 'es'
+                        WHEN score_fr = m THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   m AS best_score
+            FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS m
+                  FROM scores)
+        """,
+        "doc_quality_scores": """
+            WITH tok AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       round(avg(length(word)), 6) AS avg_word_len,
+                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, length(d.text) AS n_chars_text,
+                   t.n_tokens, t.avg_word_len, t.stopword_ratio, t.distinct_ratio,
+                   round(least(t.n_tokens / 100.0, 1.0) * 0.4
+                         + t.distinct_ratio * 0.4
+                         + (1 - t.stopword_ratio) * 0.2, 6) AS quality_score
+            FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+                   length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_len
+            FROM documents
         """,
         "term_freq": """
             SELECT word, doc_id, count(*) AS tf FROM (

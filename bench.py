@@ -1,0 +1,78 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count()-style action that
+cannot short-circuit (``df.write.format("noop")`` keeps the whole plan).
+A warmup pass runs first so JVM/codegen startup is not attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geektime_bigdata_spark import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: scan/agg throughput (q1), join pipelines (q3/q5), windows
+# (sessionize), text (inverted index), plus extension ops appended as they
+# land. Keys must exist in __spark_entry__.queries().
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "flow_stats",
+    "sessionize",
+    "window_topn_orders",
+    "inverted_index_str",
+    "word_counts",
+    "minhash_lsh_pairs",
+    "ann_topk_bruteforce",
+    "doc_quality_scores",
+]
+
+
+def _run(df) -> int:
+    # noop sink executes the complete plan without result materialization
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="gbs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: run the cheapest query once to absorb JVM/codegen startup
+    _run(queries[names[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _run(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

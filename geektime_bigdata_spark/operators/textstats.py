@@ -1,0 +1,137 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, fingerprinting — all native expressions (SURVEY.md §7.2 M7).
+
+Each op is a single narrow projection (no shuffle at all except where an
+aggregate is requested) — at 100 TB these run at scan speed and are the
+kind of map-only pass a curation pipeline chains by the dozen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+# The synthetic corpus shares one vocabulary, so predictions are uniform —
+# the *mechanism* (per-lang token-hit scoring + deterministic argmax) is
+# what the oracle verifies.
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "what", "it", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+# words counted as stopwords for quality ratios
+STOPWORDS = ("the", "a", "is", "what", "it", "and", "of", "to", "in")
+
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number pieces, RE2-safe
+
+
+def _n_tokens(col: str = "text") -> Column:
+    return F.size(F.split(F.col(col), " "))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, regex (BPE-ish) piece count, distinct-type
+    count, and chars-per-token — the basic curation statistics."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _n_tokens().cast("long").alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_pieces"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_types"),
+        F.round(F.length("text") / _n_tokens(), 6).alias("chars_per_token"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token hits with deterministic argmax
+    (highest score wins; alphabetical language code breaks ties).
+
+    Expressed as one pass over the exploded tokens + a pivot-style
+    conditional aggregation — a single shuffle on doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("word").isin(*markers), 1).otherwise(0)
+            ).alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # deterministic argmax: greatest score, alphabetical tiebreak
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1)
+    for lang in sorted(LANG_MARKERS):  # later langs win only on STRICT >
+        s = F.col(f"score_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return scores.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio, distinct
+    ratio, and a composite score. Pure projection + one token aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("word")), 6).alias("avg_word_len"),
+        F.round(
+            F.avg(
+                F.when(F.col("word").isin(*STOPWORDS), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.countDistinct("word") / F.count(F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("distinct_ratio") * 0.4
+        + (1 - F.col("stopword_ratio")) * 0.2
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars_text"))
+        .join(tok_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars_text",
+            "n_tokens",
+            "avg_word_len",
+            "stopword_ratio",
+            "distinct_ratio",
+            F.round(quality, 6).alias("quality_score"),
+        )
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over normalized text (lowercase,
+    trimmed, whitespace collapsed) — the key an exact-dedup or incremental
+    ingest pipeline carries per document."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -35,7 +35,7 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
