@@ -12,9 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from geektime_bigdata_spark import streaming
 from geektime_bigdata_spark.operators import (
     dedup,
     joins,
+    multimodal,
     relational,
     similarity,
     text,
@@ -68,6 +70,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        # --- multimodal plumbing (rows-only checks: stubbed decode is
+        #     Python-side, not SQL-expressible) ---
+        "media_type_stats": multimodal.media_type_stats,
+        "media_features": multimodal.media_features,
+        # --- streaming (availableNow micro-batch; hourly rollup shares the
+        #     batch twin's oracle — tumbling window start == date_trunc) ---
+        "streaming_hourly_rollup": (
+            lambda spark, sf_dir: streaming.run_streaming_hourly_rollup(
+                spark, sf_dir
+            )
+        ),
         # --- text analysis ---
         "token_counts": textstats.token_counts,
         "lang_id_heuristic": textstats.lang_id_heuristic,
@@ -421,6 +434,11 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
             FROM sums
             WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4
+        """,
+        "streaming_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "token_counts": """
             SELECT doc_id,

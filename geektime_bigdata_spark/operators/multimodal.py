@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched pandas stages (``mapInPandas``).
+
+A 100 TB multimodal corpus stores image/audio/video as `binary` columns
+(or object-store URIs) beside typed metadata; compute-heavy decode runs in
+Python workers over Arrow batches. This module makes all of that plumbing
+real — schema, batching, partitioning, deterministic feature extraction —
+while the actual codec call is stubbed (image/audio libraries are not in
+this environment): `decode_stub=True` (default) derives a deterministic
+fake "decode" from the payload bytes; `decode_stub=False` raises
+NotImplementedError at the exact point a real codec (PIL/torchaudio/ffmpeg)
+would be invoked.
+
+The synthetic corpus has no binary column, so :func:`attach_fake_payloads`
+manufactures one from `documents.text` (utf-8 bytes) — the engine-side
+semantics (binary type, per-batch processing, metadata struct) are
+identical to real payloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, payload binary"
+)
+FEATURES_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, "
+    f"feature array<double>, feature_norm double"
+)
+
+
+def attach_fake_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` with an opaque binary `payload` column + metadata —
+    the storage shape of a multimodal table (payload = utf-8 text bytes
+    here; would be image/audio bytes or an object-store pointer)."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        # deterministic media-type assignment for partitioned processing
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def _decode_and_featurize(
+    batches: Iterator[pd.DataFrame], decode_stub: bool
+) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch decode + feature extraction. The stub 'decoder'
+    folds payload bytes into FEATURE_DIM accumulators — deterministic,
+    content-sensitive, and cheap; a real implementation replaces ONLY the
+    body of `_decode` (the batching/schema contract stays identical)."""
+
+    def _decode(payload: bytes) -> list[float]:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires PIL/torchaudio/ffmpeg — "
+                "not available in this environment; stub path only"
+            )
+        acc = [0.0] * FEATURE_DIM
+        for i, b in enumerate(payload):
+            acc[i % FEATURE_DIM] += float(b)
+        n = max(len(payload), 1)
+        return [round(a / n, 6) for a in acc]
+
+    for pdf in batches:
+        feats = [_decode(p) for p in pdf["payload"]]
+        norms = [round(sum(x * x for x in f) ** 0.5, 6) for f in feats]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "feature": feats,
+                "feature_norm": norms,
+            }
+        )
+
+
+def media_features(
+    spark: SparkSession, sf_dir: str, decode_stub: bool = True
+) -> DataFrame:
+    """Decode + featurize every payload via ``mapInPandas`` (Arrow batches,
+    no per-row Python overhead). Output keeps the metadata columns so
+    downstream similarity/dedup can join without re-reading payloads."""
+    media = attach_fake_payloads(spark, sf_dir)
+    return media.mapInPandas(
+        lambda it: _decode_and_featurize(it, decode_stub),
+        schema=FEATURES_SCHEMA,
+    )
+
+
+def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type rollup over extracted features — the downstream
+    aggregate a curation pipeline runs after featurization (also the
+    driver-facing rows-only check for this module)."""
+    feats = media_features(spark, sf_dir)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("feature_norm"), 6).alias("avg_feature_norm"),
+        )
+    )
+
+
+def frame_sample(
+    spark: SparkSession, sf_dir: str, every_n_bytes: int = 64
+) -> DataFrame:
+    """'Frame sampling' plumbing: explode each payload into fixed-stride
+    chunk records ((doc_id, frame_no, chunk)) — the access pattern video
+    frame extraction has, expressed with native substring/sequence ops so
+    the explode happens JVM-side, not in Python."""
+    media = attach_fake_payloads(spark, sf_dir)
+    frames = F.expr(
+        f"sequence(0, cast(ceil(n_bytes / {every_n_bytes}) as int) - 1)"
+    )
+    return (
+        media.select(
+            "doc_id",
+            "media_type",
+            "payload",
+            F.explode(frames).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.expr(
+                f"substring(payload, frame_no * {every_n_bytes} + 1, {every_n_bytes})"
+            ).alias("chunk"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Text-file source/sink — homework-1's MapReduce IO surface (S1/S2).
+
+The reference reads the classic phone-traffic log as tab-separated lines
+addressed positionally (MyMapper.java:23-31: words[1]=phone,
+words[7]=up, words[8]=down) and writes ``key\\tv1\\tv2\\tv3`` lines
+(MyReduce.java:30). Here both directions are schema'd CSV — positional
+fields become named, typed columns, and the byte counters are widened
+int->long (32-bit traffic sums overflow at scale; intentional divergence
+documented in SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 13-field HTTP log; only the named fields are ever used downstream —
+# column pruning drops the rest at scan time.
+TRAFFIC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("mac", T.StringType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("url_type", T.StringType()),
+        T.StructField("n_pkts_up", T.LongType()),
+        T.StructField("up_bytes", T.LongType()),
+        T.StructField("down_bytes", T.LongType()),
+        T.StructField("f9", T.StringType()),
+        T.StructField("f10", T.StringType()),
+        T.StructField("f11", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def read_traffic_log(spark: SparkSession, path: str) -> DataFrame:
+    """S1: tab-separated text scan with explicit schema
+    (reference: TextInputFormat at Main.java:30 + split at MyMapper.java:24)."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema(TRAFFIC_SCHEMA)
+        .csv(path)
+    )
+
+
+def traffic_stats(df: DataFrame) -> DataFrame:
+    """The homework-1 job proper: per-phone up/down/total sums
+    (MyMapper.java:20-32 + MyReduce.java:20-31) as one chain; Catalyst
+    plans partial+final HashAggregate — strictly better than the
+    reference MR job, which registers no combiner (Main.java:22-28)."""
+    return (
+        df.select("phone", "up_bytes", "down_bytes")
+        .groupBy("phone")
+        .agg(
+            F.sum("up_bytes").alias("sum_up"),
+            F.sum("down_bytes").alias("sum_down"),
+            F.sum(F.col("up_bytes") + F.col("down_bytes")).alias("sum_total"),
+        )
+    )
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """S2: tab-separated text sink (TextOutputFormat at Main.java:31,
+    "%d\\t%d\\t%d" at MyReduce.java:30)."""
+    df.write.mode("overwrite").option("sep", "\t").csv(path)

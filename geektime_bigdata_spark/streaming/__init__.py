@@ -1,0 +1,14 @@
+"""Structured Streaming operators (extension scope — SURVEY.md §2.7: the
+reference has zero streaming code; the `events` table is stream-shaped)."""
+
+from geektime_bigdata_spark.streaming.windows import (
+    read_events_stream,
+    run_streaming_hourly_rollup,
+    run_streaming_sessionization,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_streaming_hourly_rollup",
+    "run_streaming_sessionization",
+]

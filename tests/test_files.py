@@ -1,0 +1,60 @@
+"""File utility tests — FIXTURES.md F-F (distcp tree copy, weak-check
+path: target tree equals source tree)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from geektime_bigdata_spark.sources.files import dist_copy, list_tree
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    for rel in ["a.txt", "d1/b.txt", "d1/d2/c.txt", "d3/e.bin"]:
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(f"content:{rel}".encode())
+    return src
+
+
+def test_dist_copy_mirrors_tree(spark, tree, tmp_path):
+    dst = tmp_path / "dst"
+    statuses = dist_copy(spark, str(tree), str(dst), parallelism=3)
+    assert len(statuses) == 4
+    assert all(s.startswith("OK ") for s in statuses)
+    assert list_tree(str(dst)) == list_tree(str(tree))
+    # content preserved
+    assert (dst / "d1/d2/c.txt").read_bytes() == (tree / "d1/d2/c.txt").read_bytes()
+
+
+def test_dist_copy_empty_dir(spark, tmp_path):
+    src = tmp_path / "empty"
+    src.mkdir()
+    assert dist_copy(spark, str(src), str(tmp_path / "dst2")) == []
+
+
+def test_dist_copy_invalid_source_raises(spark, tmp_path):
+    """Reference bug fixed: invalid args must raise, not print-and-continue
+    (DistCopyMain.scala:18-20,47-49)."""
+    with pytest.raises(ValueError):
+        dist_copy(spark, str(tmp_path / "nope"), str(tmp_path / "dst3"))
+
+
+def test_dist_copy_ignore_failures(spark, tree, tmp_path):
+    """ignoreFailures actually gates behavior (unlike DistCopyMain.scala:23,
+    which parses it and never reads it). Failure injected by pre-creating a
+    directory where a target FILE must go — copyfile raises on it."""
+    dst = tmp_path / "dst4"
+    (dst / "a.txt").mkdir(parents=True)
+
+    with pytest.raises(Exception):
+        dist_copy(spark, str(tree), str(dst), ignore_failures=False)
+
+    statuses = dist_copy(spark, str(tree), str(dst), ignore_failures=True)
+    fails = [s for s in statuses if s.startswith("FAIL ")]
+    oks = [s for s in statuses if s.startswith("OK ")]
+    assert len(fails) == 1 and "a.txt" in fails[0]
+    assert len(oks) == 3

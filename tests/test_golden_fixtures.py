@@ -1,0 +1,181 @@
+"""Golden unit fixtures from the reference (FIXTURES.md §F-A..F-E):
+tiny hand-verifiable inputs whose outputs the reference's own code/README
+pins down. These assert *semantics*, independent of the synthetic testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.sources.textio import (
+    TRAFFIC_SCHEMA,
+    read_traffic_log,
+    traffic_stats,
+    write_tsv,
+)
+
+
+def _inverted_corpus(spark):
+    # InvertedMain.scala:12 verbatim corpus
+    return spark.createDataFrame(
+        [("it is what it is", 0), ("what is it", 1), ("it is a banana", 2)],
+        "text string, doc_id int",
+    )
+
+
+def test_inverted_index_golden(spark):
+    """FIXTURES.md F-B variant 1 (InvertedMain.scala:13-19)."""
+    df = _inverted_corpus(spark)
+    got = {
+        r["word"]: r["docs"]
+        for r in df.select(
+            F.explode(F.split("text", " ")).alias("word"), "doc_id"
+        )
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .collect()
+    }
+    assert got == {
+        "it": [0, 1, 2],
+        "is": [0, 1, 2],
+        "what": [0, 1],
+        "a": [2],
+        "banana": [2],
+    }
+
+
+def test_posting_list_tf_golden(spark):
+    """FIXTURES.md F-B variant 2 (InvertedMain.scala:22-29)."""
+    df = _inverted_corpus(spark)
+    tf = (
+        df.select(F.explode(F.split("text", " ")).alias("word"), "doc_id")
+        .groupBy("word", "doc_id")
+        .count()
+    )
+    got = {
+        r["word"]: [(p["doc_id"], p["count"]) for p in r["postings"]]
+        for r in tf.groupBy("word")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "count"))).alias(
+                "postings"
+            )
+        )
+        .collect()
+    }
+    assert got == {
+        "it": [(0, 2), (1, 1), (2, 1)],
+        "is": [(0, 2), (1, 1), (2, 1)],
+        "what": [(0, 1), (1, 1)],
+        "a": [(2, 1)],
+        "banana": [(2, 1)],
+    }
+
+
+def test_traffic_log_golden(spark, tmp_path):
+    """FIXTURES.md F-A: homework-1 job on a 5-row micro log with
+    hand-computed sums, through the real text source/sink (S1/S2)."""
+    line = "1363157985066\t{phone}\t00-FD-07-A4-72-B8:CMCC\t120.196.100.82\ti02.c.aliimg.com\t\t{pk}\t{up}\t{down}\tx\ty\tz\t200"
+    rows = [
+        line.format(phone="13726230503", pk=24, up=100, down=200),
+        line.format(phone="13726230503", pk=12, up=50, down=25),
+        line.format(phone="13560439658", pk=2, up=10, down=20),
+        line.format(phone="13726230503", pk=4, up=1, down=2),
+        line.format(phone="13560439658", pk=3, up=5, down=5),
+    ]
+    src = tmp_path / "traffic.dat"
+    src.write_text("\n".join(rows) + "\n")
+    df = read_traffic_log(spark, str(src))
+    stats = {
+        r["phone"]: (r["sum_up"], r["sum_down"], r["sum_total"])
+        for r in traffic_stats(df).collect()
+    }
+    assert stats == {
+        "13726230503": (151, 227, 378),
+        "13560439658": (15, 25, 40),
+    }
+    # sink round-trip (S2): tab-separated lines, same row count
+    out = tmp_path / "out"
+    write_tsv(traffic_stats(df), str(out))
+    back = spark.read.option("sep", "\t").csv(str(out))
+    assert back.count() == 2
+    assert len(back.columns) == 4
+
+
+def test_hbase_student_prefix_scan_golden(spark):
+    """FIXTURES.md F-C: the 4 HBase rows (HBaseClient.java:84-118) with
+    the reference's reversed prefix scan (HBaseClient.java:63-68) —
+    all 4 rows, row_key descending."""
+    rows = [
+        ("G20200579010831", "tome", "1", 75, 82),
+        ("G20200579010832", "jerry", "1", 85, 67),
+        ("G20200579010833", "jack", "2", 80, 80),
+        ("G20200579010834", "phoenix", "2", 90, 90),
+        ("X99999999999999", "other", "9", 0, 0),  # must be filtered out
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "row_key string, name string, class string, understanding int, programming int",
+    )
+    got = (
+        df.filter(F.col("row_key").startswith("G202005790"))
+        .orderBy(F.col("row_key").desc())
+        .select("row_key", "name")
+        .collect()
+    )
+    assert [r["row_key"] for r in got] == [
+        "G20200579010834",
+        "G20200579010833",
+        "G20200579010832",
+        "G20200579010831",
+    ]
+    assert got[0]["name"] == "phoenix"
+
+
+def test_rpc_lookup_golden(spark):
+    """FIXTURES.md F-E: intended homework-2 lookup semantics
+    (CallRpcImp.java:17-22 as the client test at client/Main.java:19-22
+    expects): known key -> row, unknown key -> empty."""
+    df = spark.createDataFrame(
+        [("20210123456789", "心心")], "stu_id string, name string"
+    )
+    hit = df.filter(F.col("stu_id") == "20210123456789").collect()
+    miss = df.filter(F.col("stu_id") == "20210000000000").collect()
+    assert [r["name"] for r in hit] == ["心心"]
+    assert miss == []
+
+
+def test_null_comparison_empty_golden(spark):
+    """FIXTURES.md F-D query 1 (homework-5/README.md:86): `id <> null`
+    makes the whole query provably empty (README.md:280-287)."""
+    df = spark.createDataFrame(
+        [("1", "a", 20, "m"), ("2", "b", 30, "f")],
+        "id string, name string, age int, sex string",
+    )
+    df.createOrReplaceTempView("student_golden")
+    got = spark.sql(
+        "select name from (select id, name, age from student_golden "
+        "where age > 18 and id <> null) where age < 35"
+    ).collect()
+    assert got == []
+
+
+def test_except_distinct_golden(spark):
+    """FIXTURES.md F-D query 2 shape (homework-5/README.md:340): EXCEPT
+    is DISTINCT set difference compiled to a left-anti join."""
+    df = spark.createDataFrame(
+        [("101", "a", 20, "m"), ("102", "b", 30, "f"), ("103", "c", 40, "f"),
+         ("103", "c", 41, "f")],
+        "id string, name string, age int, sex string",
+    )
+    df.createOrReplaceTempView("student_golden2")
+    got = spark.sql(
+        "select id, name, (100-10) as score from "
+        "(select id, name from student_golden2 where age > 18 "
+        " except select distinct id, name from student_golden2 where sex='m') "
+        "where id > 100 order by score"
+    ).collect()
+    # 101 removed by EXCEPT (sex='m'); 103's duplicate collapses
+    assert sorted((r["id"], r["name"], r["score"]) for r in got) == [
+        ("102", "b", 90),
+        ("103", "c", 90),
+    ]

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests: binary schema, Arrow-batch featurization,
+stub gating, frame sampling reassembly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_payloads,
+    frame_sample,
+    media_features,
+    media_type_stats,
+)
+
+
+def test_payload_schema(spark, sf_dir):
+    df = attach_fake_payloads(spark, sf_dir)
+    types = dict(df.dtypes)
+    assert types["payload"] == "binary"
+    assert types["n_bytes"] == "bigint"
+    row = df.filter(F.col("doc_id") == 0).first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["n_bytes"] == len(row["payload"])
+
+
+def test_media_features_deterministic(spark, sf_dir):
+    f1 = media_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    f2 = media_features(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert [r["feature"] for r in f1] == [r["feature"] for r in f2]
+    assert all(len(r["feature"]) == FEATURE_DIM for r in f1)
+    assert all(r["feature_norm"] > 0 for r in f1)
+
+
+def test_decode_stub_gate(spark, sf_dir):
+    """decode_stub=False must fail exactly at the codec boundary."""
+    with pytest.raises(Exception) as exc_info:
+        media_features(spark, sf_dir, decode_stub=False).first()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_media_type_stats(spark, sf_dir):
+    rows = {r["media_type"]: r for r in media_type_stats(spark, sf_dir).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    assert sum(r["n_docs"] for r in rows.values()) == 500
+
+
+def test_frame_sample_reassembles(spark, sf_dir):
+    """Concatenated chunks must equal the original payload."""
+    stride = 64
+    chunks = (
+        frame_sample(spark, sf_dir, every_n_bytes=stride)
+        .filter(F.col("doc_id") == 1)
+        .orderBy("frame_no")
+        .collect()
+    )
+    original = (
+        attach_fake_payloads(spark, sf_dir).filter(F.col("doc_id") == 1).first()
+    )
+    reassembled = b"".join(bytes(r["chunk"]) for r in chunks)
+    assert reassembled == bytes(original["payload"])
+    assert all(len(bytes(r["chunk"])) <= stride for r in chunks)

@@ -1,0 +1,99 @@
+"""Plan-shape smoke checks (SURVEY.md §5.2-3): assert the physical plans
+have the structure we designed for — pushdown reaching parquet, broadcast
+joins where hinted, partial+final aggregation, no stray exchanges. The
+PySpark analogue of the reference's golden optimizer traces
+(homework-5/README.md:112-904), kept loose to survive Spark upgrades."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.operators import joins, relational, similarity
+from geektime_bigdata_spark.plans import (
+    explain_str,
+    optimized_plan_json,
+    plan_summary,
+)
+from geektime_bigdata_spark.registry import table
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """A selective predicate must appear in PushedFilters at the scan."""
+    df = table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+    s = plan_summary(df)
+    assert s["has_pushed_filters"], s["text"]
+    assert "c_custkey" in s["text"]
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    """A 2-column projection must not read the full schema."""
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    text = explain_str(df, "formatted")
+    assert "ReadSchema" in text
+    read_schema = [l for l in text.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_has_no_shuffle_on_fact(spark, sf_dir):
+    """The hinted dim join must plan as BroadcastHashJoin."""
+    df = joins.broadcast_dim_join(spark, sf_dir)
+    ops = plan_summary(df)["operators"]
+    assert any("BroadcastHashJoin" in k for k in ops), ops
+    assert not any("SortMergeJoin" in k for k in ops), ops
+
+
+def test_partial_final_aggregate(spark, sf_dir):
+    """groupBy.agg plans as a partial+final HashAggregate pair (the MR
+    combiner the reference never registered, Main.java:22-28)."""
+    df = relational.flow_stats(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert text.count("HashAggregate") >= 2, text
+    assert "Exchange" in text
+
+
+def test_q1_single_exchange(spark, sf_dir):
+    """TPC-H Q1 needs exactly one shuffle (the group-by)."""
+    df = joins.q1_pricing_summary(spark, sf_dir)
+    s = plan_summary(df)
+    # one exchange for the agg + possibly one for the tiny final sort
+    assert s["operators"].get("Exchange", 0) <= 2, s["operators"]
+    assert s["has_pushed_filters"], "shipdate filter should push down"
+
+
+def test_ann_bruteforce_no_corpus_shuffle(spark, sf_dir):
+    """Brute-force ANN must broadcast the query side — the corpus scan
+    must not hash-partition before the join."""
+    df = similarity.ann_topk_bruteforce(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text, text
+
+
+def test_optimized_plan_json_roundtrip(spark, sf_dir):
+    """homework-5 parity: the optimizer output serializes to JSON
+    (MySparkSessionExtension.scala:15's plan.toJSON)."""
+    df = relational.point_lookup(spark, sf_dir)
+    nodes = optimized_plan_json(df)
+    assert isinstance(nodes, list) and nodes
+    assert any("class" in n for n in nodes)
+
+
+def test_constant_folding(spark, sf_dir):
+    """(100-10) folds to literal 90 (README.md:514-516)."""
+    df = relational.const_score_order(spark, sf_dir)
+    text = explain_str(df, "extended")
+    assert "90" in text
+    assert "100 - 10" not in text.split("== Optimized Logical Plan ==")[1]
+
+
+def test_plan_change_log_toggle(spark, sf_dir):
+    """PlanChangeLogger can be enabled/disabled (README.md:81 parity)."""
+    from geektime_bigdata_spark.plans.introspect import (
+        disable_plan_change_log,
+        enable_plan_change_log,
+    )
+
+    enable_plan_change_log(spark, "WARN")
+    assert spark.conf.get("spark.sql.planChangeLog.level") == "WARN"
+    table(spark, sf_dir, "region").filter(F.col("r_regionkey") > 0).collect()
+    disable_plan_change_log(spark)
