@@ -18,46 +18,35 @@ Determinism notes: every hash is md5 (identical across engines); minhash
 uses the *string* md5 hex (lexicographic min is engine-independent);
 SimHash bit weights come from the first 4 md5 hex chars.
 
-Scale notes (100 TB): the shingle explode multiplies rows ~n_tokens x
-but each stage is a hash aggregation on (doc, shingle)-like keys — no
-all-pairs stage anywhere except *within* an LSH bucket / shared shingle,
-which is the standard trade. For skewed shingles (stopword trigrams) the
-inverted-index join would salt or drop top-frequency shingles; here the
-31-word vocabulary keeps collision groups small.
+Scale/plan notes (100 TB): the N minhash seeds and 16 simhash bits are
+computed as N parallel aggregate EXPRESSIONS inside one groupBy — NOT a
+seeds/bits cross join — so the shuffle carries one row per (doc, shingle),
+never N x that. (The naive cross-join formulation benched 6x slower at
+sf0.1 and its shuffle volume scales with N.) For skewed shingles
+(stopword trigrams) the inverted-index join would salt or drop
+top-frequency shingles; here the 31-word vocabulary keeps collision
+groups small.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import shingles, tokens
 from geektime_bigdata_spark.registry import table
 
 N_HASHES = 12
 BAND_ROWS = 3  # 4 bands x 3 rows
-
-
-def _shingles_expr(toks: str = "toks", n: int = 3) -> Column:
-    """Distinct word-``n``-gram shingles from a token-array column.
-
-    1-based ``element_at`` so doc positions match the DuckDB oracle's
-    1-based list indexing exactly.
-    """
-    idx = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
-    return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', {idx}))) "
-        f"ELSE array() END"
-    )
+N_SIMHASH_BITS = 16
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — one row per distinct 3-gram per document."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-        .select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.explode(shingles()).alias("shingle"))
     )
 
 
@@ -76,44 +65,55 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, seed) MinHash values: min md5 over the doc's shingles,
-    seeded by prefixing the seed index. Returns N_HASHES rows per doc."""
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with all N_HASHES minhash columns mh0..mhN-1,
+    computed as N min-aggregates over a single (doc, shingle) shuffle."""
     sh = _doc_shingles(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))
+            ).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, seed) MinHash values in long format: min md5 over the
+    doc's shingles, seeded by prefixing the seed index. The wide
+    aggregation is unpivoted with ``stack`` — no row multiplication ever
+    crosses a shuffle."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{s}, mh{s}" for s in range(N_HASHES))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_HASHES}, {stack_args}) AS (seed, mh)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "mh")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs agreeing on all
     BAND_ROWS minhashes of any band become a candidate pair.
 
-    The self-join is on (band, band_signature) — collision buckets only,
-    never the full cross product. Output is the deduplicated (doc_a, doc_b)
-    pair list, doc_a < doc_b."""
-    mh = minhash_signatures(spark, sf_dir)
-    bands = (
-        mh.groupBy("doc_id", F.expr(f"seed div {BAND_ROWS}").alias("band"))
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                )
-            ).alias("sig")
-        )
+    Band signatures come straight off the wide minhash row (md5 of the
+    band's concatenated minhashes); the self-join touches only collision
+    buckets, never the full cross product. Output: (doc_a, doc_b),
+    doc_a < doc_b."""
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    band_sigs = [
+        F.md5(
+            F.concat(
+                *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            )
+        ).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    wide_sigs = wide.select("doc_id", *band_sigs)
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    bands = wide_sigs.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -135,13 +135,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit j of the fingerprint is 1 iff the tf-weighted sum of (+-1) votes
     from token-hash bit j is positive.
 
-    Pure expression pipeline: tf aggregate -> broadcast 16 bit-positions ->
-    two more hash aggregates. No UDFs, no driver loops."""
+    All 16 bit-vote sums are parallel aggregate expressions over the one
+    (doc, word) tf relation — a single shuffle, no bits cross join; the
+    final fingerprint is a pure projection."""
     docs = table(spark, sf_dir, "documents")
     tf = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-        )
+        docs.select("doc_id", F.explode(tokens()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -149,30 +148,19 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
         )
     )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        tf.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "j",
-            (
-                F.col("tf")
-                * (2 * F.expr("shiftright(h, j) & 1") - 1)
-            ).alias("vote"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    votes = tf.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("simhash")
-        )
+                F.col("tf") * (2 * F.expr(f"shiftright(h, {j}) & 1") - 1)
+            ).alias(f"s{j}")
+            for j in range(N_SIMHASH_BITS)
+        ]
     )
+    bit_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END"
+        for j in range(N_SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(f"{bit_terms} AS simhash"))
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,20 +182,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
-    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard, 6).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )

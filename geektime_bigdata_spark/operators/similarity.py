@@ -10,8 +10,15 @@ Two paths, mirroring what a 100 TB vector corpus needs:
 - ``lsh_hyperplane_buckets`` — random-hyperplane LSH: 8 deterministic
   hash-derived hyperplanes -> 8-bit bucket per vector. At scale, ANN
   probes only matching buckets (candidate generation linear, like the
-  MinHash band join in :mod:`dedup`); here the bucket assignment itself is
-  the oracle-checked artifact.
+  MinHash band join in :mod:`dedup`).
+
+Plan notes: hyperplane weights are PRECOMPUTED on the driver (512 md5s,
+bit-identical to the oracle's SQL formula — see
+:func:`...functions.hash_unit_weight`) and inlined as literal arrays, so
+bucket assignment is a narrow map over the embedding column: no
+posexplode, no plane-table join, no shuffle at all. The earlier
+explode+join formulation moved |corpus| x 64 x 8 rows through a join; this
+one moves |corpus| rows through a projection.
 
 All arithmetic is cast to double BEFORE multiplication so Spark and the
 DuckDB oracle accumulate in the same precision; scores round to 6dp and
@@ -29,28 +36,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import (
+    dot_product,
+    hash_unit_weight,
+    vec_norm,
+)
 from geektime_bigdata_spark.registry import table
 
 N_PLANES = 8
+N_DIMS = 64
 N_QUERIES = 5
 TOP_K = 5
 
 
-def _dot(a: str, b: str) -> Column:
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+def _plane_weights() -> list[list[float]]:
+    """The 8x64 deterministic hyperplane matrix, derived from
+    md5("p,d") exactly like the oracle SQL derives it."""
+    return [
+        [hash_unit_weight(f"{p},{d}") for d in range(N_DIMS)]
+        for p in range(N_PLANES)
+    ]
 
 
-def _norm(a: str) -> Column:
-    return F.sqrt(
-        F.expr(
-            f"aggregate({a}, CAST(0 AS DOUBLE), "
-            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+def _bucket_expr() -> Column:
+    """8-bit LSH bucket from the ``embedding`` column: for each plane, a
+    literal-array dot product (constant-folded weights) and a sign bit."""
+    weights = _plane_weights()
+    terms = []
+    for p, w in enumerate(weights):
+        w_arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in w)})"
+        proj = (
+            f"aggregate(zip_with(embedding, {w_arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-    )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END")
+    return F.expr(" + ".join(terms)).alias("bucket")
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,18 +82,14 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — at scale, |corpus| rows stream through per-partition
     top-k heaps before the tiny final exchange)."""
     e = table(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-        )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     cand = e.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    cos = (_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb"))).alias(
-        "cos_sim"
+    cos = dot_product("q_emb", "c_emb") / (
+        vec_norm("q_emb") * vec_norm("c_emb")
     )
     scored = (
         F.broadcast(q)
@@ -83,78 +100,26 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= TOP_K)
 
 
 def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic random-hyperplane LSH bucket per vector.
-
-    Plane weights are hash-derived (md5 of "plane,dim" -> int in
-    [-1000, 1000] / 1000) so both engines compute identical planes with no
-    shared RNG. bit_p = (x . w_p) > 0; bucket = sum 2^p * bit_p.
-
-    Implementation is posexplode -> broadcast-joined plane table -> two
-    hash aggregates; at 1B vectors this is a narrow map + two partial
-    aggregations, no all-pairs anything."""
+    """Deterministic random-hyperplane LSH bucket per vector — a pure
+    projection (see module docstring), shuffle-free."""
     e = table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "x")
-    )  # d is 0-based; the oracle subtracts 1 from its 1-based positions
-    planes = (
-        spark.range(N_PLANES)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
-        .select(
-            "p",
-            "d",
-            (
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(",", "p", "d")), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2001
-                    - 1000
-                )
-                / 1000.0
-            ).alias("w"),
-        )
-    )
-    proj = (
-        dims.join(F.broadcast(planes), "d")
-        .select(
-            "vec_id",
-            "p",
-            (F.col("x").cast("double") * F.col("w")).alias("contrib"),
-        )
-        .groupBy("vec_id", "p")
-        .agg(F.sum("contrib").alias("proj"))
-    )
-    return (
-        proj.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("proj") > 0, F.expr("shiftleft(1L, p)")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("bucket")
-        )
-    )
+    return e.select("vec_id", _bucket_expr())
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors in the same LSH
-    bucket with cosine >= 0.4 (threshold tuned to the synthetic corpus, whose max pairwise cosine is ~0.51; real embedding corpora would use ~0.95). The bucket equi-join bounds the pair space
-    (the scale path); cosine verifies exactly."""
+    bucket with cosine >= 0.4 (threshold tuned to the synthetic corpus,
+    whose max pairwise cosine is ~0.51; real embedding corpora would use
+    ~0.95). The bucket equi-join bounds the pair space (the scale path);
+    cosine verifies exactly."""
     e = table(spark, sf_dir, "embeddings")
-    b = lsh_hyperplane_buckets(spark, sf_dir)
-    ev = e.join(b, "vec_id")
+    ev = e.select("vec_id", "embedding", _bucket_expr())
     a = ev.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -165,7 +130,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
     )
-    cos = (_dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")))
+    cos = dot_product("emb_a", "emb_b") / (
+        vec_norm("emb_a") * vec_norm("emb_b")
+    )
     return (
         a.join(
             c,
