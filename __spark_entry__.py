@@ -45,6 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "student_q2": relational.student_q2,
         "prefix_scan_desc": relational.prefix_scan_desc,
         "point_lookup": relational.point_lookup,
+        "upsert_latest": relational.upsert_latest,
+        "sql_catalog_query": relational.sql_catalog_query,
+        "sales_rollup": relational.sales_rollup,
+        "nation_full_outer": joins.nation_full_outer,
+        "intersect_segments": joins.intersect_segments,
+        "orders_by_month": windows.orders_by_month,
+        "event_type_pivot": windows.event_type_pivot,
+        "embedding_norms_pandas": similarity.embedding_norms_pandas,
         # --- text / inverted index (homework-4 parity) ---
         # --- joins / flagship analytics (J1-J3 + TPC-H-style) ---
         "q1_pricing_summary": joins.q1_pricing_summary,
@@ -141,6 +149,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "point_lookup": """
             SELECT c_custkey, c_name FROM customer WHERE c_custkey = 42
+        """,
+        "upsert_latest": """
+            SELECT user_id, event_type, ts, value, event_id FROM (
+                SELECT user_id, event_type, ts, value, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "sql_catalog_query": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY n.n_name
+        """,
+        "sales_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "nation_full_outer": """
+            SELECT coalesce(nk_c, nk_s) AS nationkey, n_customers, n_suppliers
+            FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+                  FROM supplier GROUP BY s_nationkey) s
+              ON nk_c = nk_s
+        """,
+        "intersect_segments": """
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 1000
+            INTERSECT
+            SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1, 2
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+                   round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+                   round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error
+            FROM events GROUP BY user_id
+        """,
+        "embedding_norms_pandas": """
+            SELECT vec_id,
+                   round(sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6) AS l2_norm
+            FROM (SELECT vec_id, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+            GROUP BY vec_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

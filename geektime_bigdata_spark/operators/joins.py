@@ -164,6 +164,40 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_urgent.unionByName(without_urgent)
 
 
+def nation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (J3 surface): per-nation customer counts vs supplier
+    counts — nations with no suppliers keep NULL on that side. Both inputs
+    pre-aggregate to one row per nation BEFORE joining, so the outer join
+    is dim-sized regardless of fact cardinality."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cust = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cust.join(
+        supp, cust["nk_c"] == supp["nk_s"], "full_outer"
+    ).select(
+        F.coalesce(F.col("nk_c"), F.col("nk_s")).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (O4 surface): customers with high balance who are also in
+    the BUILDING segment — Catalyst rewrites to a left-semi join with
+    distinct, mirroring the EXCEPT->anti-join rewrite of homework-5."""
+    c = table(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey", "c_name")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return rich.intersect(building)
+
+
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with deterministic tiebreak (O4 extension): TakeOrdered,
     not a full sort — per-partition heap + driver merge of k rows."""

@@ -34,10 +34,10 @@ parquet scan via pushdown/pruning — verified by plan-shape tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import load_tables, table
 
 
 def flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +145,62 @@ def student_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id").cast("int") > 100)
         .select("id", "name", (F.lit(100) - F.lit(10)).cast("int").alias("score"))
         .orderBy("score", "id")
+    )
+
+
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: HBase-style point-write/upsert semantics modeled as
+    append + dedup-by-key (SURVEY.md §2.1): the latest write per
+    (user_id, event_type) key wins — HBase keeps maxVersions(3) per cell
+    (HBaseClient.java:131-139) and reads the newest (getNoVersionMap,
+    HBaseClient.java:73); this is the newest-version read over an
+    append-only log, the standard lakehouse compaction pattern.
+
+    One window shuffle on the key; at scale this is the periodic MERGE
+    compaction job run per partition of the log."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value", "event_id")
+    )
+
+
+def sql_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the catalog-resolved SQL entry point (homework-5's
+    spark-sql surface — UnresolvedRelation -> catalog binding,
+    README.md:126-137): temp views registered by the registry, query
+    written as SQL text, same Catalyst pipeline as the DataFrame API."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 4) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: ROLLUP over (returnflag, linestatus) — subtotal rows
+    carry NULL group keys; lvl is the grouping_id bitmask. Catalyst plans
+    rollup as an Expand + single aggregate (one shuffle, not one per
+    grouping set)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
     )
 
 

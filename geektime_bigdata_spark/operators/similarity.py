@@ -33,6 +33,8 @@ dims the native path is faster and shuffles nothing.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +105,33 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= TOP_K)
+
+
+def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (SURVEY.md §2.8): L2 norms over
+    the embedding column computed batch-wise in numpy.
+
+    This op exists to exercise the vectorized-UDF surface with oracle
+    parity — the native ``vec_norm`` expression is the production path at
+    64 dims; the pandas route wins only for much wider vectors or when a
+    Python library (tokenizer, codec) is genuinely required."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(emb: pd.Series) -> pd.Series:
+        # float32 -> float64 BEFORE squaring, matching the SQL oracle's
+        # CAST(x AS DOUBLE) per element
+        return emb.map(
+            lambda v: float(
+                np.sqrt(np.square(np.asarray(v, dtype=np.float64)).sum())
+            )
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm")
+    )
 
 
 def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,6 +142,36 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 date functions: per-(year, month) order counts and revenue —
+    year/month extraction stays in codegen and groups on two small ints."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-user value sums by event type. The
+    value list is explicit, so the plan is a single aggregate with one
+    conditional-sum column per type — no second pass to discover keys
+    (the two-phase pivot is a scale anti-pattern)."""
+    e = table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 extension: JSON extraction from the events.props payload with
     ``get_json_object`` (codegen'd JsonPath, no Python), aggregated per
