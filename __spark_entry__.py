@@ -18,6 +18,7 @@ from geektime_bigdata_spark.operators import (
     joins,
     multimodal,
     relational,
+    scale,
     similarity,
     text,
     textstats,
@@ -99,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_str": text.inverted_index_str,
         "posting_list_tf_str": text.posting_list_tf_str,
         "word_counts": text.word_counts,
+        # --- scale techniques ---
+        "salted_top_words": scale.salted_top_words,
     }
 
 
@@ -592,6 +595,11 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY word
         """,
         "word_counts": """
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) WHERE word <> '' GROUP BY word
+        """,
+        "salted_top_words": """
             SELECT word, count(*) AS cnt FROM (
                 SELECT unnest(string_split(text, ' ')) AS word FROM documents
             ) WHERE word <> '' GROUP BY word

@@ -1,0 +1,86 @@
+"""Scale techniques: bucketed co-located joins and skew salting.
+
+These are the two knobs a 100 TB deployment reaches for when the default
+hash-shuffle plans stop being enough (SNIPPETS-style public patterns):
+
+- **Bucketing**: persist both fact tables bucketed+sorted on the join key;
+  Spark's planner then satisfies the join's distribution requirement from
+  the bucket spec and elides BOTH exchanges (verified by plan test — at
+  100 TB the orders⋈lineitem shuffle IS the query cost, and bucketing
+  amortizes it across every downstream join on that key).
+- **Salting**: a hot grouping key overwhelms one reducer; prefix the key
+  with a salt in [0, n), partially aggregate (salted key), then strip the
+  salt and finish — two small shuffles instead of one skewed one. AQE's
+  skew-join splitting handles the *join* case automatically; aggregation
+  salting is still a manual pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+
+def write_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str = "gbs_bucketed",
+    n_buckets: int = 8,
+) -> None:
+    """Persist orders+lineitem bucketed AND sorted by order key into the
+    session catalog (saveAsTable is required — bucket metadata lives in the
+    catalog, not in the files)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{db}.{name}")
+        )
+
+
+def bucketed_order_lineitem_join(
+    spark: SparkSession, db: str = "gbs_bucketed"
+) -> DataFrame:
+    """Fact-fact join over the bucketed tables: per-order line counts and
+    revenue. With matching bucket specs on both sides the physical plan
+    has NO Exchange — the sort-merge join reads co-located buckets."""
+    o = spark.table(f"{db}.orders")
+    li = spark.table(f"{db}.lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+def salted_top_words(
+    spark: SparkSession, sf_dir: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-resistant word count: salt -> partial aggregate -> unsalt ->
+    final aggregate. Equivalent to plain word_counts (test-enforced), but
+    the first shuffle spreads each hot word over ``n_salts`` reducers.
+
+    The salt is derived from doc_id (deterministic), not rand(), so the
+    operator stays reproducible and oracle-checkable."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    salted = toks.withColumn("salt", (F.col("doc_id") % n_salts).cast("int"))
+    partial = salted.groupBy("word", "salt").agg(
+        F.count(F.lit(1)).alias("cnt_partial")
+    )
+    return partial.groupBy("word").agg(
+        F.sum("cnt_partial").alias("cnt")
+    )

@@ -1,0 +1,88 @@
+"""Scale-technique tests: bucketed joins must elide exchanges; salted
+aggregation must equal the plain aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from geektime_bigdata_spark.operators.scale import (
+    bucketed_order_lineitem_join,
+    salted_top_words,
+    write_bucketed,
+)
+from geektime_bigdata_spark.operators.text import word_counts
+from geektime_bigdata_spark.plans import explain_str
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("bucketed")
+    # location comes from the session warehouse; we just need the tables
+    write_bucketed(spark, "/root/testdata/sf0.001", db="gbs_bucketed_test")
+    yield "gbs_bucketed_test"
+    spark.sql("DROP TABLE IF EXISTS gbs_bucketed_test.orders")
+    spark.sql("DROP TABLE IF EXISTS gbs_bucketed_test.lineitem")
+    spark.sql("DROP DATABASE IF EXISTS gbs_bucketed_test")
+
+
+def test_bucketed_join_elides_exchange(spark, bucketed_db):
+    df = bucketed_order_lineitem_join(spark, db=bucketed_db)
+    # force the SMJ path: at test scale the planner would broadcast the
+    # tiny side, which proves nothing about bucket co-location (at 100 TB
+    # neither fact side is broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join_plan = explain_str(
+            spark.table(f"{bucketed_db}.orders").join(
+                spark.table(f"{bucketed_db}.lineitem"),
+                spark.table(f"{bucketed_db}.orders")["o_orderkey"]
+                == spark.table(f"{bucketed_db}.lineitem")["l_orderkey"],
+            ),
+            "formatted",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in join_plan, join_plan
+    assert "Exchange" not in join_plan, join_plan
+    # and the full agg query returns the right cardinality (one row per
+    # order that has lineitems)
+    n_orders_with_lines = (
+        spark.table(f"{bucketed_db}.lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert df.count() == n_orders_with_lines
+
+
+def test_bucketed_join_values_match_unbucketed(spark, bucketed_db, sf_dir):
+    from geektime_bigdata_spark.registry import table
+    from pyspark.sql import functions as F
+
+    bucketed = {
+        r["o_orderkey"]: (r["n_lines"], r["revenue"])
+        for r in bucketed_order_lineitem_join(spark, db=bucketed_db).collect()
+    }
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    plain = {
+        r["o_orderkey"]: (r["n_lines"], r["revenue"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert bucketed == plain
+
+
+def test_salted_equals_plain_word_count(spark, sf_dir):
+    salted = {
+        r["word"]: r["cnt"] for r in salted_top_words(spark, sf_dir).collect()
+    }
+    plain = {r["word"]: r["cnt"] for r in word_counts(spark, sf_dir).collect()}
+    assert salted == plain
