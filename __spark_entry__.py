@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": joins.q1_pricing_summary,
         "q3_shipping_priority": joins.q3_shipping_priority,
         "q5_local_supplier_volume": joins.q5_local_supplier_volume,
+        "q6_forecast_revenue": joins.q6_forecast_revenue,
+        "q10_returned_items": joins.q10_returned_items,
+        "q14_promo_effect": joins.q14_promo_effect,
         "broadcast_dim_join": joins.broadcast_dim_join,
         "semi_anti_join": joins.semi_anti_join,
         "top_k_orders": joins.top_k_orders,
@@ -260,6 +263,39 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q14_promo_effect": """
+            SELECT round(
+                100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
         """,
         "broadcast_dim_join": """
             SELECT n_name, count(*) AS n_customers,

@@ -26,6 +26,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
     "flow_stats",
     "sessionize",
     "window_topn_orders",
