@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_orders": joins.top_k_orders,
         # --- windows / time-series ---
         "window_topn_orders": windows.window_topn_orders,
+        "session_window_rollup": windows.session_window_rollup,
         "running_user_totals": windows.running_user_totals,
         "sessionize": windows.sessionize,
         "asof_last_click": windows.asof_last_click,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
@@ -101,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "posting_list_tf_str": text.posting_list_tf_str,
         "word_counts": text.word_counts,
         # --- scale techniques ---
@@ -459,6 +462,82 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes x ON doc_a = x.doc_id
             JOIN sizes y ON doc_b = y.doc_id
             WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+        """,
+        "session_window_rollup": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS last_event_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS session_value
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM toks
+                WHERE word <> '' GROUP BY doc_id, word
+            ), df AS (
+                SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                       round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (word) CROSS JOIN n
+            )
+            SELECT doc_id, word, tf, df, tfidf, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, word
+                ) AS rk FROM scored
+            ) WHERE rk <= 3
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+            ), bidir AS (
+                SELECT doc_a AS s, doc_b AS d FROM edges
+                UNION SELECT doc_b, doc_a FROM edges
+            ), walk(doc, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.doc, b.d FROM walk w JOIN bidir b ON w.reach = b.s
+            )
+            SELECT doc AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY doc
         """,
         "ann_topk_bruteforce": """
             WITH q AS (

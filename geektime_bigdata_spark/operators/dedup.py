@@ -163,6 +163,63 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.expr(f"{bit_terms} AS simhash"))
 
 
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 25
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the near-dup pair
+    graph (edges = :func:`ngram_jaccard_pairs` >= 0.1), cluster id = min
+    doc_id in the component. Docs with no near-dup form singleton
+    clusters. This is the step that turns pairwise candidates into
+    keep/drop decisions in a real dedup pipeline.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm: hash-partitioned message passing, O(diameter) rounds,
+    each round one join + one aggregate). The driver only checks the
+    convergence counter — all data stays distributed. The DuckDB oracle
+    computes the same components with a recursive CTE, making this
+    iterative, non-SQL-expressible operator still differentially
+    testable."""
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bidir = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    bidir = bidir.cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        labels = labels.cache()
+        nbr_min = (
+            bidir.join(labels, bidir["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for doc pairs sharing >= 1 shingle,
     thresholded at 0.1 — the verification stage a MinHash candidate pass

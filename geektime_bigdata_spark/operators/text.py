@@ -118,6 +118,37 @@ def posting_list_tf_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: tf(word, doc) * ln(N / df(word)), top-3 terms per
+    document (rounded score + word tiebreak for determinism).
+
+    Two aggregations share the tokens relation; df joins back broadcast
+    (vocabulary << corpus at any scale). The doc count N is a scalar
+    computed once driver-side — cheap and plan-stable."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rk")
+    )
+
+
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word count — the canonical explode+groupBy job; feeds
     plan-shape tests for partial/final HashAggregate."""

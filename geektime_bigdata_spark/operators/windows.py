@@ -142,6 +142,37 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (gap-merge) aggregation — the built-in
+    operator equivalent of :func:`sessionize`'s lag+cumsum chain, and the
+    one that works unchanged under Structured Streaming with state
+    eviction. 30-minute gap; emits per-session bounds and size.
+
+    session_window end = last event + gap by definition, so
+    ``session_end - interval gap`` is the last event timestamp — emitted
+    that way to stay oracle-comparable."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "last_event_ts"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 date functions: per-(year, month) order counts and revenue —
     year/month extraction stays in codegen and groups on two small ints."""
