@@ -17,6 +17,7 @@ from geektime_bigdata_spark.operators import (
     dedup,
     joins,
     multimodal,
+    pipeline,
     relational,
     scale,
     similarity,
@@ -70,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_rollup": windows.session_window_rollup,
         "running_user_totals": windows.running_user_totals,
         "sessionize": windows.sessionize,
+        "order_price_quantiles": windows.order_price_quantiles,
+        "sliding_window_counts": windows.sliding_window_counts,
         "asof_last_click": windows.asof_last_click,
         "hourly_event_rollup": windows.hourly_event_rollup,
         "json_props_extract": windows.json_props_extract,
@@ -80,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "curated_corpus": pipeline.curated_corpus,
+        "curation_summary": pipeline.curation_summary,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
@@ -538,6 +543,141 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "sliding_window_counts": """
+            SELECT w_start, count(*) AS n, round(sum(value), 6) AS total_value
+            FROM (
+                SELECT unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
+                       value
+                FROM events
+            ) GROUP BY w_start
+        """,
+        "curated_corpus": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+            ), bidir AS (
+                SELECT doc_a AS s, doc_b AS d FROM edges
+                UNION SELECT doc_b, doc_a FROM edges
+            ), walk(doc, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.doc, b.d FROM walk w JOIN bidir b ON w.reach = b.s
+            ), clusters AS (
+                SELECT doc AS doc_id, min(reach) AS cluster_id
+                FROM walk GROUP BY doc
+            ), tok AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id
+            ), quality AS (
+                SELECT doc_id,
+                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                             + distinct_ratio * 0.4
+                             + (1 - stopword_ratio) * 0.2, 6) AS quality_score
+                FROM tok
+            )
+            SELECT d.doc_id, d.lang, cl.cluster_id,
+                   CAST(d.doc_id = cl.cluster_id AS INTEGER) AS is_representative,
+                   q.quality_score,
+                   CAST(d.doc_id = cl.cluster_id AND q.quality_score >= 0.5
+                        AS INTEGER) AS keep
+            FROM documents d
+            JOIN quality q ON d.doc_id = q.doc_id
+            JOIN clusters cl ON d.doc_id = cl.doc_id
+        """,
+        "curation_summary": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+            ), bidir AS (
+                SELECT doc_a AS s, doc_b AS d FROM edges
+                UNION SELECT doc_b, doc_a FROM edges
+            ), walk(doc, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.doc, b.d FROM walk w JOIN bidir b ON w.reach = b.s
+            ), clusters AS (
+                SELECT doc AS doc_id, min(reach) AS cluster_id
+                FROM walk GROUP BY doc
+            ), tok AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
+                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id
+            ), quality AS (
+                SELECT doc_id,
+                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                             + distinct_ratio * 0.4
+                             + (1 - stopword_ratio) * 0.2, 6) AS quality_score
+                FROM tok
+            ), curated AS (
+                SELECT d.doc_id, d.lang, cl.cluster_id,
+                       CAST(d.doc_id = cl.cluster_id AS INTEGER) AS is_representative,
+                       q.quality_score,
+                       CAST(d.doc_id = cl.cluster_id AND q.quality_score >= 0.5
+                            AS INTEGER) AS keep
+                FROM documents d
+                JOIN quality q ON d.doc_id = q.doc_id
+                JOIN clusters cl ON d.doc_id = cl.doc_id
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   CAST(sum(1 - is_representative) AS BIGINT) AS n_dup_dropped,
+                   round(avg(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
+            FROM curated GROUP BY lang
         """,
         "ann_topk_bruteforce": """
             WITH q AS (

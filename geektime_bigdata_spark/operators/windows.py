@@ -203,6 +203,40 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (X7 extension): median/p90 of order
+    totals by priority. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear interpolation, so this is
+    oracle-exact. At 100 TB one would switch to ``percentile_approx``
+    (mergeable t-digest sketch) — tested separately with tolerance."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-hour windows advancing hourly — each
+    event lands in exactly two windows. Spark's ``window(ts, '2 hours',
+    '1 hour')`` plans an Expand (2 rows per event) + one aggregate, the
+    same shape the oracle builds explicitly with a 2-element unnest."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 extension: JSON extraction from the events.props payload with
     ``get_json_object`` (codegen'd JsonPath, no Python), aggregated per
