@@ -23,6 +23,7 @@ from geektime_bigdata_spark.operators import (
     similarity,
     text,
     textstats,
+    tpch,
     windows,
 )
 
@@ -63,6 +64,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": joins.q6_forecast_revenue,
         "q10_returned_items": joins.q10_returned_items,
         "q14_promo_effect": joins.q14_promo_effect,
+        "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
+        "q4_order_priority": tpch.q4_order_priority,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_product_profit": tpch.q9_product_profit,
+        "q12_late_priority": tpch.q12_late_priority,
+        "q13_customer_distribution": tpch.q13_customer_distribution,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
+        "q18_large_volume_customers": tpch.q18_large_volume_customers,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q21_suppliers_waiting": tpch.q21_suppliers_waiting,
+        "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
         "broadcast_dim_join": joins.broadcast_dim_join,
         "semi_anti_join": joins.semi_anti_join,
         "top_k_orders": joins.top_k_orders,
@@ -304,6 +318,197 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            cand AS (
+                SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                       min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+                FROM ps
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE p_size <= 5 AND p_type = 'LARGE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM cand WHERE s_acctbal = min_bal
+            ORDER BY s_acctbal DESC, p_partkey, s_name
+            LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '30 days')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity), 4)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "q12_late_priority": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > o_orderdate + INTERVAL '60 days'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM (
+                SELECT l_extendedprice, l_quantity,
+                       avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#12'
+            )
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 180
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_discounted_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 5 AND 15)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 15 AND 25)
+               OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 25 AND 35)
+        """,
+        "q21_suppliers_waiting": """
+            WITH late AS (
+                SELECT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND l_shipdate > o_orderdate + INTERVAL '60 days'
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "broadcast_dim_join": """
             SELECT n_name, count(*) AS n_customers,
