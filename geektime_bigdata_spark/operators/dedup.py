@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import shingles, tokens
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import parallel_table, table
 
 N_HASHES = 12
 BAND_ROWS = 3  # 4 bands x 3 rows
@@ -43,7 +43,7 @@ N_SIMHASH_BITS = 16
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — one row per distinct 3-gram per document."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles()).alias("shingle"))
@@ -97,9 +97,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BAND_ROWS minhashes of any band become a candidate pair.
 
     Band signatures come straight off the wide minhash row (md5 of the
-    band's concatenated minhashes); the self-join touches only collision
-    buckets, never the full cross product. Output: (doc_a, doc_b),
-    doc_a < doc_b."""
+    band's concatenated minhashes). Pair generation is ONE groupBy on
+    (band, sig) + an array-combinations projection — not a self-join, so
+    the minhash pipeline is scanned once and only collision buckets ever
+    multiply (never the full cross product). A bucket whose size explodes
+    (a degenerate signature) would be capped/salted at scale; here sizes
+    are bounded by true duplicates. Output: (doc_a, doc_b), doc_a <
+    doc_b."""
     wide = _minhash_wide(spark, sf_dir)
     n_bands = N_HASHES // BAND_ROWS
     band_sigs = [
@@ -115,17 +119,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = wide_sigs.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_combos = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(F.expr(pair_combos)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -138,7 +144,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     All 16 bit-vote sums are parallel aggregate expressions over the one
     (doc, word) tf relation — a single shuffle, no bits cross join; the
     final fingerprint is a pure projection."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens()).alias("word"))
         .filter(F.col("word") != "")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import parallel_table, table
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -38,7 +38,7 @@ def _tokens(df: DataFrame) -> DataFrame:
 def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(word, doc) term frequency — InvertedMain.scala:24-25's
     ``((word, docId), 1) reduceByKey _+_`` as a groupBy count. Op A2."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return (
         _tokens(docs)
         .groupBy("word", "doc_id")
@@ -49,7 +49,7 @@ def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word -> sorted distinct doc set — InvertedMain.scala:13-19 variant 1.
     Op A3 (+X1/X2). ``sort_array`` makes the set deterministic."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return (
         _tokens(docs)
         .groupBy("word")
@@ -60,7 +60,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-friendly twin of :func:`inverted_index`: posting set as a
     canonical comma-joined string plus document frequency."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return (
         _tokens(docs)
         .groupBy("word")
@@ -80,7 +80,7 @@ def posting_list_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-level aggregation: tf per (word, doc), then list-of-struct per word.
     Both aggregations hash-partition on ``word``-prefixed keys so AQE can
     reuse/coalesce the exchange."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     tf = (
         _tokens(docs)
         .groupBy("word", "doc_id")
@@ -94,7 +94,7 @@ def posting_list_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def posting_list_tf_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-friendly twin of :func:`posting_list_tf`: postings rendered as
     ``doc:tf`` pairs joined by commas, sorted by doc_id."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     tf = (
         _tokens(docs)
         .groupBy("word", "doc_id")
@@ -125,7 +125,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two aggregations share the tokens relation; df joins back broadcast
     (vocabulary << corpus at any scale). The doc count N is a scalar
     computed once driver-side — cheap and plan-stable."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
     toks = _tokens(docs)
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -152,5 +152,5 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word count — the canonical explode+groupBy job; feeds
     plan-shape tests for partial/final HashAggregate."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return _tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import parallel_table, table
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # The synthetic corpus shares one vocabulary, so predictions are uniform —
@@ -38,7 +38,7 @@ def _n_tokens(col: str = "text") -> Column:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, regex (BPE-ish) piece count, distinct-type
     count, and chars-per-token — the basic curation statistics."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         _n_tokens().cast("long").alias("n_tokens"),
@@ -58,7 +58,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Expressed as one pass over the exploded tokens + a pivot-style
     conditional aggregation — a single shuffle on doc_id."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
@@ -87,7 +87,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, stopword ratio, distinct
     ratio, and a composite score. Pure projection + one token aggregate."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
@@ -128,7 +128,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over normalized text (lowercase,
     trimmed, whitespace collapsed) — the key an exact-dedup or incremental
     ingest pipeline carries per document."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
     return docs.select(
         "doc_id",

