@@ -56,19 +56,24 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by marker-token hits with deterministic argmax
     (highest score wins; alphabetical language code breaks ties).
 
-    Expressed as one pass over the exploded tokens + a pivot-style
-    conditional aggregation — a single shuffle on doc_id."""
+    Marker hits are counted per row with ``filter`` over the token array —
+    a pure projection with NO shuffle at all (the earlier explode+groupBy
+    formulation moved every token through an exchange; this moves
+    nothing). At 100 TB this runs at scan speed."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    )
-    scores = toks.groupBy("doc_id").agg(
+
+    def hits(markers: tuple[str, ...]) -> Column:
+        arr = ", ".join("'" + m + "'" for m in markers)
+        return F.expr(
+            f"size(filter(split(text, ' '), w -> w IN ({arr})))"
+        ).cast("long")
+
+    scores = docs.select(
+        "doc_id",
         *[
-            F.sum(
-                F.when(F.col("word").isin(*markers), 1).otherwise(0)
-            ).alias(f"score_{lang}")
+            hits(markers).alias(f"score_{lang}")
             for lang, markers in sorted(LANG_MARKERS.items())
-        ]
+        ],
     )
     # deterministic argmax: greatest score, alphabetical tiebreak
     pred = F.lit(None).cast("string")
@@ -86,41 +91,45 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean word length, stopword ratio, distinct
-    ratio, and a composite score. Pure projection + one token aggregate."""
+    ratio, and a composite score.
+
+    All statistics are per-row array expressions over ``split(text)`` —
+    token count, summed word lengths, stopword hits, and distinct types
+    never leave the row, so this is a pure shuffle-free projection (the
+    earlier explode+groupBy+countDistinct formulation cost a token-level
+    exchange plus an Expand for the distinct). Integer sums divided once
+    at the end reproduce the oracle's ``avg`` bit-for-bit (int sums are
+    exact in doubles)."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    stop_arr = ", ".join("'" + w + "'" for w in STOPWORDS)
+    toks = "split(text, ' ')"
+    n_tokens = F.expr(f"size({toks})").cast("long")
+    sum_word_len = F.expr(
+        f"aggregate({toks}, 0L, (a, w) -> a + length(w))"
     )
-    tok_stats = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg(F.length("word")), 6).alias("avg_word_len"),
-        F.round(
-            F.avg(
-                F.when(F.col("word").isin(*STOPWORDS), 1.0).otherwise(0.0)
-            ),
-            6,
-        ).alias("stopword_ratio"),
-        F.round(
-            F.countDistinct("word") / F.count(F.lit(1)), 6
-        ).alias("distinct_ratio"),
+    n_stop = F.expr(f"size(filter({toks}, w -> w IN ({stop_arr})))")
+    n_types = F.expr(f"size(array_distinct({toks}))")
+    stats = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        F.round(sum_word_len / n_tokens, 6).alias("avg_word_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_types / n_tokens, 6).alias("distinct_ratio"),
     )
     quality = (
         F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
         + F.col("distinct_ratio") * 0.4
         + (1 - F.col("stopword_ratio")) * 0.2
     )
-    return (
-        docs.select("doc_id", F.length("text").cast("long").alias("n_chars_text"))
-        .join(tok_stats, "doc_id")
-        .select(
-            "doc_id",
-            "n_chars_text",
-            "n_tokens",
-            "avg_word_len",
-            "stopword_ratio",
-            "distinct_ratio",
-            F.round(quality, 6).alias("quality_score"),
-        )
+    return stats.select(
+        "doc_id",
+        "n_chars_text",
+        "n_tokens",
+        "avg_word_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        F.round(quality, 6).alias("quality_score"),
     )
 
 
