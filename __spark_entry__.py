@@ -95,12 +95,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "curated_corpus": pipeline.curated_corpus,
         "curation_summary": pipeline.curation_summary,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
+        "label_centroids": similarity.label_centroids,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         # --- multimodal plumbing (rows-only checks: stubbed decode is
@@ -132,7 +135,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins; column names/aliases match queries()."""
+    centroid_cols = ", ".join(
+        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS c{i}"
+        for i in range(64)
+    )
     return {
+        "label_centroids": f"""
+            SELECT label, {centroid_cols}
+            FROM embeddings GROUP BY label
+        """,
         "flow_stats": """
             SELECT user_id,
                    round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 6) AS sum_up,
@@ -649,6 +660,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
+        "simhash_neardup_pairs": """
+            WITH tf AS (
+                SELECT doc_id, word, count(*) AS tf,
+                       ('0x' || substr(md5(word), 1, 4))::BIGINT AS h
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY doc_id, word
+            ), votes AS (
+                SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1) - 1)) AS s
+                FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) bits
+                GROUP BY doc_id, j
+            ), fp AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            )
+            -- all-pairs check: for hamming <= 2 of a 4-band split, banding
+            -- is recall-complete (pigeonhole), so this equals the banded plan
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
         "ngram_jaccard_pairs": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -906,6 +940,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM sums
             )
             SELECT query_id, cand_id, cos_sim, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_topk_ivf": """
+            WITH cent AS (
+                SELECT label AS cell, pos,
+                       round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
+                FROM (SELECT label, embedding,
+                             unnest(generate_series(1, 64)) AS pos
+                      FROM embeddings)
+                GROUP BY 1, 2
+            ), dist AS (
+                SELECT v.vec_id, c.cell,
+                       round(sum((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                                 * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)),
+                             6) AS d2
+                FROM embeddings v CROSS JOIN cent c
+                GROUP BY 1, 2
+            ), assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                    FROM dist)
+                WHERE rn = 1
+            ), pairs AS (
+                SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+                       qa.cell AS cell, q.embedding AS q_emb,
+                       c2.embedding AS c_emb
+                FROM assign qa
+                JOIN assign ca ON qa.cell = ca.cell AND ca.vec_id <> qa.vec_id
+                JOIN embeddings q ON q.vec_id = qa.vec_id
+                JOIN embeddings c2 ON c2.vec_id = ca.vec_id
+                WHERE qa.vec_id < 5
+            ), sums AS (
+                SELECT query_id, cand_id, cell,
+                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS dot,
+                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)) AS qq,
+                       sum(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS cc
+                FROM (SELECT query_id, cand_id, cell, q_emb, c_emb,
+                             unnest(generate_series(1, len(q_emb))) AS i
+                      FROM pairs)
+                GROUP BY 1, 2, 3
+            ), scored AS (
+                SELECT query_id, cand_id, cell,
+                       round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+                FROM sums
+            )
+            SELECT query_id, cand_id, cell, cos_sim, rank FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
                 ) AS rank FROM scored

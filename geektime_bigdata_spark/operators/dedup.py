@@ -169,6 +169,56 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.expr(f"{bit_terms} AS simhash"))
 
 
+SIMHASH_HAMMING_MAX = 2
+_N_SIMHASH_BANDS = 4  # 4 nibbles of the 16-bit fingerprint
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: doc pairs whose 16-bit fingerprints
+    differ in at most SIMHASH_HAMMING_MAX bits.
+
+    Scale path: candidates are generated by banding the fingerprint into
+    4 nibbles and bucket-joining on (band, nibble) — by pigeonhole, any
+    pair within hamming distance 3 of a 4-band split MUST agree on at
+    least one band, so banding loses nothing at this threshold while
+    keeping the pair space linear in bucket collisions (never all-pairs).
+    Pair expansion reuses the LSH bucket-collect pattern: one groupBy, no
+    self-join. The final ``bit_count(xor)`` filter verifies exactly."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    nibbles = ", ".join(
+        f"{b}, shiftright(simhash, {4 * b}) & 15"
+        for b in range(_N_SIMHASH_BANDS)
+    )
+    bands = fp.select(
+        "doc_id",
+        F.expr(f"stack({_N_SIMHASH_BANDS}, {nibbles}) AS (band, nib)"),
+    )
+    buckets = (
+        bands.groupBy("band", "nib")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_combos = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_combos)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, max_iter: int = 25
 ) -> DataFrame:

@@ -141,6 +141,89 @@ def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", _bucket_expr())
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (the coarse quantizer an IVF index trains
+    with k-means; here the label partition IS the cell assignment of the
+    training step). 64 parallel ``avg(element_at(...))`` aggregate
+    expressions over ONE hash shuffle on ``label`` — never a
+    posexplode (which would multiply the shuffle 64x). Output is wide
+    (c0..c63, rounded 6dp) so the oracle compares scalar columns, not
+    arrays."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            *[
+                F.round(
+                    F.avg(F.element_at("embedding", i + 1).cast("double")), 6
+                ).alias(f"c{i}")
+                for i in range(N_DIMS)
+            ]
+        )
+        .orderBy("label")
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (L2, broadcast 10x64 centroid table, deterministic rounded-distance
+    + cell tiebreak), then search top-k ONLY within the query's cell.
+
+    This is the scale path next to :func:`ann_topk_bruteforce`: the
+    scored pair space shrinks from |Q| x |corpus| to |Q| x |cell|, and
+    the cell equi-join replaces the cross join — at 100 TB the corpus
+    is hash-partitioned by cell so each probe touches one partition
+    group. (A production IVF adds multi-probe for recall; single-probe
+    keeps the oracle exact.) Centroids are the ROUNDED label means so
+    both engines quantize identically."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cell"),
+        F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, cent, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cell", F.round(d2, 6).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("cell").alias("cell_c"),
+    )
+    cos = dot_product("q_emb", "c_emb") / (
+        vec_norm("q_emb") * vec_norm("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            cand,
+            (F.col("cell") == F.col("cell_c"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select("query_id", "cand_id", "cell", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= TOP_K)
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: vectors in the same LSH
     bucket with cosine >= 0.4 (threshold tuned to the synthetic corpus,
