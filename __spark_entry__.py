@@ -117,6 +117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, sf_dir
             )
         ),
+        "streaming_sliding_counts": (
+            lambda spark, sf_dir: streaming.run_streaming_sliding_counts(
+                spark, sf_dir
+            )
+        ),
+        "streaming_enriched_rollup": (
+            lambda spark, sf_dir: streaming.run_streaming_enriched_rollup(
+                spark, sf_dir
+            )
+        ),
         # --- text analysis ---
         "token_counts": textstats.token_counts,
         "lang_id_heuristic": textstats.lang_id_heuristic,
@@ -1059,6 +1069,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_sliding_counts": """
+            SELECT w_start, count(*) AS n, round(sum(value), 6) AS total_value
+            FROM (
+                SELECT unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
+                       value
+                FROM events
+            ) GROUP BY w_start
+        """,
+        "streaming_enriched_rollup": """
+            SELECT c_mktsegment, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "token_counts": """
             SELECT doc_id,

@@ -3,12 +3,16 @@ reference has zero streaming code; the `events` table is stream-shaped)."""
 
 from geektime_bigdata_spark.streaming.windows import (
     read_events_stream,
+    run_streaming_enriched_rollup,
     run_streaming_hourly_rollup,
     run_streaming_sessionization,
+    run_streaming_sliding_counts,
 )
 
 __all__ = [
     "read_events_stream",
+    "run_streaming_enriched_rollup",
     "run_streaming_hourly_rollup",
     "run_streaming_sessionization",
+    "run_streaming_sliding_counts",
 ]

@@ -95,6 +95,74 @@ def run_streaming_hourly_rollup(
     return spark.table(name)
 
 
+def run_streaming_sliding_counts(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Hopping-window streaming aggregate: 2-hour windows advancing
+    hourly, watermarked. Batch twin:
+    :func:`...operators.windows.sliding_window_counts`. Same Expand
+    (2 rows per event) + windowed state; watermark bounds state to the
+    open windows only."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total_value")
+    )
+    name = f"gbs_stream_sliding_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
+def run_streaming_enriched_rollup(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    ``customer`` dimension (user_id -> mktsegment), then a per-segment
+    rollup. The static side re-resolves per micro-batch and broadcasts —
+    the canonical dimension-enrichment topology; no state beyond the
+    aggregate itself."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    name = f"gbs_stream_enriched_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
 def _sessionize_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
