@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_priority": tpch.q12_late_priority,
         "q13_customer_distribution": tpch.q13_customer_distribution,
         "q15_top_supplier": tpch.q15_top_supplier,
+        "q16_part_supplier_counts": tpch.q16_part_supplier_counts,
         "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
         "q18_large_volume_customers": tpch.q18_large_volume_customers,
         "q19_discounted_revenue": tpch.q19_discounted_revenue,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": joins.broadcast_dim_join,
         "semi_anti_join": joins.semi_anti_join,
         "top_k_orders": joins.top_k_orders,
+        "attribution_range_join": joins.attribution_range_join,
         # --- windows / time-series ---
         "window_topn_orders": windows.window_topn_orders,
         "session_window_rollup": windows.session_window_rollup,
@@ -459,6 +461,24 @@ def oracle_sql() -> dict[str, str]:
             FROM revenue JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
             ORDER BY s_suppkey
+        """,
+        "q16_part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_size IN (1, 5, 9, 13, 17) AND p_type <> 'PROMO'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "attribution_range_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   count(*) AS n_prior_clicks, max(c.ts) AS last_click_ts
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+            GROUP BY 1, 2
         """,
         "q17_small_quantity_revenue": """
             SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly

@@ -271,6 +271,56 @@ def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.intersect(building)
 
 
+def attribution_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (J3 surface): for each purchase, the count and
+    latest timestamp of the same user's clicks in the preceding hour —
+    the classic attribution query.
+
+    Scale path: a naive non-equi join on ``(user, c_ts BETWEEN p_ts-1h
+    AND p_ts)`` degenerates to a per-user nested loop. Instead each
+    purchase probes exactly TWO (user, hour-bucket) keys (its own hour
+    and the previous one — any preceding-hour click must fall in one of
+    them), making it an equi-join on (user_id, bucket) with an exact
+    residual time filter. Shuffle volume is 2x purchases + 1x clicks,
+    independent of the time-window length/density relationship a nested
+    loop would be quadratic in."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", F.col("p_ts")),
+                F.date_trunc("hour", F.col("p_ts"))
+                - F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    return (
+        probes.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (probes["bucket"] == clicks["bucket"])
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_clicks"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+    )
+
+
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k with deterministic tiebreak (O4 extension): TakeOrdered,
     not a full sort — per-partition heap + driver merge of k rows."""

@@ -284,6 +284,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship, adapted): distinct supplier
+    count per (brand, type, size) for selected sizes, excluding PROMO
+    parts — the partsupp relation again proxied by lineitem's distinct
+    (partkey, suppkey) pairs. countDistinct plans a two-phase
+    partial-distinct aggregate; the part side broadcasts pre-filtered."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(
+            F.broadcast(
+                p.filter(
+                    F.col("p_size").isin(1, 5, 9, 13, 17)
+                    & (F.col("p_type") != "PROMO")
+                ).select("p_partkey", "p_brand", "p_type", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): yearly-average revenue
     lost if Brand#12 orders below 20% of the part's mean quantity were not
