@@ -1,0 +1,68 @@
+"""Approximate/sketch aggregation — the 100 TB twins of exact operators.
+
+The reference computes every aggregate exactly (its data fits one screen);
+at pipeline scale, distinct counts and quantiles over trillions of rows use
+mergeable sketches instead. These operators pair exact DataFrame aggregates
+(oracle-checkable, used at test scale) with their sketch counterparts
+(HyperLogLog++ via ``approx_count_distinct``, the GK/t-digest-style
+``percentile_approx``) — both are partial+final mergeable aggregates, so
+the shuffle carries ONE sketch per group per partition instead of the raw
+key stream. Tests assert the sketch lands within tolerance of the exact
+answer (a sketch cannot hash-match a DuckDB oracle, so the correctness
+contract here is bounded error, not equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+HLL_RSD = 0.02  # target relative standard deviation for HLL++
+PCT_ACCURACY = 10000  # percentile_approx accuracy knob (1/accuracy error)
+
+
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (countDistinct expands to a
+    two-phase partial-distinct aggregate — the full key stream shuffles)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+
+
+def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type: each map task emits one
+    fixed-size sketch per group; the shuffle is O(groups x sketch), not
+    O(distinct keys) — the only viable plan when keys themselves are
+    100 TB. rsd=2% keeps the sketch ~KB-sized."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD)
+        .cast("long")
+        .alias("n_users")
+    )
+
+
+def order_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority order-value percentiles (Spark ``percentile``
+    buffers each group's values — fine per-group here, impossible when a
+    group holds billions)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+def order_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-priority percentiles: ``percentile_approx``
+    maintains a bounded-size mergeable summary per group (error <=
+    1/accuracy of rank), so memory is constant regardless of group
+    cardinality."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, PCT_ACCURACY).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.99, PCT_ACCURACY).alias("p99"),
+    )

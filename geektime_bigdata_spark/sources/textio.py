@@ -66,3 +66,23 @@ def write_tsv(df: DataFrame, path: str) -> None:
     """S2: tab-separated text sink (TextOutputFormat at Main.java:31,
     "%d\\t%d\\t%d" at MyReduce.java:30)."""
     df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format training-data pipelines
+    ship document corpora in (one JSON object per line, splittable,
+    schema-on-read). Spark's json writer IS jsonl: one object per line,
+    one file per partition — 100 TB writes scale with partition count."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source. An explicit schema skips the inference scan —
+    mandatory at scale (inference reads the whole input once); falls back
+    to sampled inference for ad-hoc exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -58,3 +58,19 @@ def test_dist_copy_ignore_failures(spark, tree, tmp_path):
     oks = [s for s in statuses if s.startswith("OK ")]
     assert len(fails) == 1 and "a.txt" in fails[0]
     assert len(oks) == 3
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """JSONL sink/source round-trip on the documents table: schema'd
+    re-read must reproduce the rows exactly (jsonl is the training-data
+    interchange format; S1/S2 extension)."""
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.textio import read_jsonl, write_jsonl
+
+    docs = table(spark, sf_dir, "documents")
+    out = tmp_path / "docs_jsonl"
+    write_jsonl(docs, str(out))
+    back = read_jsonl(spark, str(out), schema=docs.schema)
+    a = sorted(tuple(map(str, r)) for r in docs.collect())
+    b = sorted(tuple(map(str, r)) for r in back.collect())
+    assert a == b

@@ -60,3 +60,66 @@ def test_streaming_sessionization_equals_batch(spark, sf_dir):
         .agg(F.max("session_id").alias("n_sessions"))
     )
     assert _rowset(stream_result) == _rowset(batch_result)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event older than the watermark arriving in a
+    later micro-batch is DROPPED — the closed window's emitted count never
+    changes. Two availableNow runs share one checkpoint (phase 2 sees only
+    the new file), append mode emits a window only once its end passes the
+    watermark."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+    src.mkdir()
+
+    def write_batch(name, ts_list):
+        # micros, not pandas-default nanos: the engine session reads
+        # TIMESTAMP(NANOS) as long (registry nanosAsLong), which would
+        # clash with the declared timestamp schema here
+        pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "v": range(len(ts_list))}
+        ).to_parquet(
+            src / name, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema("ts timestamp, v long")
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: events at 10:00/11:00/12:00 -> watermark 11:00; the
+    # 10:00-11:00 window closes and is emitted with n=1
+    write_batch("a.parquet", ["2024-01-01 10:00", "2024-01-01 11:00",
+                              "2024-01-01 12:00"])
+    run_phase()
+    # phase 2: a LATE event at 10:30 (< watermark -> dropped) plus 13:00
+    # advancing the watermark to 12:00 -> the 11:00 window closes with n=1
+    write_batch("b.parquet", ["2024-01-01 10:30", "2024-01-01 13:00"])
+    run_phase()
+
+    rows = {
+        str(r["w_start"]): r["n"]
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    # the late 10:30 event must NOT have re-opened/changed the 10:00 window
+    assert rows.get("2024-01-01 10:00:00") == 1, rows
+    assert rows.get("2024-01-01 11:00:00") == 1, rows
+    # and exactly one emission per closed window
+    assert len(rows) == 2, rows
