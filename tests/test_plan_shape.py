@@ -97,3 +97,44 @@ def test_plan_change_log_toggle(spark, sf_dir):
     assert spark.conf.get("spark.sql.planChangeLog.level") == "WARN"
     table(spark, sf_dir, "region").filter(F.col("r_regionkey") > 0).collect()
     disable_plan_change_log(spark)
+
+
+def test_q7_dims_broadcast_single_fact_exchange(spark, sf_dir):
+    """Q7's nation-pair dims must broadcast; hash exchanges are only the
+    fact join + final agg (the scale-critical property: no dim shuffle)."""
+    from geektime_bigdata_spark.operators import tpch
+
+    df = tpch.q7_volume_shipping(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a left-semi join, never a subquery
+    re-execution."""
+    from geektime_bigdata_spark.operators import tpch
+
+    df = tpch.q4_order_priority(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "LeftSemi" in text, text
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one semi + one anti
+    join."""
+    from geektime_bigdata_spark.operators import tpch
+
+    df = tpch.q21_suppliers_waiting(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "LeftSemi" in text and "LeftAnti" in text, text
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucket-probe range join must plan as an equi hash/merge join —
+    a naive time-range condition would fall back to
+    BroadcastNestedLoopJoin (per-row scan of the build side)."""
+    df = joins.attribution_range_join(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "NestedLoop" not in text and "CartesianProduct" not in text, text
+    assert ("BroadcastHashJoin" in text) or ("SortMergeJoin" in text), text
