@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": relational.upsert_latest,
         "sql_catalog_query": relational.sql_catalog_query,
         "sales_rollup": relational.sales_rollup,
+        "order_status_cube": relational.order_status_cube,
         "nation_full_outer": joins.nation_full_outer,
         "intersect_segments": joins.intersect_segments,
         "orders_by_month": windows.orders_by_month,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
         "q18_large_volume_customers": tpch.q18_large_volume_customers,
         "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q20_heavy_shippers": tpch.q20_heavy_shippers,
         "q21_suppliers_waiting": tpch.q21_suppliers_waiting,
         "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
         "broadcast_dim_join": joins.broadcast_dim_join,
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_totals": windows.running_user_totals,
         "sessionize": windows.sessionize,
         "order_price_quantiles": windows.order_price_quantiles,
+        "customer_balance_quartiles": windows.customer_balance_quartiles,
         "sliding_window_counts": windows.sliding_window_counts,
         "asof_last_click": windows.asof_last_click,
         "hourly_event_rollup": windows.hourly_event_rollup,
@@ -227,6 +230,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "order_status_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 4) AS total,
+                   CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "customer_balance_quartiles": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey)
         """,
         "nation_full_outer": """
             SELECT coalesce(nk_c, nk_s) AS nationkey, n_customers, n_suppliers
@@ -514,6 +533,20 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 15 AND 25)
                OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 25 AND 35)
+        """,
+        "q20_heavy_shippers": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE '%red%'
+                    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING sum(l_quantity) > 25)
+            ORDER BY s_suppkey
         """,
         "q21_suppliers_waiting": """
             WITH late AS (

@@ -204,6 +204,19 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: CUBE over (orderstatus, orderpriority) — all four
+    grouping sets in one Expand + one aggregate shuffle (4 rows per input
+    row into a partial aggregate, so the exchange still carries only
+    group keys)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+
+
 def prefix_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homework-3's reversed prefix scan (HBaseClient.java:63-68):
     ``PrefixFilter('G202005790') + setReversed(true)`` becomes a

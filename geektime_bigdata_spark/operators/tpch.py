@@ -396,6 +396,43 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted): NATION_2 suppliers
+    that shipped more than 25 units of some 'red' part during 1997. The
+    correlated HAVING subquery becomes a grouped pre-aggregate on
+    (suppkey, partkey) semi-joined back to the supplier dimension —
+    the aggregate runs once, not per supplier probe."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(
+            F.broadcast(
+                p.filter(F.col("p_name").contains("red")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("shipped"))
+        .filter(F.col("shipped") > 25)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_2")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting, adapted): NATION_1
     suppliers that were the *only* late shipper (>60 days after order

@@ -217,6 +217,24 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth (X7 extension): per-segment balance
+    quartile (``ntile``) and ``percent_rank``, custkey-tiebroken so both
+    engines assign identical positions. One hash shuffle on the segment
+    key; ntile's per-partition pass is linear."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) windows: 2-hour windows advancing hourly — each
     event lands in exactly two windows. Spark's ``window(ts, '2 hours',
