@@ -84,3 +84,36 @@ def salted_top_words(
     return partial.groupBy("word").agg(
         F.sum("cnt_partial").alias("cnt")
     )
+
+
+def write_date_partitioned(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """Persist events as date-partitioned parquet (`dt=YYYY-MM-DD/` dirs) —
+    the standard 100 TB layout: a time-range predicate then prunes whole
+    directories at PLANNING time instead of scanning and filtering. One
+    output file per (partition, task) kept small here; at scale the
+    writer would also repartition by dt to bound files per directory."""
+    e = table(spark, sf_dir, "events")
+    (
+        e.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("dt")
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out_path)
+    )
+
+
+def pruned_daily_rollup(spark: SparkSession, path: str, day: str) -> DataFrame:
+    """Aggregate ONE day from the partitioned layout: the `dt =` predicate
+    must appear as a PartitionFilters entry (directory pruning), not a
+    post-scan filter — asserted by plan test."""
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("dt") == day)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from geektime_bigdata_spark.operators.scale import (
     bucketed_order_lineitem_join,
     salted_top_words,
@@ -86,3 +88,31 @@ def test_salted_equals_plain_word_count(spark, sf_dir):
     }
     plain = {r["word"]: r["cnt"] for r in word_counts(spark, sf_dir).collect()}
     assert salted == plain
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A dt-partitioned layout must prune directories at planning time:
+    the day predicate lands in PartitionFilters and the scanned data is
+    exactly that day's (count matches a full-scan filter)."""
+    from geektime_bigdata_spark.operators.scale import (
+        pruned_daily_rollup,
+        write_date_partitioned,
+    )
+    from geektime_bigdata_spark.plans import explain_str
+    from geektime_bigdata_spark.registry import table
+
+    out = str(tmp_path / "events_by_day")
+    write_date_partitioned(spark, sf_dir, out)
+    day = "2024-01-05"
+    df = pruned_daily_rollup(spark, out, day)
+    text = explain_str(df, "formatted")
+    pf_lines = [l for l in text.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "dt" in pf_lines[0], text
+
+    expect = (
+        table(spark, sf_dir, "events")
+        .filter(F.date_format("ts", "yyyy-MM-dd") == day)
+        .count()
+    )
+    got = df.agg(F.sum("n")).collect()[0][0]
+    assert got == expect and expect > 0, (got, expect)
