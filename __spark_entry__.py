@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     Python-side, not SQL-expressible) ---
         "media_type_stats": multimodal.media_type_stats,
         "media_features": multimodal.media_features,
+        "media_features_wide": multimodal.media_features_wide,
         # --- streaming (availableNow micro-batch; hourly rollup shares the
         #     batch twin's oracle — tumbling window start == date_trunc) ---
         "streaming_hourly_rollup": (
@@ -154,7 +155,35 @@ def oracle_sql() -> dict[str, str]:
         f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS c{i}"
         for i in range(64)
     )
+    media_f_cols = ", ".join(
+        f"round(coalesce(max(CASE WHEN k = {i} THEN s END), 0) * 1.0"
+        f" / greatest(n, 1), 6) AS f{i}"
+        for i in range(8)
+    )
+    media_norm = " + ".join(f"f{i} * f{i}" for i in range(8))
     return {
+        "media_features_wide": f"""
+            WITH bytes AS (
+                SELECT doc_id, length(text) AS n,
+                       ascii(substring(text, pos, 1)) AS byte,
+                       (pos - 1) % 8 AS k
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text))) AS pos
+                      FROM documents)
+            ), acc AS (
+                SELECT doc_id, n, k, sum(byte) AS s FROM bytes GROUP BY 1, 2, 3
+            ), wide AS (
+                SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, {media_f_cols}
+                FROM acc GROUP BY doc_id, n
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   n_bytes, f0, f1, f2, f3, f4, f5, f6, f7,
+                   round(sqrt({media_norm}), 6) AS feature_norm
+            FROM wide
+        """,
         "label_centroids": f"""
             SELECT label, {centroid_cols}
             FROM embeddings GROUP BY label

@@ -65,6 +65,13 @@ def _decode_and_featurize(
     content-sensitive, and cheap; a real implementation replaces ONLY the
     body of `_decode` (the batching/schema contract stays identical)."""
 
+    import math
+
+    def _round6(x: float) -> float:
+        # HALF_UP like SQL round() — Python's round() is half-even and
+        # diverges at exact ties (power-of-2 payload lengths hit them)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     def _decode(payload: bytes) -> list[float]:
         if not decode_stub:
             raise NotImplementedError(
@@ -75,11 +82,11 @@ def _decode_and_featurize(
         for i, b in enumerate(payload):
             acc[i % FEATURE_DIM] += float(b)
         n = max(len(payload), 1)
-        return [round(a / n, 6) for a in acc]
+        return [_round6(a / n) for a in acc]
 
     for pdf in batches:
         feats = [_decode(p) for p in pdf["payload"]]
-        norms = [round(sum(x * x for x in f) ** 0.5, 6) for f in feats]
+        norms = [_round6(sum(x * x for x in f) ** 0.5) for f in feats]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -101,6 +108,28 @@ def media_features(
     return media.mapInPandas(
         lambda it: _decode_and_featurize(it, decode_stub),
         schema=FEATURES_SCHEMA,
+    )
+
+
+def media_features_wide(
+    spark: SparkSession, sf_dir: str, decode_stub: bool = True
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`media_features`: the feature vector
+    unpivoted to scalar columns f0..f7 + the norm. Because the stub
+    decoder is a deterministic byte fold and the synthetic corpus is
+    ASCII, the whole Python decode path can be verified bit-for-bit
+    against a SQL oracle — upgrading this module's check from rows-only
+    to full differential (real codecs would drop back to rows-only)."""
+    feats = media_features(spark, sf_dir, decode_stub=decode_stub)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+        "feature_norm",
     )
 
 
