@@ -5,8 +5,7 @@ homework-5/README.md:395-407, covered in :mod:`relational`). Real analytics
 need the full join surface, so the flagship queries here adapt TPC-H Q1/Q3/Q5
 to the testdata schema and exercise:
 
-- multi-way equi-joins with dimension broadcast (`F.broadcast` hint; AQE
-  also converts SMJ->BHJ at runtime when a side is small),
+- multi-way equi-joins with size-aware join-strategy selection,
 - join + aggregate + top-k pipelines,
 - explicit broadcast-vs-shuffle choice.
 
@@ -14,10 +13,15 @@ Scale notes (100 TB): fact-fact joins (orders x lineitem) hash-partition on
 the join key — at 1000 executors that is the unavoidable shuffle, kept to
 one per query by projecting/filtering BEFORE the join so the exchange
 carries only needed columns (Catalyst pushes these down, verified in plan
-tests). All dimension joins broadcast (region/nation/customer/supplier are
-tiny relative to facts). Aggregates are partial+final. Top-k is
-`orderBy().limit(k)` which Spark executes as per-partition TakeOrdered +
-driver merge — no global sort shuffle.
+tests). Broadcast-hint policy: `F.broadcast` ONLY on fixed-cardinality
+sides (region=5, nation=25 rows, one-row scalar aggregates) that stay tiny
+at ANY scale factor; scale-variable dimensions (customer/part/supplier grow
+with SF — billions of rows at 100 TB) carry NO hint, so the static planner
+and AQE pick broadcast when runtime stats fit the threshold and fall back
+to shuffle joins when they don't (a forced hint would OOM the executors).
+Aggregates are partial+final. Top-k is `orderBy().limit(k)` which Spark
+executes as per-partition TakeOrdered + driver merge — no global sort
+shuffle.
 """
 
 from __future__ import annotations
@@ -60,9 +64,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     with selective filters on both sides, grouped revenue, deterministic
     top-10.
 
-    customer is far smaller than the fact tables -> broadcast hint removes
-    one shuffle; orders⋈lineitem hash-partitions on o_orderkey/l_orderkey
-    only. Filters applied pre-join so the exchange carries filtered rows.
+    The BUILDING-filtered customer side is unhinted: the planner/AQE
+    broadcasts it while it fits (it does at every test SF) and shuffles
+    it at data scales where a forced broadcast would OOM; orders⋈lineitem
+    hash-partitions on o_orderkey/l_orderkey. Filters applied pre-join so
+    the exchange carries filtered rows.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -76,9 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-            ),
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -93,9 +97,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
     c_nationkey = s_nationkey locality condition, revenue per nation.
 
-    All four dimension sides broadcast; the only repartition exchanges are
-    the two fact joins (orders on custkey, lineitem on orderkey). Catalyst
-    reorders the join tree under AQE with runtime stats.
+    nation/region (fixed 25/5 rows) are broadcast-hinted; customer and
+    supplier are left to size-based selection (broadcast while they fit,
+    shuffle at 100 TB). The unavoidable exchanges are the fact joins
+    (orders on custkey, lineitem on orderkey); Catalyst reorders the join
+    tree under AQE with runtime stats.
     """
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
@@ -115,10 +121,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01"))
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -155,8 +161,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): customer ⋈ orders ⋈
     lineitem(R) ⋈ nation, revenue per customer, deterministic top-20.
-    Returns-filter applied before the join; nation broadcasts; the
-    orders⋈lineitem shuffle carries only returned lines."""
+    Returns-filter applied before the join; nation (fixed 25 rows)
+    broadcast-hinted, customer size-selected; the orders⋈lineitem shuffle
+    carries only returned lines."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -171,7 +178,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(revenue), 4).alias("revenue"))
@@ -182,7 +189,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): lineitem ⋈ part with a conditional
-    ratio aggregate — part broadcasts, one scan, one tiny final row."""
+    ratio aggregate — part joins size-selected (broadcast while it fits),
+    one scan, one tiny final row."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -192,7 +200,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01"))
             & (F.col("l_shipdate") < F.lit("1996-10-01"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0 * F.sum(promo) / F.sum(disc_price), 6

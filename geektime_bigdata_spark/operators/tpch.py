@@ -20,10 +20,12 @@ no ``l_commitdate``/``l_receiptdate``/``l_shipmode``/``c_phone``):
 - Q22 -> above-average-balance customers with no recent orders, grouped by
          nation key (no phone country code in the subset).
 
-Scale notes (100 TB): every dimension side (part, supplier, nation,
-customer, per-supplier/per-order pre-aggregates) is broadcast so the only
-hash-partitioned exchanges are on fact keys; selective filters are applied
-*before* joins so exchanges carry filtered rows; correlated scalar
+Scale notes (100 TB): `F.broadcast` hints ONLY on fixed-cardinality sides
+(nation/region, one-row scalar aggregates, the 10-row centroid table) —
+scale-variable dims (customer/part/supplier) are unhinted so the planner
+broadcasts them while runtime stats fit and shuffles them at scales where
+a forced broadcast would OOM; selective filters are applied *before* joins
+so exchanges carry filtered rows; correlated scalar
 subqueries (Q17's per-part average, Q2's per-part min) become window
 functions over the join key — one shuffle, no re-scan of the fact;
 global scalars (Q15's max, Q22's average) become one-row broadcast cross
@@ -56,12 +58,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select("l_partkey", "l_suppkey").distinct()
     cand = (
         ps.join(
-            F.broadcast(
-                p.filter((F.col("p_size") <= 5) & (F.col("p_type") == "LARGE"))
-            ),
+            p.filter((F.col("p_size") <= 5) & (F.col("p_type") == "LARGE")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
     )
@@ -101,8 +101,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): revenue flowing between NATION_1 and
     NATION_2 (either direction), per supplier-nation/customer-nation/year.
-    Both nation-keyed dimension sides are filtered *before* broadcasting,
-    so the fact join carries only the two nations' traffic."""
+    The nation filter lands on the supplier/customer sides *before*
+    their joins, so the fact join carries only the two nations' traffic."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -123,8 +123,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -162,7 +162,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.when(F.col("supp_nation") == "NATION_3", _disc_price()).otherwise(F.lit(0.0))
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            p.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -172,8 +172,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(vol) / F.sum(_disc_price()), 6).alias("mkt_share"))
         .orderBy("o_year")
@@ -192,15 +192,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = _disc_price() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(
-            F.broadcast(
-                p.filter(F.col("p_name").contains("red")).select(
-                    "p_partkey", "p_retailprice"
-                )
+            p.filter(F.col("p_name").contains("red")).select(
+                "p_partkey", "p_retailprice"
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -278,7 +276,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -295,12 +293,10 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
         ps.join(
-            F.broadcast(
-                p.filter(
-                    F.col("p_size").isin(1, 5, 9, 13, 17)
-                    & (F.col("p_type") != "PROMO")
-                ).select("p_partkey", "p_brand", "p_type", "p_size")
-            ),
+            p.filter(
+                F.col("p_size").isin(1, 5, 9, 13, 17)
+                & (F.col("p_type") != "PROMO")
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -319,7 +315,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(p.filter(F.col("p_brand") == "Brand#12").select("p_partkey")),
+        p.filter(F.col("p_brand") == "Brand#12").select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     w = Window.partitionBy("p_partkey")
@@ -345,7 +341,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
         )
@@ -381,10 +377,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                p.filter(F.col("p_brand").isin(*brands)).select(
-                    "p_partkey", "p_brand", "p_size"
-                )
+            p.filter(F.col("p_brand").isin(*brands)).select(
+                "p_partkey", "p_brand", "p_size"
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -412,9 +406,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(
-            F.broadcast(
-                p.filter(F.col("p_name").contains("red")).select("p_partkey")
-            ),
+            p.filter(F.col("p_name").contains("red")).select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
@@ -479,7 +471,7 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        sole_late.join(F.broadcast(nation1_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(nation1_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
