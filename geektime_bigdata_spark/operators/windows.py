@@ -96,32 +96,46 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join within the event stream: for each purchase, the most
     recent click by the same user at-or-before the purchase time.
 
-    Expressed as equi-join on user_id + range filter + groupBy max — the
-    join partitions on user_id (no cartesian); the reduction is a
-    partial+final max/count. The streaming analogue would keep per-user
-    last-click state (see streaming module)."""
+    Sort-based as-of (the scale formulation): union clicks+purchases,
+    one hash shuffle on user_id, per-user time sort, and a running
+    ``last(click_ts, ignorenulls)`` window carries the most recent click
+    forward to each purchase row. Work is LINEAR in events — unlike the
+    equi-join-then-aggregate formulation, which materializes
+    |purchases| x |clicks| rows per user before reducing (quadratic on
+    hot users). Ties at the same timestamp order clicks before purchases
+    so an exactly-simultaneous click counts (<= semantics)."""
     e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
     clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_purchase"),
         F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_purchase"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        purchases.join(
-            clicks,
-            (purchases["user_id"] == clicks["c_user_id"])
-            & (clicks["click_ts"] <= purchases["purchase_ts"]),
-            "left",
+        clicks.unionByName(purchases)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "is_purchase",
+            F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+            F.count("click_ts").over(w).alias("n_prior_clicks"),
         )
-        .groupBy("purchase_id", "user_id", "purchase_ts")
-        .agg(
-            F.max("click_ts").alias("last_click_ts"),
-            F.count("click_ts").alias("n_prior_clicks"),
-        )
+        .filter(F.col("is_purchase") == 1)
+        .drop("is_purchase")
     )
 
 
