@@ -279,20 +279,29 @@ def dedup_clusters(
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for doc pairs sharing >= 1 shingle,
     thresholded at 0.1 — the verification stage a MinHash candidate pass
-    would feed at scale (here run directly; the inverted-index join keeps
-    the pair space to docs that actually co-occur in a posting list)."""
+    would feed at scale.
+
+    Pair generation is the inverted-index posting-list expansion: ONE
+    groupBy collects each shingle's sorted doc list, an array-combinations
+    projection emits its co-occurrence pairs, and a second aggregate
+    counts intersections per pair. One scan of the shingle relation (the
+    self-join formulation scanned it twice and shuffled both sides); work
+    is sum over shingles of |posting|^2 — bounded by dropping/salting
+    top-frequency shingles at scale (stopword trigrams), unnecessary
+    here."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") > 1)
+    pair_combos = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        postings.select(F.explode(F.expr(pair_combos)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
