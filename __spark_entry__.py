@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": textstats.lang_id_heuristic,
         "doc_quality_scores": textstats.doc_quality_scores,
         "doc_fingerprints": textstats.doc_fingerprints,
+        "rolling_fingerprints": textstats.rolling_fingerprints,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
@@ -1221,6 +1222,19 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                    length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_len
             FROM documents
+        """,
+        "rolling_fingerprints": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 15)) AS p
+                FROM documents WHERE length(text) >= 16
+            ), h AS (
+                SELECT doc_id, CAST((p - 1) // 8 AS BIGINT) AS block,
+                       ('0x' || substr(md5(substring(text, p, 16)), 1, 8))::BIGINT AS hv
+                FROM pos
+            )
+            SELECT doc_id, block, min(hv) AS fp
+            FROM h GROUP BY 1, 2
         """,
         "term_freq": """
             SELECT word, doc_id, count(*) AS tf FROM (

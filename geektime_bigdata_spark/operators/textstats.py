@@ -133,6 +133,47 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KGRAM = 16  # rolling-window width (chars)
+WINNOW_BLOCK = 8  # positions per sampling block
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-window fingerprints: hash every KGRAM-char
+    window of the document, then keep the minimum hash per WINNOW_BLOCK
+    consecutive positions — the block-sampled variant of the classic
+    winnowing scheme (local-min sampling guarantees shared fingerprints
+    for any sufficiently long shared substring, which plain whole-doc
+    hashing — :func:`doc_fingerprints` — cannot give).
+
+    The window hash is md5-derived (engine-independent, per the oracle
+    recipe) rather than a true O(1) rolling polynomial — same selectivity,
+    deterministic across engines; positions explode JVM-side via
+    ``sequence``. Output is (doc_id, block, fp): ~len/WINNOW_BLOCK rows
+    per doc, the index a plagiarism/near-dup detector would bucket-join
+    on."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    positions = docs.filter(F.length("text") >= KGRAM).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {KGRAM - 1})")
+        ).alias("p"),
+    )
+    hv = F.expr(
+        f"CAST(conv(substr(md5(substring(text, p, {KGRAM})), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        positions.select(
+            "doc_id",
+            F.floor((F.col("p") - 1) / WINNOW_BLOCK).cast("long").alias("block"),
+            hv.alias("hv"),
+        )
+        .groupBy("doc_id", "block")
+        .agg(F.min("hv").alias("fp"))
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over normalized text (lowercase,
     trimmed, whitespace collapsed) — the key an exact-dedup or incremental

@@ -44,8 +44,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- Arrow: vectorized JVM<->Python interchange for pandas UDFs ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # --- broadcast threshold: dims like region/nation/supplier always
-        #     broadcast; AQE can also convert SMJ->BHJ at runtime ---
+        # --- broadcast threshold: size-based join selection picks BHJ for
+        #     any side under 64MB (plus AQE runtime SMJ->BHJ conversion);
+        #     operators only HINT fixed-cardinality sides (region/nation,
+        #     scalar aggregates) — scaling dims stay size-selected so they
+        #     fall back to shuffle joins at 100 TB instead of OOMing ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # --- scan sizing: default 128MB splits are right for 100 TB parquet
         #     but local test files are tiny; keep default, it is cluster-safe
