@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_str": text.inverted_index_str,
         "tfidf_top_terms": text.tfidf_top_terms,
         "posting_list_tf_str": text.posting_list_tf_str,
+        "positional_postings": text.positional_postings,
+        "phrase_search": text.phrase_search,
         "word_counts": text.word_counts,
         # --- scale techniques ---
         "salted_top_words": scale.salted_top_words,
@@ -1240,6 +1242,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, doc_id, count(*) AS tf FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
             ) WHERE word <> '' GROUP BY word, doc_id
+        """,
+        "positional_postings": """
+            SELECT t[pos] AS word, doc_id, CAST(pos AS BIGINT) AS pos
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents))
+            WHERE t[pos] <> ''
+        """,
+        "phrase_search": """
+            WITH t AS (
+                SELECT doc_id, pos, t[pos] AS word
+                FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents))
+            )
+            SELECT a.doc_id, count(*) AS n_hits
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.word = 'table' AND b.word = 'hash'
+            GROUP BY 1
         """,
         "inverted_index_str": """
             SELECT word,

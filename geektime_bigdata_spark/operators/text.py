@@ -154,3 +154,49 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-shape tests for partial/final HashAggregate."""
     docs = parallel_table(spark, sf_dir, "documents")
     return _tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index (A3/A4 extension): (word, doc_id, pos)
+    rows, 1-based positions — the index phrase and proximity queries need
+    (homework-4's index stops at doc ids + counts). Pure
+    explode-with-ordinal projection; consumers aggregate or join on
+    (doc_id, pos) arithmetic."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "word", "doc_id", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
+    )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str = "table hash"
+) -> DataFrame:
+    """Exact phrase search over the positional index: occurrences of the
+    two-word phrase per document. Adjacency (pos_b = pos_a + 1) is folded
+    into the join KEY — (doc_id, pos+1) = (doc_id, pos) — so this is a
+    plain equi-join on the two (tiny, word-filtered) posting lists, never
+    a positional nested loop."""
+    w1, w2 = phrase.split()
+    t = positional_postings(spark, sf_dir)
+    a = t.filter(F.col("word") == w1).select(
+        "doc_id", (F.col("pos") + 1).alias("next_pos")
+    )
+    b = t.filter(F.col("word") == w2).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("next_pos") == F.col("pos_b")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
