@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from geektime_bigdata_spark import streaming
 from geektime_bigdata_spark.operators import (
     dedup,
+    etl,
     joins,
     multimodal,
     pipeline,
@@ -103,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "scd2_intervals": etl.scd2_intervals,
+        "orders_audit": etl.orders_audit,
+        "incremental_ingest_dedup": etl.incremental_ingest_dedup,
         "curated_corpus": pipeline.curated_corpus,
         "curation_summary": pipeline.curation_summary,
         # --- similarity search ---
@@ -893,6 +897,40 @@ def oracle_sql() -> dict[str, str]:
                        value
                 FROM events
             ) GROUP BY w_start
+        """,
+        "scd2_intervals": """
+            SELECT user_id, event_id, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "orders_audit": """
+            SELECT count(*) AS n_rows,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_keys,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_keys,
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+                   CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_price,
+                   min(o_orderdate) AS min_orderdate,
+                   max(o_orderdate) AS max_orderdate
+            FROM orders
+        """,
+        "incremental_ingest_dedup": """
+            WITH k AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+                FROM documents
+            ), inc AS (
+                SELECT doc_id, fp,
+                       min(doc_id) OVER (PARTITION BY fp) AS first_in_batch
+                FROM k WHERE source = 'src0'
+            ), ex AS (SELECT DISTINCT fp FROM k WHERE source <> 'src0')
+            SELECT doc_id, fp,
+                   CASE WHEN fp IN (SELECT fp FROM ex) THEN 'dup_existing'
+                        WHEN doc_id <> first_in_batch THEN 'dup_in_batch'
+                        ELSE 'new' END AS status
+            FROM inc
         """,
         "curated_corpus": """
             WITH RECURSIVE toks AS (

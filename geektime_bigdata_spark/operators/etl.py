@@ -1,0 +1,109 @@
+"""Core ETL/pipeline operators: SCD2 history construction, data-quality
+auditing, and incremental-ingest dedup (the jobs an ingestion pipeline runs
+around the analytical queries; BASELINE.json categorizes this engine as
+ETL/pipeline).
+
+All three are single-pass, shuffle-frugal DataFrame plans with exact DuckDB
+oracles:
+
+- SCD2: one window shuffle on the business key turns an append-only change
+  log into validity intervals (`valid_from`/`valid_to`/`is_current`) — the
+  lakehouse "type-2 dimension from CDC feed" pattern.
+- Audit: one aggregate pass emits the row/key/null/range invariants a
+  pipeline gate checks before publishing a partition.
+- Incremental dedup: classify an incoming batch against the existing
+  corpus (left-anti semantics) AND against itself (first-wins window) in
+  one plan — the admission step of a continuously-ingesting training-data
+  store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.registry import table
+
+INCOMING_SOURCE = "src0"
+PREFIX_TOKENS = 5
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history from the events change log: per user, each event
+    opens a validity interval closed by the next event (``lead``), the
+    last one open-ended (`is_current`). One hash shuffle on user_id +
+    per-partition sort — linear, no self-join (the naive formulation
+    joins the log to itself on "next ts")."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.isnull(nxt).cast("int").alias("is_current"),
+    )
+
+
+def orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over ``orders``: row count, key uniqueness,
+    null/negative checks, and the date range — one aggregate pass, one
+    row out. At scale this runs per ingest partition and the pipeline
+    compares against expectations before publishing."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_dup_keys"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias(
+            "n_null_price"
+        ),
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias(
+            "n_negative_price"
+        ),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )
+
+
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control for an incoming batch (source = INCOMING_SOURCE)
+    against the already-ingested corpus: every incoming doc is classified
+    ``new`` / ``dup_existing`` (prefix-fingerprint already in the corpus)
+    / ``dup_in_batch`` (a lower doc_id in the same batch shares the
+    fingerprint — first-wins). The fingerprint is the md5 of the first
+    PREFIX_TOKENS tokens (a cheap blocking key; a production pipeline
+    would follow with the MinHash verify stage in :mod:`dedup`).
+
+    Existing fingerprints join left-semi-style via a distinct projection;
+    the in-batch rule is a min-window — one shuffle each, both on the
+    32-byte fingerprint key."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PREFIX_TOKENS))
+    )
+    tagged = docs.select("doc_id", "source", fp.alias("fp"))
+    incoming = tagged.filter(F.col("source") == INCOMING_SOURCE)
+    existing_fps = (
+        tagged.filter(F.col("source") != INCOMING_SOURCE)
+        .select("fp")
+        .distinct()
+        .withColumn("in_existing", F.lit(1))
+    )
+    w = Window.partitionBy("fp")
+    return (
+        incoming.join(existing_fps, "fp", "left")
+        .withColumn("first_in_batch", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("in_existing") == 1, "dup_existing")
+            .when(F.col("doc_id") != F.col("first_in_batch"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
