@@ -74,3 +74,25 @@ def test_jsonl_round_trip(spark, sf_dir, tmp_path):
     a = sorted(tuple(map(str, r)) for r in docs.collect())
     b = sorted(tuple(map(str, r)) for r in back.collect())
     assert a == b
+
+
+def test_jsonl_corrupt_records_captured(spark, tmp_path):
+    """PERMISSIVE jsonl ingest: malformed lines land in _corrupt_record
+    instead of failing the job — the ingest-robustness contract a 100 TB
+    crawl feed needs (a single bad line must never kill the batch)."""
+    from geektime_bigdata_spark.sources.textio import read_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{BROKEN LINE\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = "doc_id long, text string, _corrupt_record string"
+    df = read_jsonl(spark, str(src), schema=schema).cache()
+    try:
+        good = df.filter("_corrupt_record IS NULL").count()
+        bad = df.filter("_corrupt_record IS NOT NULL").count()
+        assert (good, bad) == (2, 1), df.collect()
+    finally:
+        df.unpersist()
