@@ -126,3 +126,79 @@ def test_exact_dedup_partitions_input(spark, rows):
         by_text.setdefault(f"text-{k}", []).append(i)
     keeps = {min(v) for v in by_text.values()}
     assert {g["keep"] for g in groups} == keeps
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=7200),   # seconds offset
+            st.booleans(),                              # purchase?
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_bucket_range_join_equals_naive(spark, events):
+    """The 2-bucket-probe range join must return EXACTLY the pairs of the
+    naive non-equi join for ANY event layout (the pigeonhole argument:
+    a preceding-hour click falls in the purchase's hour bucket or the
+    one before). Validates the technique generically, not just on the
+    fixture data."""
+    rows = [
+        (i, u, f"2024-01-01 00:00:00", s, p)
+        for i, (u, s, p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, s, p) for i, u, _, s, p in rows],
+        "event_id long, user_id long, off long, is_purchase boolean",
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off)").alias("ts"),
+        "is_purchase",
+    )
+    purchases = df.filter("is_purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = df.filter("NOT is_purchase").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    in_window = (
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    naive = (
+        purchases.join(
+            clicks.drop("bucket"),
+            (F.col("user_id") == F.col("c_user")) & in_window,
+        )
+        .select("purchase_id", "c_ts")
+        .collect()
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(F.array(
+            F.date_trunc("hour", "p_ts"),
+            F.date_trunc("hour", "p_ts") - F.expr("INTERVAL 1 HOUR"),
+        )),
+    )
+    bucketed = (
+        probes.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (probes["bucket"] == clicks["bucket"])
+            & in_window,
+        )
+        .select("purchase_id", "c_ts")
+        .collect()
+    )
+    key = lambda r: (r["purchase_id"], str(r["c_ts"]))
+    assert sorted(map(key, naive)) == sorted(map(key, bucketed))
