@@ -137,6 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, sf_dir
             )
         ),
+        # rows-only (applyInPandasWithState is not SQL-expressible; its
+        # batch-equivalence is test-enforced in tests/test_streaming.py)
+        "streaming_sessionization": (
+            lambda spark, sf_dir: streaming.run_streaming_sessionization(
+                spark, sf_dir
+            )
+        ),
         # --- text analysis ---
         "token_counts": textstats.token_counts,
         "lang_id_heuristic": textstats.lang_id_heuristic,
