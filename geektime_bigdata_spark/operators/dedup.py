@@ -39,6 +39,7 @@ from geektime_bigdata_spark.registry import parallel_table, table
 N_HASHES = 12
 BAND_ROWS = 3  # 4 bands x 3 rows
 N_SIMHASH_BITS = 16
+SMALL_GRAPH_EDGES = 100_000  # below this, CC runs driver-side union-find
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +221,10 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 25
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 25,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the near-dup pair
     graph (edges = :func:`ngram_jaccard_pairs` >= 0.1), cluster id = min
@@ -228,15 +232,51 @@ def dedup_clusters(
     clusters. This is the step that turns pairwise candidates into
     keep/drop decisions in a real dedup pipeline.
 
-    Iterative min-label propagation (the standard large-graph CC
-    algorithm: hash-partitioned message passing, O(diameter) rounds,
-    each round one join + one aggregate). The driver only checks the
-    convergence counter — all data stays distributed. The DuckDB oracle
-    computes the same components with a recursive CTE, making this
-    iterative, non-SQL-expressible operator still differentially
-    testable."""
+    Size-gated hybrid: when the edge set is small (the common case — true
+    near-dup pairs are rare even in a 100 TB corpus), collect it and run
+    driver-side union-find, then broadcast-join labels back — one pass,
+    no iteration. Above the threshold, iterative min-label propagation
+    (the standard large-graph CC algorithm: hash-partitioned message
+    passing, O(diameter) rounds, each round one join + one aggregate)
+    keeps everything distributed. The DuckDB oracle computes the same
+    components with a recursive CTE, making this iterative,
+    non-SQL-expressible operator still differentially testable."""
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+    threshold = (
+        SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
+    )
+    edge_rows = edges.limit(threshold + 1).collect() if threshold > 0 else []
+    if threshold > 0 and len(edge_rows) <= threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                # union by min so the root IS the cluster id
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        labels_rows = [(d, find(d)) for d in parent]
+        if not labels_rows:
+            return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        lbl = spark.createDataFrame(
+            labels_rows, "doc_id long, cc long"
+        )
+        return (
+            docs.select("doc_id")
+            .join(F.broadcast(lbl), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cc"), F.col("doc_id")).alias("cluster_id"),
+            )
+        )
     bidir = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

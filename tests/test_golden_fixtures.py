@@ -179,3 +179,19 @@ def test_except_distinct_golden(spark):
         ("102", "b", 90),
         ("103", "c", 90),
     ]
+
+
+def test_dedup_clusters_fast_path_equals_label_propagation(spark, sf_dir):
+    """The driver-side union-find fast path and the distributed
+    label-propagation path must produce identical components (the
+    size gate is an optimization, never a semantics change)."""
+    from geektime_bigdata_spark.operators.dedup import dedup_clusters
+
+    fast = sorted(
+        tuple(r) for r in dedup_clusters(spark, sf_dir).collect()
+    )
+    lp = sorted(
+        tuple(r)
+        for r in dedup_clusters(spark, sf_dir, small_graph_edges=0).collect()
+    )
+    assert fast == lp
