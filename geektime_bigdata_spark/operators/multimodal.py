@@ -148,6 +148,53 @@ def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET_BYTES = 64
+
+
+def media_resize(
+    spark: SparkSession, sf_dir: str, decode_stub: bool = True
+) -> DataFrame:
+    """'Resize' every payload to a fixed byte budget via deterministic
+    stride resampling — the mapInPandas plumbing of an image-resize /
+    audio-downsample stage (Arrow batches in, binary column out; a real
+    implementation swaps the stride sampler for PIL.thumbnail /
+    torchaudio.resample behind the same schema)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes) -> bytes:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL/torchaudio — stub path only"
+                )
+            if len(payload) <= RESIZE_TARGET_BYTES:
+                return bytes(payload)
+            stride = len(payload) / RESIZE_TARGET_BYTES
+            return bytes(
+                payload[int(i * stride)] for i in range(RESIZE_TARGET_BYTES)
+            )
+
+        for pdf in batches:
+            resized = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pdf["n_bytes"],
+                    "payload": resized,
+                    "n_bytes_resized": [len(r) for r in resized],
+                }
+            )
+
+    media = attach_fake_payloads(spark, sf_dir)
+    return media.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id long, media_type string, orig_bytes long, "
+            "payload binary, n_bytes_resized long"
+        ),
+    )
+
+
 def frame_sample(
     spark: SparkSession, sf_dir: str, every_n_bytes: int = 64
 ) -> DataFrame:

@@ -63,3 +63,22 @@ def test_frame_sample_reassembles(spark, sf_dir):
     reassembled = b"".join(bytes(r["chunk"]) for r in chunks)
     assert reassembled == bytes(original["payload"])
     assert all(len(bytes(r["chunk"])) <= stride for r in chunks)
+
+
+def test_media_resize_budget(spark, sf_dir):
+    """Every resized payload fits the byte budget; short payloads pass
+    through unchanged; determinism across runs."""
+    from geektime_bigdata_spark.operators.multimodal import (
+        RESIZE_TARGET_BYTES,
+        media_resize,
+    )
+
+    rows = media_resize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bytes_resized"] == min(r["orig_bytes"], RESIZE_TARGET_BYTES)
+        assert len(r["payload"]) == r["n_bytes_resized"]
+    again = media_resize(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again
+    )
