@@ -137,6 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, sf_dir
             )
         ),
+        "streaming_attribution": (
+            lambda spark, sf_dir: streaming.run_streaming_attribution(
+                spark, sf_dir
+            )
+        ),
         # rows-only (applyInPandasWithState is not SQL-expressible; its
         # batch-equivalence is test-enforced in tests/test_streaming.py)
         "streaming_sessionization": (
@@ -1208,6 +1213,13 @@ def oracle_sql() -> dict[str, str]:
                        value
                 FROM events
             ) GROUP BY w_start
+        """,
+        "streaming_attribution": """
+            SELECT p.event_id AS purchase_id, p.user_id, c.ts AS c_ts
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
         """,
         "streaming_enriched_rollup": """
             SELECT c_mktsegment, count(*) AS n_events,

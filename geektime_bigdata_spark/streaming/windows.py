@@ -163,6 +163,52 @@ def run_streaming_enriched_rollup(
     return spark.table(name)
 
 
+def run_streaming_attribution(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 180
+) -> DataFrame:
+    """Stream-stream join: purchases joined to the same user's clicks in
+    the preceding hour — both sides are watermarked streams, so Spark
+    buffers only the last ~2h of clicks per key in state (the time-range
+    condition bounds state eviction; an unwatermarked stream join would
+    buffer forever). Batch twin: the pair set of
+    :func:`...operators.joins.attribution_range_join` (pre-aggregation).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "user_id", "c_ts")
+    name = f"gbs_stream_attr_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
 def _sessionize_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:

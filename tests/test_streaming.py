@@ -123,3 +123,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get("2024-01-01 11:00:00") == 1, rows
     # and exactly one emission per closed window
     assert len(rows) == 2, rows
+
+
+def test_streaming_attribution_equals_batch_pairs(spark, sf_dir):
+    """Stream-stream join result must equal the batch non-equi join's
+    pair set (availableNow processes everything; watermarks only bound
+    state, they drop nothing in a single complete pass)."""
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_attribution,
+    )
+
+    stream_pairs = run_streaming_attribution(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    batch_pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "user_id", "c_ts")
+    assert _rowset(stream_pairs) == _rowset(batch_pairs)
