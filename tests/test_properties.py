@@ -202,3 +202,26 @@ def test_bucket_range_join_equals_naive(spark, events):
     )
     key = lambda r: (r["purchase_id"], str(r["c_ts"]))
     assert sorted(map(key, naive)) == sorted(map(key, bucketed))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=0, max_size=3
+    ),
+)
+def test_simhash_banding_is_recall_complete(a, flips):
+    """Pigeonhole guarantee behind simhash_neardup_pairs: any pair of
+    16-bit fingerprints within hamming distance 3 shares at least one of
+    the 4 nibble bands, so band-bucketed candidate generation cannot miss
+    a pair at threshold <= 3 (the operator uses threshold 2)."""
+    b = a
+    for j in flips:
+        b ^= 1 << j
+    hamming = bin(a ^ b).count("1")
+    shares_band = any(
+        (a >> (4 * k)) & 15 == (b >> (4 * k)) & 15 for k in range(4)
+    )
+    if hamming <= 3:
+        assert shares_band
