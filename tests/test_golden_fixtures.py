@@ -195,3 +195,23 @@ def test_dedup_clusters_fast_path_equals_label_propagation(spark, sf_dir):
         for r in dedup_clusters(spark, sf_dir, small_graph_edges=0).collect()
     )
     assert fast == lp
+def test_incremental_rollup_refresh_equals_full(spark, sf_dir):
+    """Refreshing partials with the second half of the data must equal the
+    full-batch rollup exactly (mergeable-state invariant)."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.etl import (
+        hourly_rollup_partials,
+        incremental_rollup_refresh,
+    )
+    from geektime_bigdata_spark.registry import table
+
+    e = table(spark, sf_dir, "events")
+    cutoff = e.agg(F.expr("percentile(cast(event_id AS DOUBLE), 0.5)")).collect()[0][0]
+    first = e.filter(F.col("event_id") <= cutoff)
+    second = e.filter(F.col("event_id") > cutoff)
+    refreshed = incremental_rollup_refresh(hourly_rollup_partials(first), second)
+    full = hourly_rollup_partials(e)
+    a = sorted(tuple(map(str, r)) for r in refreshed.collect())
+    b = sorted(tuple(map(str, r)) for r in full.collect())
+    assert a == b
