@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "scd2_intervals": etl.scd2_intervals,
+        "continuous_hourly_rollup": etl.continuous_hourly_rollup,
         "orders_audit": etl.orders_audit,
         "incremental_ingest_dedup": etl.incremental_ingest_dedup,
         "curated_corpus": pipeline.curated_corpus,
@@ -909,6 +910,11 @@ def oracle_sql() -> dict[str, str]:
                        value
                 FROM events
             ) GROUP BY w_start
+        """,
+        "continuous_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "scd2_intervals": """
             SELECT user_id, event_id, value,

@@ -141,3 +141,23 @@ def incremental_rollup_refresh(
             F.sum("sum_value").alias("sum_value"),
         )
     )
+
+
+def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper proving the refresh path end-to-end: split
+    the event log deterministically (even/odd event_id), materialize
+    partials from one half, fold in the other — the result must equal the
+    single-pass rollup, which is exactly what the DuckDB oracle
+    computes."""
+    e = table(spark, sf_dir, "events")
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    refreshed = incremental_rollup_refresh(
+        hourly_rollup_partials(first), second
+    )
+    return refreshed.select(
+        "hour",
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
