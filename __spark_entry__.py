@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_scan_desc": relational.prefix_scan_desc,
         "point_lookup": relational.point_lookup,
         "upsert_latest": relational.upsert_latest,
+        "versioned_cells": relational.versioned_cells,
         "sql_catalog_query": relational.sql_catalog_query,
         "sales_rollup": relational.sales_rollup,
         "order_status_cube": relational.order_status_cube,
@@ -262,6 +263,15 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "versioned_cells": """
+            SELECT user_id, event_type, version, ts, value, event_id FROM (
+                SELECT user_id, event_type, ts, value, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS version
+                FROM events)
+            WHERE version <= 3
         """,
         "sql_catalog_query": """
             SELECT n.n_name, count(*) AS n_orders,

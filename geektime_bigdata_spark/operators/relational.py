@@ -237,3 +237,22 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-prunable probe, not a scan."""
     c = table(spark, sf_dir, "customer")
     return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name")
+
+
+def versioned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 companion — HBase ``maxVersions(3)`` cell semantics
+    (HBaseClient.java:131-139): keep the 3 newest writes per
+    (user_id, event_type) cell, tagged with a version index (1 = newest,
+    matching HBase's newest-first cell order). One window shuffle on the
+    cell key; at scale this is the read-side filter a versioned KV view
+    applies over the append-only log (and the compaction predicate that
+    expires older versions)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("version", F.row_number().over(w).cast("long"))
+        .filter(F.col("version") <= 3)
+        .select("user_id", "event_type", "version", "ts", "value", "event_id")
+    )
