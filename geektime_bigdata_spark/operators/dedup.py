@@ -178,46 +178,74 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: doc pairs whose 16-bit fingerprints
     differ in at most SIMHASH_HAMMING_MAX bits.
 
-    Scale path: candidates are generated by banding the fingerprint into
-    4 nibbles and bucket-joining on (band, nibble) — by pigeonhole, any
-    pair within hamming distance 3 of a 4-band split MUST agree on at
-    least one band, so banding loses nothing at this threshold while
-    keeping the pair space linear in bucket collisions (never all-pairs).
-    Pair expansion reuses the LSH bucket-collect pattern: one groupBy, no
-    self-join. The final ``bit_count(xor)`` filter verifies exactly."""
+    Scale path, two levels:
+
+    1. **Collapse identical fingerprints first.** Docs group by simhash
+       VALUE (at most 2^16 distinct values, far fewer than docs on any
+       near-dup-rich corpus), so all pair logic runs on values.
+       Same-value doc pairs (hamming 0) come straight from each group's
+       array combinations.
+    2. **Band the distinct VALUES** into 4 nibbles; by pigeonhole any
+       value pair within hamming distance 3 shares a band (property-
+       tested), so the bucket-collect expansion over value buckets
+       cannot miss a pair at threshold 2; ``bit_count(xor)`` then
+       filters exactly, and each surviving value pair expands to its
+       doc-group cross product. No doc-level distinct is ever needed —
+       a doc pair arises from exactly one value (pair)."""
     fp = simhash_fingerprints(spark, sf_dir)
-    nibbles = ", ".join(
-        f"{b}, shiftright(simhash, {4 * b}) & 15"
-        for b in range(_N_SIMHASH_BANDS)
+    groups = fp.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    bands = fp.select(
-        "doc_id",
-        F.expr(f"stack({_N_SIMHASH_BANDS}, {nibbles}) AS (band, nib)"),
-    )
-    buckets = (
-        bands.groupBy("band", "nib")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
+    # hamming-0 pairs: combinations within one value group
     pair_combos = (
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "
         "y -> struct(x AS doc_a, y AS doc_b))))"
     )
-    cand = (
-        buckets.select(F.explode(F.expr(pair_combos)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+    same = (
+        groups.filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(pair_combos)).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    # value-level banding over DISTINCT fingerprints
+    nibbles = ", ".join(
+        f"{b}, shiftright(simhash, {4 * b}) & 15"
+        for b in range(_N_SIMHASH_BANDS)
+    )
+    vbands = groups.select(
+        "simhash",
+        F.expr(f"stack({_N_SIMHASH_BANDS}, {nibbles}) AS (band, nib)"),
+    )
+    vbuckets = (
+        vbands.groupBy("band", "nib")
+        .agg(F.sort_array(F.collect_list("simhash")).alias("vs"))
+        .filter(F.size("vs") > 1)
+    )
+    v_combos = (
+        "flatten(transform(vs, (x, i) -> "
+        "transform(slice(vs, i + 2, size(vs)), "
+        "y -> struct(x AS v1, y AS v2))))"
+    )
+    vpairs = (
+        vbuckets.select(F.explode(F.expr(v_combos)).alias("p"))
+        .select("p.v1", "p.v2")
         .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .withColumn("hamming", F.expr("bit_count(v1 ^ v2)").cast("long"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
     )
+    g1 = groups.select(F.col("simhash").alias("v1"), F.col("ds").alias("ds1"))
+    g2 = groups.select(F.col("simhash").alias("v2"), F.col("ds").alias("ds2"))
+    cross_combos = (
+        "flatten(transform(ds1, x -> transform(ds2, "
+        "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+    )
+    cross = (
+        vpairs.join(g1, "v1")
+        .join(g2, "v2")
+        .select("hamming", F.explode(F.expr(cross_combos)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "hamming")
+    )
+    return same.unionByName(cross)
 
 
 def dedup_clusters(
