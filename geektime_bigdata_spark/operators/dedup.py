@@ -6,13 +6,17 @@ deterministic so a DuckDB oracle can verify them bit-for-bit:
 
 - exact:       content fingerprint (md5) -> keep lowest doc_id per group.
 - MinHash+LSH: shingle -> 12 md5-minhashes -> 4 bands x 3 rows ->
-               band-bucket self-join for candidate pairs. The scale path:
-               candidate generation is linear in corpus size + band
-               collisions, never all-pairs.
-- SimHash:     16-bit token-weighted fingerprint per doc (banding for the
-               pair search at scale would mirror the MinHash pattern).
-- n-gram Jaccard: exact shingle-set similarity via inverted-index
-               self-join — quadratic only within shared-shingle groups.
+               band-bucket collect + array-combinations expansion for
+               candidate pairs. The scale path: candidate generation is
+               linear in corpus size + band collisions, never all-pairs.
+- SimHash:     16-bit token-weighted fingerprint per doc; near-dup pairs
+               collapse identical fingerprint VALUES first, then band the
+               distinct values (pigeonhole-complete at hamming <= 3).
+- n-gram Jaccard: exact shingle-set similarity via posting-list pair
+               expansion — quadratic only within shared-shingle groups.
+- clusters:    connected components over the near-dup graph (size-gated:
+               driver union-find for small edge sets, distributed label
+               propagation above the threshold).
 
 Determinism notes: every hash is md5 (identical across engines); minhash
 uses the *string* md5 hex (lexicographic min is engine-independent);
