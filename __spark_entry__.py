@@ -183,6 +183,32 @@ def oracle_sql() -> dict[str, str]:
     )
     media_norm = " + ".join(f"f{i} * f{i}" for i in range(8))
     return {
+        "media_type_stats": f"""
+            WITH bytes AS (
+                SELECT doc_id, length(text) AS n,
+                       ascii(substring(text, pos, 1)) AS byte,
+                       (pos - 1) % 8 AS k
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text))) AS pos
+                      FROM documents)
+            ), acc AS (
+                SELECT doc_id, n, k, sum(byte) AS s FROM bytes GROUP BY 1, 2, 3
+            ), wide AS (
+                SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, {media_f_cols}
+                FROM acc GROUP BY doc_id, n
+            ), feat AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS media_type,
+                       n_bytes,
+                       round(sqrt({media_norm}), 6) AS feature_norm
+                FROM wide
+            )
+            SELECT media_type, count(*) AS n_docs,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   round(avg(feature_norm), 6) AS avg_feature_norm
+            FROM feat GROUP BY media_type
+        """,
         "media_features_wide": f"""
             WITH bytes AS (
                 SELECT doc_id, length(text) AS n,
