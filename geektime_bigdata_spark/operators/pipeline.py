@@ -54,6 +54,35 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_curation_job(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    """The full curation JOB, sink included: write the kept documents
+    (with their curation metadata) as language-partitioned parquet plus
+    the per-language summary — the publish step of a training-data run.
+    Language partitioning matches how corpora are consumed downstream
+    (per-language sampling/mixing) and gives partition pruning on the
+    standard access pattern. Returns row counts for the caller's
+    bookkeeping/audit log."""
+    docs = table(spark, sf_dir, "documents")
+    curated = curated_corpus(spark, sf_dir)
+    kept = (
+        curated.filter(F.col("keep") == 1)
+        .join(docs.select("doc_id", "text", "source", "n_chars"), "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_chars", "quality_score", "text"
+        )
+    )
+    kept.write.mode("overwrite").partitionBy("lang").parquet(
+        f"{out_dir}/corpus"
+    )
+    summary = curation_summary(spark, sf_dir)
+    summary.write.mode("overwrite").json(f"{out_dir}/summary")
+    n_kept = spark.read.parquet(f"{out_dir}/corpus").count()
+    n_langs = spark.read.json(f"{out_dir}/summary").count()
+    return {"n_kept": n_kept, "n_langs": n_langs}
+
+
 def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus statistics after curation — the report a
     pipeline run emits: total/kept docs, dropped-as-duplicate count, and

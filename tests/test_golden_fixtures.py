@@ -215,3 +215,23 @@ def test_incremental_rollup_refresh_equals_full(spark, sf_dir):
     a = sorted(tuple(map(str, r)) for r in refreshed.collect())
     b = sorted(tuple(map(str, r)) for r in full.collect())
     assert a == b
+
+
+def test_run_curation_job_publishes(spark, sf_dir, tmp_path):
+    """The job sink must publish exactly the kept docs, lang-partitioned,
+    plus the summary — and re-reading the output must agree with the
+    in-memory pipeline."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.pipeline import (
+        curated_corpus,
+        run_curation_job,
+    )
+
+    out = str(tmp_path / "publish")
+    counts = run_curation_job(spark, sf_dir, out)
+    expect = curated_corpus(spark, sf_dir).filter(F.col("keep") == 1).count()
+    assert counts["n_kept"] == expect > 0
+    back = spark.read.parquet(f"{out}/corpus")
+    assert "lang" in back.columns  # partition column survives re-read
+    assert back.count() == expect
