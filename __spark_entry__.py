@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
         "q9_product_profit": tpch.q9_product_profit,
+        "q11_important_stock": tpch.q11_important_stock,
         "q12_late_priority": tpch.q12_late_priority,
         "q13_customer_distribution": tpch.q13_customer_distribution,
         "q15_top_supplier": tpch.q15_top_supplier,
@@ -524,6 +525,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%red%'
             GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "q11_important_stock": """
+            WITH v AS (
+                SELECT l_partkey, sum(l_extendedprice) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_4'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(value, 4) AS value
+            FROM v WHERE value > 0.002 * (SELECT sum(value) FROM v)
+            ORDER BY value DESC, l_partkey
         """,
         "q12_late_priority": """
             SELECT l_linestatus,

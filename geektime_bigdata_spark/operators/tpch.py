@@ -209,6 +209,34 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification, adapted): parts whose
+    NATION_4-supplied shipped value exceeds 0.2% of that nation's total
+    shipped value (no partsupp availqty/supplycost in the schema subset —
+    shipped extended price stands in for stock value). The HAVING-over-
+    global-total scalar subquery is a one-row broadcast cross join against
+    the per-part aggregate, computed once."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nation_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_4")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(nation_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.002 * F.col("total_value"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
 def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (shipping priority vs lateness, adapted): lines shipped
     >60 days after the order date during 1997, split into urgent/high vs
