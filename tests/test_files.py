@@ -96,3 +96,17 @@ def test_jsonl_corrupt_records_captured(spark, tmp_path):
         assert (good, bad) == (2, 1), df.collect()
     finally:
         df.unpersist()
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trip (the second columnar format Spark ships
+    natively; some lakehouse estates are ORC-standardized)."""
+    from geektime_bigdata_spark.registry import table
+
+    c = table(spark, sf_dir, "customer")
+    out = str(tmp_path / "customer_orc")
+    c.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    a = sorted(tuple(map(str, r)) for r in c.collect())
+    b = sorted(tuple(map(str, r)) for r in back.collect())
+    assert a == b
