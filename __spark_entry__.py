@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": textstats.doc_quality_scores,
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
+        "stratified_sample": textstats.stratified_sample,
+        "dataset_splits": textstats.dataset_splits,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
@@ -1337,6 +1339,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                    length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_len
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source, bucket FROM (
+                SELECT doc_id, lang, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+                FROM documents)
+            WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                            ELSE 20 END)
+        """,
+        "dataset_splits": """
+            SELECT split, lang, count(*) AS n_docs FROM (
+                SELECT lang,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT lang,
+                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                      FROM documents))
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "rolling_fingerprints": """
             WITH pos AS (

@@ -185,3 +185,56 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder is test
+SAMPLE_RATES = {"en": 50, "de": 30}  # percent kept per language; default 20
+
+
+def _hash_bucket(col: str = "doc_id") -> Column:
+    """Deterministic 0-99 bucket from md5(doc_id) — the reproducible
+    alternative to RNG sampling: stable across runs, engines, and
+    cluster sizes (rand()-based sampling is none of those), and
+    verifiable against the SQL oracle bit-for-bit."""
+    return F.expr(
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling (language rebalancing — the mix
+    step of corpus construction): keep SAMPLE_RATES[lang]% of each
+    language's documents, 20% for unlisted languages. A pure shuffle-free
+    projection + filter; at 100 TB this is a map-only pass whose output
+    ratios are exact in expectation and reproducible exactly."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.lit(20)
+    for lang, pct in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", _hash_bucket())
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by hash bucket)
+    with per-(split, lang) counts — the split manifest a training run
+    records. Assignment is a projection; only the tiny count rollup
+    shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    b = _hash_bucket()
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
