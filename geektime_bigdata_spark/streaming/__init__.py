@@ -8,6 +8,7 @@ from geektime_bigdata_spark.streaming.windows import (
     run_streaming_hourly_rollup,
     run_streaming_sessionization,
     run_streaming_sliding_counts,
+    run_streaming_upsert_sink,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "run_streaming_hourly_rollup",
     "run_streaming_sessionization",
     "run_streaming_sliding_counts",
+    "run_streaming_upsert_sink",
 ]

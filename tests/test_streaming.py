@@ -149,3 +149,17 @@ def test_streaming_attribution_equals_batch_pairs(spark, sf_dir):
         & (F.col("c_ts") < F.col("p_ts")),
     ).select("purchase_id", "user_id", "c_ts")
     assert _rowset(stream_pairs) == _rowset(batch_pairs)
+
+
+def test_streaming_upsert_sink_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """The foreachBatch keyed-merge sink's final state must equal the
+    batch append+newest-per-key compaction (upsert_latest)."""
+    from geektime_bigdata_spark.operators.relational import upsert_latest
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_upsert_sink,
+    )
+
+    state = run_streaming_upsert_sink(spark, sf_dir, str(tmp_path / "sink"))
+    batch = upsert_latest(spark, sf_dir)
+    cols = ["user_id", "event_type", "ts", "value", "event_id"]
+    assert _rowset(state.select(*cols)) == _rowset(batch.select(*cols))
