@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": windows.sessionize,
         "order_price_quantiles": windows.order_price_quantiles,
         "customer_balance_quartiles": windows.customer_balance_quartiles,
+        "user_value_trend": windows.user_value_trend,
         "sliding_window_counts": windows.sliding_window_counts,
         "asof_last_click": windows.asof_last_click,
         "hourly_event_rollup": windows.hourly_event_rollup,
@@ -326,6 +327,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "user_value_trend": """
+            WITH c AS (
+                SELECT user_id, value,
+                       (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id))
+                           / 3600.0 AS x
+                FROM events
+            )
+            SELECT user_id, round(regr_slope(value, x), 6) AS slope,
+                   count(*) AS n_events
+            FROM c GROUP BY user_id
         """,
         "customer_balance_quartiles": """
             SELECT c_custkey, c_mktsegment, c_acctbal,

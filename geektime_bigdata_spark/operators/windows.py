@@ -285,3 +285,42 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (SURVEY.md §2.8 — the API that
+    replaces a custom MapReduce Reducer when per-group logic genuinely
+    needs imperative code): per-user OLS slope of event value over time.
+
+    Each user's slice arrives as ONE pandas frame (Arrow-batched); numpy
+    computes the centered least-squares slope in value-units/hour. The
+    DuckDB ``regr_slope`` oracle differentially validates the whole
+    Python path. x is centered per user BEFORE the products on both
+    sides, so neither engine hits catastrophic cancellation on absolute
+    epoch values. Partitioning: one shuffle on user_id; group frames must
+    fit a worker (true for per-user event counts; a power user would be
+    pre-aggregated per hour first)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+
+    def slope(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ns = pdf["ts"].astype("int64")
+        x = (ns - ns.min()) / 3.6e12  # hours since user's first event
+        y = pdf["value"]
+        xc, yc = x - x.mean(), y - y.mean()
+        denom = (xc * xc).sum()
+        s = float((xc * yc).sum() / denom) if denom > 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "slope": [None if s is None else round(s, 6)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return (
+        e.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(slope, "user_id long, slope double, n_events long")
+    )
