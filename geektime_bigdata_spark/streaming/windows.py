@@ -209,6 +209,37 @@ def run_streaming_attribution(
     return spark.table(name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) key
+    passes, later duplicates drop —
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only within the
+    watermark horizon, so state is bounded even on an infinite stream
+    (plain dropDuplicates on a stream grows state forever). The
+    training-data analogue is streaming ingest dedup by content
+    fingerprint."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    deduped = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"gbs_stream_dedup_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    return spark.table(name)
+
+
 def run_streaming_upsert_sink(
     spark: SparkSession, sf_dir: str, out_dir: str, timeout_sec: int = 180
 ) -> DataFrame:

@@ -138,3 +138,18 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     text = explain_str(df, "formatted")
     assert "NestedLoop" not in text and "CartesianProduct" not in text, text
     assert ("BroadcastHashJoin" in text) or ("SortMergeJoin" in text), text
+
+
+def test_textstats_projections_single_rebalance(spark, sf_dir):
+    """lang-ID and quality scoring must stay pure projections: the only
+    exchange allowed is the explicit input rebalance (parallel_table),
+    never a token-level aggregation shuffle."""
+    from geektime_bigdata_spark.operators import textstats
+
+    for fn in (textstats.lang_id_heuristic, textstats.doc_quality_scores):
+        text = explain_str(fn(spark, sf_dir), "formatted")
+        n_ex = sum(
+            1 for l in text.splitlines() if l.strip().startswith("Exchange")
+            or ") Exchange" in l
+        )
+        assert "HashAggregate" not in text, fn.__name__

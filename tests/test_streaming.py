@@ -163,3 +163,18 @@ def test_streaming_upsert_sink_equals_batch_upsert(spark, sf_dir, tmp_path):
     batch = upsert_latest(spark, sf_dir)
     cols = ["user_id", "event_type", "ts", "value", "event_id"]
     assert _rowset(state.select(*cols)) == _rowset(batch.select(*cols))
+
+
+def test_streaming_dedup_one_row_per_key(spark, sf_dir):
+    """Streaming dedup keeps exactly one row per key, and the key set
+    equals the batch distinct (WHICH row survives depends on arrival
+    order, so the contract is per-key uniqueness + key coverage)."""
+    from geektime_bigdata_spark.streaming.windows import run_streaming_dedup
+
+    out = run_streaming_dedup(spark, sf_dir)
+    per_key = out.groupBy("user_id", "event_type").count().collect()
+    assert per_key and all(r["count"] == 1 for r in per_key)
+    batch_keys = _rowset(
+        table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    assert _rowset(out.select("user_id", "event_type")) == batch_keys
