@@ -80,3 +80,33 @@ def dist_copy(
         .mapPartitions(copy_partition)
         .collect()
     )
+
+
+def compact_parquet(
+    spark, path: str, target_files: int = 1
+) -> int:
+    """Small-file compaction — the maintenance job every streaming/
+    micro-batch sink eventually needs (thousands of tiny files destroy
+    scan throughput: per-file open cost + tiny row groups defeat the
+    columnar reader). Rewrites the dataset into ``target_files`` files
+    per partition via coalesce (no shuffle — coalesce only merges
+    existing partitions) through a temp dir, then swaps. Returns the
+    resulting file count. At scale this runs per table partition with
+    target sized to ~1 GB files."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # re-read from tmp before dropping the source (lazy plans must not
+    # reference the dir being replaced)
+    n = spark.read.parquet(tmp).count()
+    orig = spark.read.parquet(path).count()
+    if n != orig:  # paranoia gate before destructive swap
+        raise RuntimeError(f"compaction row mismatch: {n} != {orig}")
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

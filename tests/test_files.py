@@ -110,3 +110,38 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     a = sorted(tuple(map(str, r)) for r in c.collect())
     b = sorted(tuple(map(str, r)) for r in back.collect())
     assert a == b
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    """Compaction must preserve every row while collapsing the file count."""
+    from geektime_bigdata_spark.operators.scale import write_date_partitioned
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.files import compact_parquet
+
+    out = str(tmp_path / "frag")
+    # fragment: one file per of many partitions via repartition(16)
+    table(spark, sf_dir, "events").repartition(16).write.parquet(out)
+    before_rows = spark.read.parquet(out).count()
+    import os
+
+    before_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    after_files = compact_parquet(spark, out, target_files=2)
+    assert after_files <= 2 < before_files
+    assert spark.read.parquet(out).count() == before_rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema ingest: batches written with evolving schemas (a new
+    column appears later) must read as one table with NULLs backfilled —
+    the append-only corpus evolution path."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.parquet(out + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(out + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(df.columns) >= {"doc_id", "text", "lang"}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
