@@ -235,3 +235,40 @@ def test_run_curation_job_publishes(spark, sf_dir, tmp_path):
     back = spark.read.parquet(f"{out}/corpus")
     assert "lang" in back.columns  # partition column survives re-read
     assert back.count() == expect
+
+
+def test_asof_tie_and_no_click_semantics(spark, tmp_path, monkeypatch):
+    """As-of join edge cases, hand-computed: a click at EXACTLY the
+    purchase timestamp counts (<= semantics, clicks sort before purchases
+    on ties); a purchase with no prior click yields NULL/0."""
+    import pandas as pd
+
+    from geektime_bigdata_spark.operators import windows as W
+
+    rows = [
+        # user 1: click at 10:00, purchase at 10:00 (tie -> counts),
+        #         purchase at 09:00 (no prior click)
+        (1, 1, "click", "2024-01-01 10:00:00"),
+        (2, 1, "purchase", "2024-01-01 10:00:00"),
+        (3, 1, "purchase", "2024-01-01 09:00:00"),
+        # user 2: clicks only
+        (4, 2, "click", "2024-01-01 08:00:00"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts_s"]
+    )
+    df = spark.createDataFrame(pdf).select(
+        "event_id", "user_id", "event_type",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.windows.table",
+        lambda spark_, sf_dir_, name_: df,
+    )
+    out = {r["purchase_id"]: r for r in W.asof_last_click(spark, "x").collect()}
+    assert set(out) == {2, 3}
+    assert str(out[2]["last_click_ts"]) == "2024-01-01 10:00:00"
+    assert out[2]["n_prior_clicks"] == 1
+    assert out[3]["last_click_ts"] is None
+    assert out[3]["n_prior_clicks"] == 0
