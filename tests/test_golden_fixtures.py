@@ -272,3 +272,57 @@ def test_asof_tie_and_no_click_semantics(spark, tmp_path, monkeypatch):
     assert out[2]["n_prior_clicks"] == 1
     assert out[3]["last_click_ts"] is None
     assert out[3]["n_prior_clicks"] == 0
+
+
+def test_sessionize_gap_boundary(spark, monkeypatch):
+    """An event at EXACTLY prev+30min stays in the same session (the rule
+    is strict `>`); one second later starts a new one."""
+    import pandas as pd
+
+    from geektime_bigdata_spark.operators import windows as W
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:30:00"),  # == gap -> same session
+        (3, 1, "2024-01-01 11:00:01"),  # > gap -> new session
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_s"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s").alias("ts"), F.lit(1.0).alias("value"),
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.windows.table",
+        lambda *a: df,
+    )
+    out = sorted(
+        (r["session_id"], r["n_events"])
+        for r in W.sessionize(spark, "x").collect()
+    )
+    assert out == [(1, 2), (2, 1)]
+
+
+def test_q13_counts_zero_order_customers(spark, monkeypatch):
+    """Q13's left-outer join must keep customers with NO qualifying orders
+    in the c_count=0 bucket (the synthetic data has none, so this path
+    needs a fixture)."""
+    from geektime_bigdata_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "5-LOW"), (12, 2, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    tables = {"customer": customer, "orders": orders}
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.tpch.table",
+        lambda spark_, sf_, name: tables[name],
+    )
+    out = {
+        r["c_count"]: r["custdist"]
+        for r in tpch.q13_customer_distribution(spark, "x").collect()
+    }
+    # cust 1 -> 1 non-LOW order; cust 2 -> only LOW (c_count 0); cust 3 -> 0
+    assert out == {1: 1, 0: 2}
