@@ -326,3 +326,55 @@ def test_q13_counts_zero_order_customers(spark, monkeypatch):
     }
     # cust 1 -> 1 non-LOW order; cust 2 -> only LOW (c_count 0); cust 3 -> 0
     assert out == {1: 1, 0: 2}
+
+
+def test_incremental_ingest_dedup_all_statuses(spark, monkeypatch):
+    """All three admission outcomes in one batch: new, dup_existing, and
+    dup_in_batch (first-wins within the batch)."""
+    from geektime_bigdata_spark.operators import etl
+
+    docs = spark.createDataFrame(
+        [
+            # existing corpus (src1): text prefix "a b c d e"
+            (1, "a b c d e old tail", "src1"),
+            # incoming batch (src0)
+            (10, "a b c d e new tail", "src0"),   # dup_existing
+            (11, "x y z w v unique", "src0"),     # new (first for its fp)
+            (12, "x y z w v other tail", "src0"), # dup_in_batch (same prefix)
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.etl.table", lambda *a: docs
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in etl.incremental_ingest_dedup(spark, "x").collect()
+    }
+    assert out == {10: "dup_existing", 11: "new", 12: "dup_in_batch"}
+
+
+def test_upsert_latest_event_id_tiebreak(spark, monkeypatch):
+    """Two writes with the SAME timestamp: the higher event_id wins (the
+    deterministic tiebreak; real data never ties so this needs a
+    fixture)."""
+    import pandas as pd
+
+    from geektime_bigdata_spark.operators import relational
+
+    pdf = pd.DataFrame(
+        [
+            (1, 1, "click", "2024-01-01 10:00:00", 1.0),
+            (2, 1, "click", "2024-01-01 10:00:00", 2.0),  # same ts, higher id
+        ],
+        columns=["event_id", "user_id", "event_type", "ts_s", "value"],
+    )
+    df = spark.createDataFrame(pdf).select(
+        "event_id", "user_id", "event_type",
+        F.to_timestamp("ts_s").alias("ts"), "value",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.relational.table", lambda *a: df
+    )
+    rows = relational.upsert_latest(spark, "x").collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 2
