@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
         "stratified_sample": textstats.stratified_sample,
+        "vocab_coverage": textstats.vocab_coverage,
         "dataset_splits": textstats.dataset_splits,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
@@ -1351,6 +1352,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                    length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_len
             FROM documents
+        """,
+        "vocab_coverage": """
+            WITH wn AS (
+                SELECT word FROM (
+                    SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+                WHERE word <> ''
+            ), topk AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS c FROM wn GROUP BY 1
+                    ORDER BY c DESC, word LIMIT 20)
+            )
+            SELECT count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN word IN (SELECT word FROM topk)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                   round(sum(CASE WHEN word IN (SELECT word FROM topk)
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS coverage
+            FROM wn
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source, bucket FROM (

@@ -238,3 +238,41 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+VOCAB_TOP_K = 20
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: the fraction of all corpus tokens falling in
+    the top-K most frequent words — the check run before fixing a
+    tokenizer/vocab size. Two-level plan: exact word counts (one
+    shuffle), deterministic top-K (count desc + word tiebreak,
+    TakeOrdered — no global sort), then a broadcast semi-flag join back
+    over the token stream and a single global ratio row. The top-K list
+    is K rows, broadcastable at any corpus scale."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    topk = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(VOCAB_TOP_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(topk), "word", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
