@@ -378,3 +378,30 @@ def test_upsert_latest_event_id_tiebreak(spark, monkeypatch):
     )
     rows = relational.upsert_latest(spark, "x").collect()
     assert len(rows) == 1 and rows[0]["event_id"] == 2
+
+
+def test_dedup_clusters_chain_component(spark, monkeypatch):
+    """Transitive closure through a chain (a-b, b-c, plus an isolated
+    pair and a singleton): both the union-find fast path and label
+    propagation must label the whole chain with its minimum doc_id."""
+    from geektime_bigdata_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 8)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.table", lambda *a: docs
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.ngram_jaccard_pairs",
+        lambda *a, **k: edges,
+    )
+    expect = [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)]
+    for kwargs in ({}, {"small_graph_edges": 0}):
+        got = sorted(
+            tuple(r) for r in dedup.dedup_clusters(spark, "x", **kwargs).collect()
+        )
+        assert got == expect, kwargs
