@@ -119,10 +119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
-        # --- multimodal plumbing (rows-only checks: stubbed decode is
-        #     Python-side, not SQL-expressible) ---
+        # --- multimodal plumbing (stub decoder is deterministic, so even
+        #     the Python decode path is fully oracle-checked; the feature
+        #     array canonicalizes to a micro-unit string) ---
         "media_type_stats": multimodal.media_type_stats,
-        "media_features": multimodal.media_features,
+        "media_features": multimodal.media_features_str,
         "media_features_wide": multimodal.media_features_wide,
         # --- streaming (availableNow micro-batch; hourly rollup shares the
         #     batch twin's oracle — tumbling window start == date_trunc) ---
@@ -146,8 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, sf_dir
             )
         ),
-        # rows-only (applyInPandasWithState is not SQL-expressible; its
-        # batch-equivalence is test-enforced in tests/test_streaming.py)
+        # applyInPandasWithState sessionizer — emits the batch sessionize
+        # schema, so it shares that oracle (plus the availableNow≡batch
+        # test in tests/test_streaming.py)
         "streaming_sessionization": (
             lambda spark, sf_dir: streaming.run_streaming_sessionization(
                 spark, sf_dir
@@ -176,9 +178,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins; column names/aliases match queries()."""
+    """DuckDB-runnable ANSI SQL twins; column names/aliases match queries().
+
+    Float contract rule: every hashed column derived from a
+    nondeterministically-ordered double sum accumulates through
+    DECIMAL(18,6) on BOTH engines (``CAST(sum(CAST(x AS DECIMAL(18,6)))
+    AS DOUBLE)`` here, :func:`geektime_bigdata_spark.functions.exact_sum`
+    in the Spark plan) — decimal addition is associative, so partitioning
+    can never flip a round(,N) boundary (round 1's only driver FAIL)."""
+    micro_cols = " || ',' || ".join(
+        f"CAST(round(f{i} * 1000000, 0) AS BIGINT)" for i in range(8)
+    )
     centroid_cols = ", ".join(
-        f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS c{i}"
+        f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c{i}"
         for i in range(64)
     )
     media_f_cols = ", ".join(
@@ -187,7 +199,7 @@ def oracle_sql() -> dict[str, str]:
         for i in range(8)
     )
     media_norm = " + ".join(f"f{i} * f{i}" for i in range(8))
-    return {
+    oracles = {
         "media_type_stats": f"""
             WITH bytes AS (
                 SELECT doc_id, length(text) AS n,
@@ -211,7 +223,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_type, count(*) AS n_docs,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-                   round(avg(feature_norm), 6) AS avg_feature_norm
+                   round(CAST(sum(CAST(feature_norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_feature_norm
             FROM feat GROUP BY media_type
         """,
         "media_features_wide": f"""
@@ -236,15 +248,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt({media_norm}), 6) AS feature_norm
             FROM wide
         """,
+        "media_features": f"""
+            WITH bytes AS (
+                SELECT doc_id, length(text) AS n,
+                       ascii(substring(text, pos, 1)) AS byte,
+                       (pos - 1) % 8 AS k
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text))) AS pos
+                      FROM documents)
+            ), acc AS (
+                SELECT doc_id, n, k, sum(byte) AS s FROM bytes GROUP BY 1, 2, 3
+            ), wide AS (
+                SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, {media_f_cols}
+                FROM acc GROUP BY doc_id, n
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   n_bytes,
+                   {micro_cols} AS feature_str,
+                   round(sqrt({media_norm}), 6) AS feature_norm
+            FROM wide
+        """,
         "label_centroids": f"""
             SELECT label, {centroid_cols}
             FROM embeddings GROUP BY label
         """,
         "flow_stats": """
             SELECT user_id,
-                   round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 6) AS sum_up,
-                   round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 6) AS sum_down,
-                   round(sum(CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END), 6) AS sum_total
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_up,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_down,
+                   round(CAST(sum(CAST(CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_total
             FROM events GROUP BY user_id
         """,
         "null_filter_empty": """
@@ -306,7 +341,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_catalog_query": """
             SELECT n.n_name, count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 4) AS total_price
+                   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -316,7 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n,
-                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
                    CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -324,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "order_status_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n,
-                   round(sum(o_totalprice), 4) AS total,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
                    CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -366,16 +401,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                    CAST(month(o_orderdate) AS BIGINT) AS mo,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 4) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
             FROM orders GROUP BY 1, 2
         """,
         "event_type_pivot": """
             SELECT user_id,
-                   round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-                   round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
-                   round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-                   round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-                   round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS click,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS view,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS purchase,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS signup,
+                   round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS error
             FROM events GROUP BY user_id
         """,
         "embedding_norms_pandas": """
@@ -388,13 +423,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -403,7 +438,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -416,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
             FROM region
             JOIN nation ON n_regionkey = r_regionkey
             JOIN customer ON c_nationkey = n_nationkey
@@ -430,7 +465,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+            SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -440,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -454,10 +489,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_promo_effect": """
             SELECT round(
-                100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                 THEN l_extendedprice * (1 - l_discount)
-                                 ELSE 0 END)
-                / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+                100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
@@ -493,7 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -509,10 +542,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q8_market_share": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                   round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
                        AS mkt_share
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -530,8 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - 0.1 * p_retailprice * l_quantity), 4)
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
                        AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -543,7 +573,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_important_stock": """
             WITH v AS (
-                SELECT l_partkey, sum(l_extendedprice) AS value
+                SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey
@@ -551,7 +581,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_partkey
             )
             SELECT l_partkey, round(value, 4) AS value
-            FROM v WHERE value > 0.002 * (SELECT sum(value) FROM v)
+            FROM v WHERE value > 0.002 * (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM v)
             ORDER BY value DESC, l_partkey
         """,
         "q12_late_priority": """
@@ -583,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH revenue AS (
                 SELECT l_suppkey,
-                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
                            AS total_revenue
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -614,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q17_small_quantity_revenue": """
-            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
             FROM (
                 SELECT l_extendedprice, l_quantity,
                        avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
@@ -625,9 +655,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_large_volume_customers": """
             WITH big AS (
-                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
                 FROM lineitem GROUP BY l_orderkey
-                HAVING round(sum(l_quantity), 2) > 180
+                HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) > 180
             )
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                    sum_qty
@@ -638,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "q19_discounted_revenue": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -688,9 +718,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey, count(*) AS numcust,
-                   round(sum(c_acctbal), 4) AS totacctbal
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS totacctbal
             FROM customer
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM customer
                                WHERE c_acctbal > 0)
               AND NOT EXISTS (
                   SELECT 1 FROM orders
@@ -700,7 +730,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_dim_join": """
             SELECT n_name, count(*) AS n_customers,
-                   round(sum(c_acctbal), 4) AS total_acctbal
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
@@ -753,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS session_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value,
                    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM sessions GROUP BY user_id, session_id
         """,
@@ -768,7 +798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_event_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(sum(value), 6) AS total_value
+                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "json_props_extract": """
@@ -904,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS last_event_ts,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS session_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value
             FROM sessions GROUP BY user_id, session_id
         """,
         "tfidf_top_terms": """
@@ -968,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "sliding_window_counts": """
-            SELECT w_start, count(*) AS n, round(sum(value), 6) AS total_value
+            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -978,7 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "continuous_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(sum(value), 6) AS sum_value
+                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "scd2_intervals": """
@@ -1131,7 +1161,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(keep) AS BIGINT) AS n_kept,
                    CAST(sum(1 - is_representative) AS BIGINT) AS n_dup_dropped,
-                   round(avg(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
+                   round(CAST(sum(CAST(CASE WHEN keep = 1 THEN quality_score END AS DECIMAL(18,6))) AS DOUBLE) / count(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
             FROM curated GROUP BY lang
         """,
         "ann_topk_bruteforce": """
@@ -1164,7 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": """
             WITH cent AS (
                 SELECT label AS cell, pos,
-                       round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS c
+                       round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
                 FROM (SELECT label, embedding,
                              unnest(generate_series(1, 64)) AS pos
                       FROM embeddings)
@@ -1273,11 +1303,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(sum(value), 6) AS total_value
+                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "streaming_sliding_counts": """
-            SELECT w_start, count(*) AS n, round(sum(value), 6) AS total_value
+            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -1294,7 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_enriched_rollup": """
             SELECT c_mktsegment, count(*) AS n_events,
-                   round(sum(value), 6) AS total_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -1457,3 +1487,6 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE word <> '' GROUP BY word
         """,
     }
+    # the streaming stateful sessionizer emits the exact batch schema
+    oracles["streaming_sessionization"] = oracles["sessionize"]
+    return oracles

@@ -8,6 +8,7 @@ codegen — no Python UDFs.
 
 from geektime_bigdata_spark.functions.exprs import (
     dot_product,
+    exact_sum,
     hash_unit_weight,
     shingles,
     tokens,
@@ -20,4 +21,5 @@ __all__ = [
     "dot_product",
     "vec_norm",
     "hash_unit_weight",
+    "exact_sum",
 ]

@@ -46,6 +46,28 @@ def vec_norm(a: str) -> Column:
     )
 
 
+def exact_sum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent exact group sum of a double expression for hashed
+    contract edges: cast each addend to ``DECIMAL(18, scale)`` (exact for
+    the <= 2-decimal money/value columns in this dataset; products of
+    2-decimal values land within ~1e-13 of the decimal grid, far from any
+    rounding-mode tie), sum exactly, and emit double.
+
+    Plain ``sum(double)`` over a group accumulates in partition order —
+    nondeterministic under shuffle — so ``round(sum(value), 6)`` can
+    straddle a 0.5e-6 boundary and hash-mismatch a DuckDB oracle even
+    when both engines are "right" (this was round 1's only driver FAIL,
+    ``sessionize``). Decimal addition is associative and commutative, so
+    the result is bit-identical regardless of partitioning; mirror with
+    ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` in the oracle. At
+    100 TB the decimal sum still runs partial+final hash aggregation
+    inside whole-stage codegen (Spark keeps a specialized unscaled-long
+    accumulator for precision <= 18 inputs), so the determinism costs no
+    shuffle and negligible CPU."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
 def hash_unit_weight(tag: str) -> float:
     """Deterministic pseudo-random weight in [-1, 1]: first 8 md5 hex chars
     of ``tag`` -> int, % 2001 -> [-1000, 1000] / 1000. Bit-identical to the

@@ -118,7 +118,10 @@ def hourly_rollup_partials(events: DataFrame) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
+        # partials carry DECIMAL, not DOUBLE: decimal addition is exact and
+        # associative, so partial states merge in any order/grouping and
+        # the refreshed rollup is bit-identical to the single-pass one.
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
     )
 
 
@@ -159,5 +162,5 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "event_type",
         "n",
-        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
     )

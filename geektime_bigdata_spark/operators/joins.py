@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.registry import table
 
 
@@ -38,21 +39,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single exchange on the tiny (returnflag, linestatus) grouping key;
     everything else is map-side. The shipdate filter is pushed to parquet.
+    Sums/averages accumulate through DECIMAL(18,6) (``exact_sum``) so the
+    hashed contract values are partition-order-independent.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(exact_sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(exact_sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(exact_sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(exact_sum(charge), 2).alias("sum_charge"),
+            F.round(exact_sum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(exact_sum("l_extendedprice") / n, 6).alias("avg_price"),
+            F.round(exact_sum("l_discount") / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -86,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -129,7 +133,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -151,7 +155,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+                exact_sum(F.col("l_extendedprice") * F.col("l_discount")), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -181,7 +185,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(revenue), 4).alias("revenue"))
+        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -203,7 +207,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0 * F.sum(promo) / F.sum(disc_price), 6
+                100.0 * exact_sum(promo) / exact_sum(disc_price), 6
             ).alias("promo_revenue_pct")
         )
     )
@@ -220,7 +224,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+            F.round(exact_sum("c_acctbal"), 4).alias("total_acctbal"),
         )
     )
 

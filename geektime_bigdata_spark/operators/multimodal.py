@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.registry import table
 
 FEATURE_DIM = 8
@@ -133,6 +134,29 @@ def media_features_wide(
     )
 
 
+def media_features_str(
+    spark: SparkSession, sf_dir: str, decode_stub: bool = True
+) -> DataFrame:
+    """Oracle-checkable face of :func:`media_features`: the feature array
+    canonicalized to a comma-joined micro-unit (x*1e6) integer string —
+    arrays hash differently across engines, integers never do. This
+    upgrades the array query from a rows-only check to a full
+    differential one; `media_features` itself stays the API for
+    downstream consumers that want the typed array."""
+    feats = media_features(spark, sf_dir, decode_stub=decode_stub)
+    micro = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x * 1e6, 0).cast("long").cast("string"),
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.concat_ws(",", micro).alias("feature_str"),
+        "feature_norm",
+    )
+
+
 def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-type rollup over extracted features — the downstream
     aggregate a curation pipeline runs after featurization (also the
@@ -143,7 +167,12 @@ def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("feature_norm"), 6).alias("avg_feature_norm"),
+            # exact_sum/count: feature_norm is on the 1e-6 grid (HALF_UP
+            # round in the decoder), so decimal accumulation is exact and
+            # the mean is partition-order-independent at the hashed edge
+            F.round(
+                exact_sum("feature_norm") / F.count(F.lit(1)), 6
+            ).alias("avg_feature_norm"),
         )
     )
 

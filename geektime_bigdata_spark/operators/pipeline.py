@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.operators.dedup import dedup_clusters
 from geektime_bigdata_spark.operators.textstats import doc_quality_scores
 from geektime_bigdata_spark.registry import table
@@ -88,11 +89,15 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline run emits: total/kept docs, dropped-as-duplicate count, and
     mean quality of the kept set."""
     c = curated_corpus(spark, sf_dir)
+    kept_quality = F.when(F.col("keep") == 1, F.col("quality_score"))
     return c.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("keep").alias("n_kept"),
         F.sum(1 - F.col("is_representative")).alias("n_dup_dropped"),
-        F.round(
-            F.avg(F.when(F.col("keep") == 1, F.col("quality_score"))), 6
-        ).alias("kept_avg_quality"),
+        # exact_sum/count, not avg: quality_score is already on the 1e-6
+        # grid (round(,6)), so decimal accumulation is exact and the mean
+        # is partition-order-independent at the hashed edge.
+        F.round(exact_sum(kept_quality) / F.count(kept_quality), 6).alias(
+            "kept_avg_quality"
+        ),
     )

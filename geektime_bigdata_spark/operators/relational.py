@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.registry import load_tables, table
 
 
@@ -55,9 +56,11 @@ def flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("user_id", up.alias("up"), down.alias("down"))
         .groupBy("user_id")
         .agg(
-            F.round(F.sum("up"), 6).alias("sum_up"),
-            F.round(F.sum("down"), 6).alias("sum_down"),
-            F.round(F.sum(F.col("up") + F.col("down")), 6).alias("sum_total"),
+            # exact_sum: order-independent decimal accumulation at the
+            # hashed contract edge (see functions.exprs.exact_sum)
+            F.round(exact_sum("up"), 6).alias("sum_up"),
+            F.round(exact_sum("down"), 6).alias("sum_down"),
+            F.round(exact_sum(F.col("up") + F.col("down")), 6).alias("sum_total"),
         )
     )
 
@@ -178,7 +181,9 @@ def sql_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name, count(*) AS n_orders,
-               round(sum(o.o_totalprice), 4) AS total_price
+               -- decimal accumulation: order-independent sum at the
+               -- hashed contract edge (see functions.exprs.exact_sum)
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -198,7 +203,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(exact_sum("l_quantity"), 2).alias("sum_qty"),
             F.grouping_id().cast("long").alias("lvl"),
         )
     )
@@ -212,7 +217,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(exact_sum("o_totalprice"), 4).alias("total"),
         F.grouping_id().cast("long").alias("lvl"),
     )
 

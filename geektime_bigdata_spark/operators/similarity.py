@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import (
     dot_product,
+    exact_sum,
     hash_unit_weight,
     vec_norm,
 )
@@ -150,12 +151,20 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c0..c63, rounded 6dp) so the oracle compares scalar columns, not
     arrays."""
     e = table(spark, sf_dir, "embeddings")
+    n = F.count(F.lit(1))
     return (
         e.groupBy("label")
         .agg(
             *[
+                # exact_sum/count, not avg: a per-label double sum is
+                # partition-order-dependent; quantizing each element to
+                # the 1e-6 grid first makes the mean engine-identical
                 F.round(
-                    F.avg(F.element_at("embedding", i + 1).cast("double")), 6
+                    exact_sum(
+                        F.element_at("embedding", i + 1).cast("double")
+                    )
+                    / n,
+                    6,
                 ).alias(f"c{i}")
                 for i in range(N_DIMS)
             ]

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.registry import table
 
 def _disc_price():
@@ -131,7 +132,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_disc_price()), 4).alias("revenue"))
+        .agg(F.round(exact_sum(_disc_price()), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -175,7 +176,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(vol) / F.sum(_disc_price()), 6).alias("mkt_share"))
+        .agg(
+            # exact_sum in both numerator and denominator: the ratio of two
+            # order-dependent double sums is doubly knife-edged at round(,6)
+            F.round(exact_sum(vol) / exact_sum(_disc_price()), 6).alias(
+                "mkt_share"
+            )
+        )
         .orderBy("o_year")
     )
 
@@ -204,7 +211,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .agg(F.round(exact_sum(profit), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -226,9 +233,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(nation_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(exact_sum("l_extendedprice").alias("value"))
     )
-    total = per_part.agg(F.sum("value").alias("total_value"))
+    # value is exact-decimal-derived (a 0.01 multiple), so re-casting to
+    # DECIMAL recovers it exactly and the grand total is order-independent
+    # too — the 0.002*total filter edge is then deterministic cross-engine.
+    total = per_part.agg(exact_sum("value").alias("total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value") > 0.002 * F.col("total_value"))
@@ -299,7 +309,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_disc_price()), 4).alias("total_revenue"))
+        .agg(F.round(exact_sum(_disc_price()), 4).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -350,7 +360,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        # avg_qty needs no decimal treatment: l_quantity is integer-valued,
+        # and integer sums are exact in double regardless of order.
+        .agg(F.round(exact_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
@@ -412,7 +424,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cond)
         .agg(
-            F.round(F.sum(_disc_price()), 4).alias("revenue"),
+            F.round(exact_sum(_disc_price()), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -515,8 +527,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS is a left-anti join."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
+    # exact_sum/count instead of avg: the scalar average feeds a filter
+    # edge (c_acctbal > avg_bal), where an order-dependent double sum can
+    # flip membership of a customer sitting exactly on the boundary.
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (exact_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
     )
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
     return (
@@ -526,7 +541,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            F.round(exact_sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum
 from geektime_bigdata_spark.registry import table
 
 
@@ -67,7 +68,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_id  = sum(new_session) over (user ORDER BY ts)
 
     Returns one row per session with size and duration. One shuffle on
-    user_id covers both windows (same partitioning)."""
+    user_id covers both windows (same partitioning). session_value sums
+    through DECIMAL(18,6) (:func:`exact_sum`) — a plain double group sum
+    is accumulation-order-dependent and round(,6) can straddle a 0.5e-6
+    boundary between engines (round 1's only driver hash-mismatch)."""
     e = table(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_ord)
@@ -84,7 +88,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("session_id", F.sum(is_new).over(w_cum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("session_value"),
+        F.round(exact_sum("value"), 6).alias("session_value"),
         # whole-second duration; floor on both engines (see oracle SQL)
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
             "duration_sec"
@@ -151,7 +155,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(exact_sum("value"), 6).alias("total_value"),
         )
     )
 
@@ -173,7 +177,7 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("session_value"),
+            F.round(exact_sum("value"), 6).alias("session_value"),
         )
         .select(
             "user_id",
@@ -198,7 +202,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(exact_sum("o_totalprice"), 4).alias("revenue"),
         )
     )
 
@@ -213,7 +217,7 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(F.round(F.sum("value"), 6))
+        .agg(F.round(exact_sum("value"), 6))
     )
 
 
@@ -259,7 +263,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(exact_sum("value"), 6).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),

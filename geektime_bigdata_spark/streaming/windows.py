@@ -18,10 +18,12 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from decimal import Decimal
 from typing import Iterable
 
 import pandas as pd
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -29,6 +31,29 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from geektime_bigdata_spark.registry import table
 
 SESSION_GAP_SEC = 30 * 60
+
+
+def _await_or_raise(q, timeout_sec: int) -> None:
+    """Block until the streaming query terminates; on timeout stop it and
+    raise instead of letting the caller read a silently-partial sink (and
+    instead of deleting the checkpoint under a still-running query)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        q.awaitTermination(30)
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not finish within "
+            f"{timeout_sec}s; sink contents would be partial"
+        )
+
+
+def _exact_value_sum(rounded: int = 6):
+    """Order-independent decimal sum of ``value`` for streaming aggregates —
+    same contract-edge rule as :func:`...functions.exact_sum` (decimal
+    addition is associative, so micro-batch accumulation order and batch
+    boundaries cannot perturb the hashed result)."""
+    return F.round(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), rounded
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +97,7 @@ def run_streaming_hourly_rollup(
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _exact_value_sum().alias("total_value"),
         )
         .select(
             F.col("window.start").alias("hour"),
@@ -91,7 +116,7 @@ def run_streaming_hourly_rollup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     return spark.table(name)
 
 
@@ -110,7 +135,7 @@ def run_streaming_sliding_counts(
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _exact_value_sum().alias("total_value"),
         )
         .select(F.col("w.start").alias("w_start"), "n", "total_value")
     )
@@ -124,7 +149,7 @@ def run_streaming_sliding_counts(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     return spark.table(name)
 
 
@@ -146,7 +171,7 @@ def run_streaming_enriched_rollup(
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            _exact_value_sum().alias("total_value"),
         )
     )
     name = f"gbs_stream_enriched_{uuid.uuid4().hex[:8]}"
@@ -159,7 +184,7 @@ def run_streaming_enriched_rollup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     return spark.table(name)
 
 
@@ -205,7 +230,7 @@ def run_streaming_attribution(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     return spark.table(name)
 
 
@@ -236,7 +261,7 @@ def run_streaming_dedup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        _await_or_raise(q, timeout_sec)
     return spark.table(name)
 
 
@@ -262,7 +287,9 @@ def run_streaming_upsert_sink(
         sess = batch_df.sparkSession
         try:
             existing = sess.read.parquet(state_path)
-        except Exception:
+        except AnalysisException:
+            # only the path-missing/first-batch case; genuine read errors
+            # (corruption, IO) must propagate, not silently drop state
             existing = None
         merged = (
             existing.unionByName(batch_df) if existing is not None else batch_df
@@ -289,51 +316,107 @@ def run_streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_or_raise(q, timeout_sec)
     return spark.read.parquet(state_path)
+
+
+def _micro_units(v: float) -> int:
+    """Exact double -> 1e-6-grid integer, bit-identical to the engines'
+    ``CAST(double AS DECIMAL(18,6))``: Decimal(float) converts the binary
+    value exactly, and a decimal-scale-6 tie (0.0000005 = 5/10^7) is not
+    binary-representable, so nearest-rounding can never disagree across
+    rounding modes."""
+    return int(
+        (Decimal(v).scaleb(6)).to_integral_value()
+    )
 
 
 def _sessionize_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
-    """Stateful per-user sessionizer: carries (last_ts_us, n_sessions)
-    across micro-batches; a gap > SESSION_GAP_SEC starts a new session.
-    Emits the running per-user session count each batch."""
+    """Stateful per-user sessionizer — the streaming twin of the batch
+    lag-chain :func:`...operators.windows.sessionize`, emitting the SAME
+    per-session schema (user_id, session_id, n_events, session_value,
+    duration_sec) so both share one DuckDB oracle.
+
+    State per user: (last_ts_us, session_id, start_ts_us, n_events,
+    value_micro) for the open session. A gap > SESSION_GAP_SEC closes it
+    (emitted once, final); the open session is re-emitted each batch with
+    running totals — strictly-growing n_events lets the reader keep the
+    newest emission per (user, session). session_value accumulates in
+    exact micro-units, so batch boundaries cannot perturb the sum."""
     (user_id,) = key
     if state.exists:
-        last_ts_us, n_sessions = state.get
+        last_ts_us, session_id, start_ts_us, n_events, value_u = state.get
     else:
-        last_ts_us, n_sessions = -1, 0
+        last_ts_us, session_id, start_ts_us, n_events, value_u = -1, 0, -1, 0, 0
     # gather the key's full batch slice before sorting — a key's rows may
-    # arrive as several pandas chunks within one micro-batch
-    all_ts = [ts for pdf in pdfs for ts in pdf["ts"]]
-    for ts in sorted(all_ts):
-        ts_us = int(pd.Timestamp(ts).value // 1000)
+    # arrive as several pandas chunks within one micro-batch; order by
+    # (ts, event_id) exactly like the batch lag window
+    rows = [
+        (int(pd.Timestamp(ts).value // 1000), int(eid), float(v))
+        for pdf in pdfs
+        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"])
+    ]
+    out: dict[str, list] = {
+        "user_id": [],
+        "session_id": [],
+        "n_events": [],
+        "session_value": [],
+        "duration_sec": [],
+    }
+
+    def _emit() -> None:
+        out["user_id"].append(user_id)
+        out["session_id"].append(session_id)
+        out["n_events"].append(n_events)
+        out["session_value"].append(value_u / 1_000_000)
+        out["duration_sec"].append(
+            last_ts_us // 1_000_000 - start_ts_us // 1_000_000
+        )
+
+    for ts_us, _eid, v in sorted(rows):
         if last_ts_us < 0 or ts_us - last_ts_us > SESSION_GAP_SEC * 1_000_000:
-            n_sessions += 1
+            if session_id > 0:
+                _emit()  # close the previous session — final row
+            session_id += 1
+            start_ts_us, n_events, value_u = ts_us, 0, 0
+        n_events += 1
+        value_u += _micro_units(v)
         last_ts_us = ts_us
-    state.update((last_ts_us, n_sessions))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_sessions": [n_sessions]}
-    )
+    if session_id > 0:
+        _emit()  # open session: running snapshot, superseded next batch
+    state.update((last_ts_us, session_id, start_ts_us, n_events, value_u))
+    yield pd.DataFrame(out)
 
 
 def run_streaming_sessionization(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 120
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
-    session counting with a 30-minute gap — the streaming twin of the
-    batch :func:`...operators.windows.sessionize` (same gap rule).
+    sessionization with a 30-minute gap — the streaming twin of the batch
+    :func:`...operators.windows.sessionize` (same gap rule, same output
+    schema, same DuckDB oracle).
 
-    State is one (last_ts, count) pair per user; with ProcessingTimeTimeout
-    disabled and availableNow the final emitted row per user equals the
-    batch session count."""
+    State is one open-session blob per user. Each batch emits closed
+    sessions (final) plus a running snapshot of the open one; since
+    n_events strictly grows within a session, the newest emission per
+    (user_id, session_id) — picked by a struct-max — is the final row.
+    With availableNow the last batch's snapshot IS the completed session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _events_stream(spark, sf_dir).select("user_id", "ts")
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
     out = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
-        outputStructType="user_id long, n_sessions long",
-        stateStructType="last_ts_us long, n_sessions long",
+        outputStructType=(
+            "user_id long, session_id long, n_events long, "
+            "session_value double, duration_sec long"
+        ),
+        stateStructType=(
+            "last_ts_us long, session_id long, start_ts_us long, "
+            "n_events long, value_u long"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -347,7 +430,22 @@ def run_streaming_sessionization(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
-    # last emitted row per user is the final count
+        _await_or_raise(q, timeout_sec)
+    # newest emission per session wins (n_events strictly grows; the
+    # struct-max carries the matching value/duration along)
     t = spark.table(name)
-    return t.groupBy("user_id").agg(F.max("n_sessions").alias("n_sessions"))
+    return (
+        t.groupBy("user_id", "session_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "session_value", "duration_sec")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(F.col("s.session_value"), 6).alias("session_value"),
+            F.col("s.duration_sec").alias("duration_sec"),
+        )
+    )

@@ -29,7 +29,12 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # 12 significant digits: strict enough that magnitude can't erode
+        # the check (a 1e7-range revenue still exposes sub-cent drift),
+        # loose enough to absorb only the last ~4 bits of double noise.
+        # Every contract-edge sum accumulates through DECIMAL(18,6) on
+        # both engines, so equality here is effectively bit-equality.
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -46,19 +46,21 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
         )
     )
     assert _rowset(stream_result) == _rowset(batch_result)
 
 
 def test_streaming_sessionization_equals_batch(spark, sf_dir):
+    """The stateful sessionizer now emits the full batch-sessionize
+    schema (user_id, session_id, n_events, session_value, duration_sec),
+    so the equivalence check is row-for-row against the batch twin."""
     stream_result = run_streaming_sessionization(spark, sf_dir)
-    batch_result = (
-        sessionize(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(F.max("session_id").alias("n_sessions"))
-    )
+    batch_result = sessionize(spark, sf_dir)
+    assert stream_result.columns == batch_result.columns
     assert _rowset(stream_result) == _rowset(batch_result)
 
 
