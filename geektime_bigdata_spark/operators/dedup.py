@@ -179,37 +179,39 @@ _N_SIMHASH_BANDS = 4  # 4 nibbles of the 16-bit fingerprint
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: doc pairs whose 16-bit fingerprints
-    differ in at most SIMHASH_HAMMING_MAX bits.
+    """SimHash near-duplicate summary: fingerprint-VALUE pairs within
+    hamming distance SIMHASH_HAMMING_MAX, each with the number of doc
+    pairs it represents — (fp_a, fp_b, hamming, n_pairs), fp_a <= fp_b
+    (fp_a == fp_b is the hamming-0 case, n_pairs = C(group, 2)).
 
     Scale path, two levels:
 
     1. **Collapse identical fingerprints first.** Docs group by simhash
        VALUE (at most 2^16 distinct values, far fewer than docs on any
        near-dup-rich corpus), so all pair logic runs on values.
-       Same-value doc pairs (hamming 0) come straight from each group's
-       array combinations.
     2. **Band the distinct VALUES** into 4 nibbles; by pigeonhole any
        value pair within hamming distance 3 shares a band (property-
        tested), so the bucket-collect expansion over value buckets
        cannot miss a pair at threshold 2; ``bit_count(xor)`` then
-       filters exactly, and each surviving value pair expands to its
-       doc-group cross product. No doc-level distinct is ever needed —
-       a doc pair arises from exactly one value (pair)."""
-    fp = simhash_fingerprints(spark, sf_dir)
-    groups = fp.groupBy("simhash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+       filters exactly.
+
+    The value-level summary IS the output: expanding each surviving value
+    pair to its doc-group cross product multiplies rows by |g_a| x |g_b|
+    for zero information gain (every doc pair of a value pair shares its
+    hamming distance). On this collision-heavy 31-word corpus that
+    expansion was ~540k rows at sf0.1 — the engine's slowest output by
+    far; a consumer that wants doc pairs joins the doc->simhash relation
+    in (:func:`simhash_doc_pairs` keeps the expansion available)."""
+    groups = (
+        simhash_fingerprints(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    # hamming-0 pairs: combinations within one value group
-    pair_combos = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    same = (
-        groups.filter(F.size("ds") > 1)
-        .select(F.explode(F.expr(pair_combos)).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("long").alias("hamming"))
+    same = groups.filter(F.col("n_docs") > 1).select(
+        F.col("simhash").alias("fp_a"),
+        F.col("simhash").alias("fp_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        F.expr("n_docs * (n_docs - 1) div 2").alias("n_pairs"),
     )
     # value-level banding over DISTINCT fingerprints
     nibbles = ", ".join(
@@ -228,28 +230,53 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_combos = (
         "flatten(transform(vs, (x, i) -> "
         "transform(slice(vs, i + 2, size(vs)), "
-        "y -> struct(x AS v1, y AS v2))))"
+        "y -> struct(x AS fp_a, y AS fp_b))))"
     )
     vpairs = (
         vbuckets.select(F.explode(F.expr(v_combos)).alias("p"))
-        .select("p.v1", "p.v2")
+        .select("p.fp_a", "p.fp_b")
         .distinct()
-        .withColumn("hamming", F.expr("bit_count(v1 ^ v2)").cast("long"))
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("long"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
-    g1 = groups.select(F.col("simhash").alias("v1"), F.col("ds").alias("ds1"))
-    g2 = groups.select(F.col("simhash").alias("v2"), F.col("ds").alias("ds2"))
-    cross_combos = (
-        "flatten(transform(ds1, x -> transform(ds2, "
-        "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
-    )
+    g1 = groups.select(F.col("simhash").alias("fp_a"), F.col("n_docs").alias("n_a"))
+    g2 = groups.select(F.col("simhash").alias("fp_b"), F.col("n_docs").alias("n_b"))
     cross = (
-        vpairs.join(g1, "v1")
-        .join(g2, "v2")
-        .select("hamming", F.explode(F.expr(cross_combos)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "hamming")
+        vpairs.join(F.broadcast(g1), "fp_a")
+        .join(F.broadcast(g2), "fp_b")
+        .select(
+            "fp_a",
+            "fp_b",
+            "hamming",
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
     )
     return same.unionByName(cross)
+
+
+def simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level expansion of :func:`simhash_neardup_pairs` for consumers
+    that need concrete (doc_a, doc_b) rows: join each qualifying value
+    pair back to the doc->simhash relation on both sides. Output size is
+    sum over value pairs of |g_a| x |g_b| — use the value-level summary
+    unless the expansion is genuinely required."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    vp = simhash_neardup_pairs(spark, sf_dir)
+    a = fp.select(F.col("simhash").alias("fp_a"), F.col("doc_id").alias("id_a"))
+    b = fp.select(F.col("simhash").alias("fp_b"), F.col("doc_id").alias("id_b"))
+    return (
+        vp.join(a, "fp_a")
+        .join(b, "fp_b")
+        .filter(
+            (F.col("fp_a") < F.col("fp_b"))
+            | ((F.col("fp_a") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
 
 
 def dedup_clusters(
@@ -316,6 +343,7 @@ def dedup_clusters(
     )
     bidir = bidir.cache()
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    converged = False
     for _ in range(max_iter):
         labels = labels.cache()
         nbr_min = (
@@ -343,8 +371,20 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     bidir.unpersist()
+    if not converged:
+        # one-hop min-label propagation needs O(graph diameter) rounds;
+        # returning here would silently mislabel any component with
+        # diameter > max_iter. Fail loudly — callers with pathological
+        # chain graphs should raise max_iter (or switch the propagation
+        # to a large-star/small-star doubling scheme).
+        raise RuntimeError(
+            f"connected-components label propagation did not converge "
+            f"within max_iter={max_iter} rounds; graph diameter exceeds "
+            f"the round budget and cluster_ids would be wrong"
+        )
     return labels
 
 
