@@ -189,16 +189,18 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins; column names/aliases match queries().
 
     Float contract rule: every hashed column derived from a
-    nondeterministically-ordered double sum accumulates through
-    DECIMAL(18,6) on BOTH engines (``CAST(sum(CAST(x AS DECIMAL(18,6)))
-    AS DOUBLE)`` here, :func:`geektime_bigdata_spark.functions.exact_sum`
-    in the Spark plan) — decimal addition is associative, so partitioning
+    nondeterministically-ordered double sum accumulates through LONG
+    micro-units on BOTH engines (``CAST(sum(CAST(floor(x * 1000000.0 +
+    0.5) AS BIGINT)) AS DOUBLE) / 1000000.0`` here,
+    :func:`geektime_bigdata_spark.functions.exact_sum` in the Spark
+    plan) — the quantization is identical IEEE double arithmetic in
+    every engine and integer addition is associative, so partitioning
     can never flip a round(,N) boundary (round 1's only driver FAIL)."""
     micro_cols = " || ',' || ".join(
         f"CAST(round(f{i} * 1000000, 0) AS BIGINT)" for i in range(8)
     )
     centroid_cols = ", ".join(
-        f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c{i}"
+        f"round(CAST(sum(CAST(floor((CAST(embedding[{i + 1}] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS c{i}"
         for i in range(64)
     )
     media_f_cols = ", ".join(
@@ -231,7 +233,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT media_type, count(*) AS n_docs,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-                   round(CAST(sum(CAST(feature_norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_feature_norm
+                   round(CAST(sum(CAST(floor((feature_norm) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_feature_norm
             FROM feat GROUP BY media_type
         """,
         "media_features_wide": f"""
@@ -285,9 +287,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flow_stats": """
             SELECT user_id,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_up,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_down,
-                   round(CAST(sum(CAST(CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_total
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_up,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_down,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_total
             FROM events GROUP BY user_id
         """,
         "null_filter_empty": """
@@ -349,7 +351,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_catalog_query": """
             SELECT n.n_name, count(*) AS n_orders,
-                   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
+                   round(CAST(sum(CAST(floor((o.o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total_price
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -359,7 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty,
                    CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -367,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "order_status_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total,
+                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total,
                    CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -409,16 +411,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                    CAST(month(o_orderdate) AS BIGINT) AS mo,
                    count(*) AS n_orders,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
             FROM orders GROUP BY 1, 2
         """,
         "event_type_pivot": """
             SELECT user_id,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS click,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS view,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS purchase,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS signup,
-                   round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(18,6))) AS DOUBLE), 6) AS error
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS click,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS view,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS purchase,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'signup' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS signup,
+                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS error
             FROM events GROUP BY user_id
         """,
         "embedding_norms_pandas": """
@@ -431,13 +433,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
-                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty,
+                   round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_base_price,
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(floor((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -446,7 +448,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -459,7 +461,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
             FROM region
             JOIN nation ON n_regionkey = r_regionkey
             JOIN customer ON c_nationkey = n_nationkey
@@ -473,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+            SELECT round(CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -483,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -497,8 +499,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_promo_effect": """
             SELECT round(
-                100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-                / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+                100.0 * CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 6) AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
@@ -534,7 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -550,8 +552,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q8_market_share": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   round(CAST(sum(CAST(floor((CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                         / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 6)
                        AS mkt_share
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -569,7 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
                        AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -581,7 +583,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_important_stock": """
             WITH v AS (
-                SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
+                SELECT l_partkey, CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS value
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey
@@ -589,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_partkey
             )
             SELECT l_partkey, round(value, 4) AS value
-            FROM v WHERE value > 0.002 * (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM v)
+            FROM v WHERE value > 0.002 * (SELECT CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 FROM v)
             ORDER BY value DESC, l_partkey
         """,
         "q12_late_priority": """
@@ -621,7 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH revenue AS (
                 SELECT l_suppkey,
-                       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
+                       round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
                            AS total_revenue
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -652,7 +654,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q17_small_quantity_revenue": """
-            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+            SELECT round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / 7.0, 4) AS avg_yearly
             FROM (
                 SELECT l_extendedprice, l_quantity,
                        avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
@@ -663,9 +665,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_large_volume_customers": """
             WITH big AS (
-                SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+                SELECT l_orderkey, round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty
                 FROM lineitem GROUP BY l_orderkey
-                HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) > 180
+                HAVING round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) > 180
             )
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                    sum_qty
@@ -676,7 +678,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "q19_discounted_revenue": """
-            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+            SELECT round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue,
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -726,9 +728,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey, count(*) AS numcust,
-                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS totacctbal
+                   round(CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS totacctbal
             FROM customer
-            WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM customer
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) FROM customer
                                WHERE c_acctbal > 0)
               AND NOT EXISTS (
                   SELECT 1 FROM orders
@@ -738,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_dim_join": """
             SELECT n_name, count(*) AS n_customers,
-                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_acctbal
+                   round(CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
@@ -791,7 +793,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id,
                    count(*) AS n_events,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value,
+                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS session_value,
                    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM sessions GROUP BY user_id, session_id
         """,
@@ -806,7 +808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_event_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "json_props_extract": """
@@ -951,7 +953,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS last_event_ts,
                    count(*) AS n_events,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS session_value
+                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS session_value
             FROM sessions GROUP BY user_id, session_id
         """,
         "tfidf_top_terms": """
@@ -1015,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "sliding_window_counts": """
-            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -1025,7 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "continuous_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "scd2_intervals": """
@@ -1178,7 +1180,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(keep) AS BIGINT) AS n_kept,
                    CAST(sum(1 - is_representative) AS BIGINT) AS n_dup_dropped,
-                   round(CAST(sum(CAST(CASE WHEN keep = 1 THEN quality_score END AS DECIMAL(18,6))) AS DOUBLE) / count(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
+                   round(CAST(sum(CAST(floor((CASE WHEN keep = 1 THEN quality_score END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
             FROM curated GROUP BY lang
         """,
         "ann_topk_bruteforce": """
@@ -1211,7 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": """
             WITH cent AS (
                 SELECT label AS cell, pos,
-                       round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+                       round(CAST(sum(CAST(floor((CAST(embedding[pos] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS c
                 FROM (SELECT label, embedding,
                              unnest(generate_series(1, 64)) AS pos
                       FROM embeddings)
@@ -1320,11 +1322,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM events GROUP BY 1, 2
         """,
         "streaming_sliding_counts": """
-            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -1341,7 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_enriched_rollup": """
             SELECT c_mktsegment, count(*) AS n_events,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
         """,

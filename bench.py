@@ -19,23 +19,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from geektime_bigdata_spark import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-# Headline set: scan/agg throughput (q1), join pipelines (q3/q5), windows
-# (sessionize), text (inverted index), plus extension ops appended as they
-# land. Keys must exist in __spark_entry__.queries().
+# Headline set: scan/agg throughput (q1), join pipelines (q3/q5/q9/q21),
+# windows (sessionize), text (inverted index), plus the heavy-tail dedup/
+# ANN operators so regressions in the expensive plans stay visible.
+# Keys must exist in __spark_entry__.queries().
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
     "q14_promo_effect",
+    "q21_suppliers_waiting",
     "flow_stats",
     "sessionize",
     "window_topn_orders",
     "inverted_index_str",
     "word_counts",
     "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "doc_quality_scores",
 ]
 
@@ -78,17 +85,25 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # per-query history for round-over-round regression tracking (the
+    # driver snapshots only the latest line as BENCH_r{N}.json)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_history.jsonl"),
+            "a",
+        ) as fh:
+            fh.write(json.dumps({"ts": time.time(), **record}) + "\n")
+    except OSError:
+        pass  # history is best-effort; the contract is the stdout line
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

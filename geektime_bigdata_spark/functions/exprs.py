@@ -46,26 +46,61 @@ def vec_norm(a: str) -> Column:
     )
 
 
-def exact_sum(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent exact group sum of a double expression for hashed
-    contract edges: cast each addend to ``DECIMAL(18, scale)`` (exact for
-    the <= 2-decimal money/value columns in this dataset; products of
-    2-decimal values land within ~1e-13 of the decimal grid, far from any
-    rounding-mode tie), sum exactly, and emit double.
+def exact_sum(
+    col: Column | str,
+    scale: int = 6,
+    wide: bool = False,
+    guarded: bool = True,
+) -> Column:
+    """Order-independent group sum of a double expression for hashed
+    contract edges.
 
     Plain ``sum(double)`` over a group accumulates in partition order —
     nondeterministic under shuffle — so ``round(sum(value), 6)`` can
     straddle a 0.5e-6 boundary and hash-mismatch a DuckDB oracle even
     when both engines are "right" (this was round 1's only driver FAIL,
-    ``sessionize``). Decimal addition is associative and commutative, so
-    the result is bit-identical regardless of partitioning; mirror with
-    ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` in the oracle. At
-    100 TB the decimal sum still runs partial+final hash aggregation
-    inside whole-stage codegen (Spark keeps a specialized unscaled-long
-    accumulator for precision <= 18 inputs), so the determinism costs no
-    shuffle and negligible CPU."""
+    ``sessionize``).
+
+    Fast path (default): quantize each addend to a LONG count of
+    ``10^-scale`` units via ``floor(x * 10^scale + 0.5)`` — pure double
+    arithmetic, identical IEEE ops in every engine — then sum integers
+    (exact, associative, whole-stage-codegen primitive: benchmarked at
+    plain-double-sum speed, vs ~6x slower for a DECIMAL accumulate).
+    Mirror in the oracle with::
+
+        CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1000000.0
+
+    Envelope: the group's |sum of micro-units| must stay below 2^63.
+    A parallel ``count * max(abs(micro))`` guard (two cheap primitive
+    aggregates) raises instead of silently wrapping when a group could
+    exceed it — at 2-decimal money values (~1e5) and scale 6 that
+    triggers around 1e12 rows per group; ``wide=True`` switches to the
+    overflow-proof DECIMAL(38, scale) accumulator (~6x slower) for
+    beyond-long aggregations. ``guarded=False`` drops the guard pair —
+    only for callers that prove the envelope themselves (e.g. a wide
+    64-column centroid agg over unit-range values, where 64 extra
+    count/max aggregates would dominate the plan)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    if wide:
+        return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+    k = F.lit(float(10**scale))
+    micro = F.floor(c * k + F.lit(0.5)).cast("long")
+    if not guarded:
+        return (F.sum(micro) / k).cast("double")
+    # conservative in double space: count * max|micro| bounds |sum(micro)|
+    fits = (
+        F.count(c).cast("double") * F.max(F.abs(micro)).cast("double")
+    ) < F.lit(9.0e18)
+    total = F.when(fits, F.sum(micro)).otherwise(
+        F.raise_error(
+            F.lit(
+                "exact_sum: long micro-unit envelope exceeded for this "
+                "group; use exact_sum(..., wide=True)"
+            )
+        ).cast("long")
+    )
+    return (total / k).cast("double")
 
 
 def hash_unit_weight(tag: str) -> float:

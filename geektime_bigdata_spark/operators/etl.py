@@ -118,10 +118,14 @@ def hourly_rollup_partials(events: DataFrame) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        # partials carry DECIMAL, not DOUBLE: decimal addition is exact and
-        # associative, so partial states merge in any order/grouping and
-        # the refreshed rollup is bit-identical to the single-pass one.
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        # partials carry LONG micro-units (1e-6), not DOUBLE: integer
+        # addition is exact and associative, so partial states merge in
+        # any order/grouping and the refreshed rollup is bit-identical to
+        # the single-pass one (exact_sum's quantization, kept raw here so
+        # the stored partial stays losslessly mergeable).
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("sum_value"),
     )
 
 
@@ -162,5 +166,7 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "event_type",
         "n",
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(
+            (F.col("sum_value") / F.lit(1e6)).cast("double"), 6
+        ).alias("sum_value"),
     )

@@ -181,9 +181,9 @@ def sql_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name, count(*) AS n_orders,
-               -- decimal accumulation: order-independent sum at the
+               -- micro-unit accumulation: order-independent sum at the
                -- hashed contract edge (see functions.exprs.exact_sum)
-               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_price
+               round(CAST(sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total_price
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey

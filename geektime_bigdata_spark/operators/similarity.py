@@ -158,10 +158,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 # exact_sum/count, not avg: a per-label double sum is
                 # partition-order-dependent; quantizing each element to
-                # the 1e-6 grid first makes the mean engine-identical
+                # the 1e-6 grid first makes the mean engine-identical.
+                # guarded=False: elements are unit-range (|micro| <= ~1e7)
+                # so the long envelope holds past 1e11 rows per label, and
+                # 64 extra count/max guard aggregates would dominate this
+                # wide plan's codegen.
                 F.round(
                     exact_sum(
-                        F.element_at("embedding", i + 1).cast("double")
+                        F.element_at("embedding", i + 1).cast("double"),
+                        guarded=False,
                     )
                     / n,
                     6,

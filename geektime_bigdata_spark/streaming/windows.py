@@ -15,10 +15,10 @@ key's micro-batch slice as a pandas frame (Arrow-batched, not per-row).
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import uuid
-from decimal import Decimal
 from typing import Iterable
 
 import pandas as pd
@@ -47,12 +47,20 @@ def _await_or_raise(q, timeout_sec: int) -> None:
 
 
 def _exact_value_sum(rounded: int = 6):
-    """Order-independent decimal sum of ``value`` for streaming aggregates —
-    same contract-edge rule as :func:`...functions.exact_sum` (decimal
-    addition is associative, so micro-batch accumulation order and batch
-    boundaries cannot perturb the hashed result)."""
+    """Order-independent micro-unit sum of ``value`` for streaming
+    aggregates — same contract-edge rule as
+    :func:`...functions.exact_sum` (integer addition is associative, so
+    micro-batch accumulation order and batch boundaries cannot perturb
+    the hashed result). The overflow-guard form of exact_sum is not used
+    here because count/max guards are extra stateful aggregates in a
+    streaming plan; events value <= ~1e3 keeps the envelope safe past
+    1e12 rows per window."""
     return F.round(
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), rounded
+        (
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            / F.lit(1e6)
+        ).cast("double"),
+        rounded,
     )
 
 
@@ -321,14 +329,11 @@ def run_streaming_upsert_sink(
 
 
 def _micro_units(v: float) -> int:
-    """Exact double -> 1e-6-grid integer, bit-identical to the engines'
-    ``CAST(double AS DECIMAL(18,6))``: Decimal(float) converts the binary
-    value exactly, and a decimal-scale-6 tie (0.0000005 = 5/10^7) is not
-    binary-representable, so nearest-rounding can never disagree across
-    rounding modes."""
-    return int(
-        (Decimal(v).scaleb(6)).to_integral_value()
-    )
+    """Double -> 1e-6-unit integer, bit-identical to the engines'
+    ``floor(x * 1000000.0 + 0.5)`` quantization (exact_sum's fast path):
+    Python floats ARE IEEE doubles, so ``v * 1e6 + 0.5`` runs the exact
+    same two operations the JVM/DuckDB evaluate."""
+    return math.floor(v * 1e6 + 0.5)
 
 
 def _sessionize_group(

@@ -47,7 +47,15 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+                (
+                    F.sum(
+                        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    )
+                    / F.lit(1e6)
+                ).cast("double"),
+                6,
             ).alias("total_value"),
         )
     )
