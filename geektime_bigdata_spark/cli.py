@@ -7,6 +7,14 @@ and timeable from a shell.
     python -m geektime_bigdata_spark run q1_pricing_summary --sf-dir /root/testdata/sf0.01
     python -m geektime_bigdata_spark explain q5_local_supplier_volume
     python -m geektime_bigdata_spark bench
+    python -m geektime_bigdata_spark publish --out /tmp/corpus_out
+
+``publish`` is the end-to-end curation JOB (quality -> near-dup
+clusters -> representative selection -> language-partitioned parquet
+corpus + per-language JSON summary) — the write path a training-data
+run actually executes, not just a query returning rows. Deterministic:
+re-running over the same input produces the same partition layout and
+summary, and the final line is one JSON object for machine consumption.
 """
 
 from __future__ import annotations
@@ -39,7 +47,37 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
+    p_pub = sub.add_parser(
+        "publish",
+        help="run the curation job: partitioned corpus + summary sink",
+    )
+    p_pub.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_pub.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "publish":
+        import json
+
+        from geektime_bigdata_spark import get_spark
+        from geektime_bigdata_spark.operators.pipeline import run_curation_job
+
+        spark = get_spark(app_name="gbs-cli-publish")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.perf_counter()
+        stats = run_curation_job(spark, args.sf_dir, args.out)
+        print(
+            json.dumps(
+                {
+                    "job": "publish",
+                    "sf_dir": args.sf_dir,
+                    "out": args.out,
+                    **stats,
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "bench":
         import bench

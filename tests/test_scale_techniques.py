@@ -90,6 +90,57 @@ def test_salted_equals_plain_word_count(spark, sf_dir):
     assert salted == plain
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling demonstrated on ACTUAL skew: 95% of a
+    synthetic fact lands on one hot key, the dim side is uniform, and
+    after execution the adaptive plan must show the hot partition was
+    split (SortMergeJoin(skew=true) + a 'skewed' AQEShuffleRead).
+
+    Two test-scale adjustments, both size-only (the rule itself is
+    untouched): thresholds are lowered from the 256MB production default
+    so ~5MB of skew qualifies, and the fact side is repartitioned to 16
+    map tasks first — skew splits operate on per-mapper output chunks,
+    so a single-mapper input (one small parquet file) is indivisible no
+    matter how skewed it is. At 100 TB both conditions hold naturally
+    (thousands of mappers, multi-GB hot partitions)."""
+    from geektime_bigdata_spark.registry import table
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        e = table(spark, "/root/testdata/sf0.1", "events")
+        fact = e.select(
+            F.when(F.col("event_id") % 20 != 0, F.lit(1))
+            .otherwise(F.col("event_id") % 50)
+            .alias("k"),
+            "value",
+            "props",
+        ).repartition(16)
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        joined = fact.join(dim, "k")
+        n = len(joined.collect())  # run to completion so AQE finalizes
+        assert n == fact.count()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert any(
+            "skewed" in line and "AQEShuffleRead" in line
+            for line in final.splitlines()
+        ), final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     """A dt-partitioned layout must prune directories at planning time:
     the day predicate lands in PartitionFilters and the scanned data is
