@@ -197,15 +197,15 @@ def oracle_sql() -> dict[str, str]:
     every engine and integer addition is associative, so partitioning
     can never flip a round(,N) boundary (round 1's only driver FAIL)."""
     micro_cols = " || ',' || ".join(
-        f"CAST(round(f{i} * 1000000, 0) AS BIGINT)" for i in range(8)
+        f"CAST(floor(f{i} * 1000000.0 + 0.5) AS BIGINT)" for i in range(8)
     )
     centroid_cols = ", ".join(
-        f"round(CAST(sum(CAST(floor((CAST(embedding[{i + 1}] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS c{i}"
+        f"floor((CAST(sum(CAST(floor((CAST(embedding[{i + 1}] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c{i}"
         for i in range(64)
     )
     media_f_cols = ", ".join(
-        f"round(coalesce(max(CASE WHEN k = {i} THEN s END), 0) * 1.0"
-        f" / greatest(n, 1), 6) AS f{i}"
+        f"floor((coalesce(max(CASE WHEN k = {i} THEN s END), 0) * 1.0"
+        f" / greatest(n, 1)) * 1000000.0 + 0.5) / 1000000.0 AS f{i}"
         for i in range(8)
     )
     media_norm = " + ".join(f"f{i} * f{i}" for i in range(8))
@@ -228,12 +228,12 @@ def oracle_sql() -> dict[str, str]:
                             WHEN doc_id % 3 = 1 THEN 'audio'
                             ELSE 'video' END AS media_type,
                        n_bytes,
-                       round(sqrt({media_norm}), 6) AS feature_norm
+                       floor(sqrt({media_norm}) * 1000000.0 + 0.5) / 1000000.0 AS feature_norm
                 FROM wide
             )
             SELECT media_type, count(*) AS n_docs,
                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-                   round(CAST(sum(CAST(floor((feature_norm) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_feature_norm
+                   floor((CAST(sum(CAST(floor((feature_norm) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_feature_norm
             FROM feat GROUP BY media_type
         """,
         "media_features_wide": f"""
@@ -255,7 +255,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
                    n_bytes, f0, f1, f2, f3, f4, f5, f6, f7,
-                   round(sqrt({media_norm}), 6) AS feature_norm
+                   floor(sqrt({media_norm}) * 1000000.0 + 0.5) / 1000000.0 AS feature_norm
             FROM wide
         """,
         "media_features": f"""
@@ -278,7 +278,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'video' END AS media_type,
                    n_bytes,
                    {micro_cols} AS feature_str,
-                   round(sqrt({media_norm}), 6) AS feature_norm
+                   floor(sqrt({media_norm}) * 1000000.0 + 0.5) / 1000000.0 AS feature_norm
             FROM wide
         """,
         "label_centroids": f"""
@@ -375,20 +375,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "user_value_trend": """
+            -- exact-integer OLS mirror of the applyInPandas slope:
+            -- x = µs offsets (BIGINT), y = value cents (BIGINT), HUGEINT
+            -- sums, one final double division — order-independent, unlike
+            -- regr_slope's float accumulation
             WITH c AS (
-                SELECT user_id, value,
-                       (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id))
-                           / 3600.0 AS x
+                SELECT user_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
+                       epoch_us(ts)
+                           - min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                           AS xu
                 FROM events
+            ), s AS (
+                SELECT user_id, count(*) AS n,
+                       sum(CAST(xu AS HUGEINT)) AS sx,
+                       sum(CAST(yc AS HUGEINT)) AS sy,
+                       sum(CAST(xu AS HUGEINT) * yc) AS sxy,
+                       sum(CAST(xu AS HUGEINT) * xu) AS sxx
+                FROM c GROUP BY user_id
             )
-            SELECT user_id, round(regr_slope(value, x), 6) AS slope,
-                   count(*) AS n_events
-            FROM c GROUP BY user_id
+            SELECT user_id,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                                   * 36000000.0) * 1000000.0 + 0.5) / 1000000.0
+                   END AS slope,
+                   n AS n_events
+            FROM s
         """,
         "customer_balance_quartiles": """
             SELECT c_custkey, c_mktsegment, c_acctbal,
                    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-                   round(percent_rank() OVER w, 6) AS pct_rank
+                   floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment
                          ORDER BY c_acctbal DESC, c_custkey)
@@ -425,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_norms_pandas": """
             SELECT vec_id,
-                   round(sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6) AS l2_norm
+                   floor((sqrt(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
             FROM (SELECT vec_id, embedding,
                          unnest(generate_series(1, len(embedding))) AS i
                   FROM embeddings)
@@ -437,9 +455,9 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_base_price,
                    round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_disc_price,
                    round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
-                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_qty,
-                   round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_price,
-                   round(CAST(sum(CAST(floor((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_disc,
+                   floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+                   floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+                   floor((CAST(sum(CAST(floor((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -498,9 +516,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q14_promo_effect": """
-            SELECT round(
-                100.0 * CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
-                / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 6) AS promo_revenue_pct
+            SELECT floor((100.0 * CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
@@ -552,8 +569,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q8_market_share": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(CAST(sum(CAST(floor((CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
-                         / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0), 6)
+                   floor((CAST(sum(CAST(floor((CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                         / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
                        AS mkt_share
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -654,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q17_small_quantity_revenue": """
-            SELECT round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / 7.0, 4) AS avg_yearly
+            SELECT floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / 7.0) * 10000.0 + 0.5) / 10000.0 AS avg_yearly
             FROM (
                 SELECT l_extendedprice, l_quantity,
                        avg(l_quantity) OVER (PARTITION BY p_partkey) AS avg_qty
@@ -927,11 +944,11 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+                   floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
             FROM inter
             JOIN sizes x ON doc_a = x.doc_id
             JOIN sizes y ON doc_b = y.doc_id
-            WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+            WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
         """,
         "session_window_rollup": """
             WITH flagged AS (
@@ -997,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a, doc_b FROM inter
                 JOIN sizes x ON doc_a = x.doc_id
                 JOIN sizes y ON doc_b = y.doc_id
-                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
             ), bidir AS (
                 SELECT doc_a AS s, doc_b AS d FROM edges
                 UNION SELECT doc_b, doc_a FROM edges
@@ -1084,7 +1101,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a, doc_b FROM inter
                 JOIN sizes x ON doc_a = x.doc_id
                 JOIN sizes y ON doc_b = y.doc_id
-                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
             ), bidir AS (
                 SELECT doc_a AS s, doc_b AS d FROM edges
                 UNION SELECT doc_b, doc_a FROM edges
@@ -1098,17 +1115,17 @@ def oracle_sql() -> dict[str, str]:
             ), tok AS (
                 SELECT doc_id,
                        count(*) AS n_tokens,
-                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
-                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
-                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                       floor((CAST(sum(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                       floor((count(DISTINCT word) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                       FROM documents)
                 WHERE word <> '' GROUP BY doc_id
             ), quality AS (
                 SELECT doc_id,
-                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                       floor((least(n_tokens / 100.0, 1.0) * 0.4
                              + distinct_ratio * 0.4
-                             + (1 - stopword_ratio) * 0.2, 6) AS quality_score
+                             + (1 - stopword_ratio) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
                 FROM tok
             )
             SELECT d.doc_id, d.lang, cl.cluster_id,
@@ -1140,7 +1157,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a, doc_b FROM inter
                 JOIN sizes x ON doc_a = x.doc_id
                 JOIN sizes y ON doc_b = y.doc_id
-                WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.1
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
             ), bidir AS (
                 SELECT doc_a AS s, doc_b AS d FROM edges
                 UNION SELECT doc_b, doc_a FROM edges
@@ -1154,17 +1171,17 @@ def oracle_sql() -> dict[str, str]:
             ), tok AS (
                 SELECT doc_id,
                        count(*) AS n_tokens,
-                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
-                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
-                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                       floor((CAST(sum(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                       floor((count(DISTINCT word) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                       FROM documents)
                 WHERE word <> '' GROUP BY doc_id
             ), quality AS (
                 SELECT doc_id,
-                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                       floor((least(n_tokens / 100.0, 1.0) * 0.4
                              + distinct_ratio * 0.4
-                             + (1 - stopword_ratio) * 0.2, 6) AS quality_score
+                             + (1 - stopword_ratio) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
                 FROM tok
             ), curated AS (
                 SELECT d.doc_id, d.lang, cl.cluster_id,
@@ -1180,7 +1197,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(keep) AS BIGINT) AS n_kept,
                    CAST(sum(1 - is_representative) AS BIGINT) AS n_dup_dropped,
-                   round(CAST(sum(CAST(floor((CASE WHEN keep = 1 THEN quality_score END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(CASE WHEN keep = 1 THEN quality_score END), 6) AS kept_avg_quality
+                   floor((CAST(sum(CAST(floor((CASE WHEN keep = 1 THEN quality_score END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(CASE WHEN keep = 1 THEN quality_score END)) * 1000000.0 + 0.5) / 1000000.0 AS kept_avg_quality
             FROM curated GROUP BY lang
         """,
         "ann_topk_bruteforce": """
@@ -1192,16 +1209,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN embeddings c WHERE c.vec_id <> query_id
             ), sums AS (
                 SELECT query_id, cand_id,
-                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS dot,
-                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)) AS qq,
-                       sum(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS cc
+                       sum(CAST(floor(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS dot,
+                       sum(CAST(floor(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS qq,
+                       sum(CAST(floor(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS cc
                 FROM (SELECT query_id, cand_id, q_emb, c_emb,
                              unnest(generate_series(1, len(q_emb))) AS i
                       FROM pairs)
                 GROUP BY query_id, cand_id
             ), scored AS (
                 SELECT query_id, cand_id,
-                       round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+                       floor((dot / (sqrt(qq) * sqrt(cc))) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
                 FROM sums
             )
             SELECT query_id, cand_id, cos_sim, rank FROM (
@@ -1213,15 +1230,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": """
             WITH cent AS (
                 SELECT label AS cell, pos,
-                       round(CAST(sum(CAST(floor((CAST(embedding[pos] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*), 6) AS c
+                       floor((CAST(sum(CAST(floor((CAST(embedding[pos] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c
                 FROM (SELECT label, embedding,
                              unnest(generate_series(1, 64)) AS pos
                       FROM embeddings)
                 GROUP BY 1, 2
             ), dist AS (
                 SELECT v.vec_id, c.cell,
-                       round(sum((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
-                                 * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)),
+                       round(sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                                 * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0,
                              6) AS d2
                 FROM embeddings v CROSS JOIN cent c
                 GROUP BY 1, 2
@@ -1242,16 +1260,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE qa.vec_id < 5
             ), sums AS (
                 SELECT query_id, cand_id, cell,
-                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS dot,
-                       sum(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)) AS qq,
-                       sum(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)) AS cc
+                       sum(CAST(floor(CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS dot,
+                       sum(CAST(floor(CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS qq,
+                       sum(CAST(floor(CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS cc
                 FROM (SELECT query_id, cand_id, cell, q_emb, c_emb,
                              unnest(generate_series(1, len(q_emb))) AS i
                       FROM pairs)
                 GROUP BY 1, 2, 3
             ), scored AS (
                 SELECT query_id, cand_id, cell,
-                       round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+                       floor((dot / (sqrt(qq) * sqrt(cc))) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
                 FROM sums
             )
             SELECT query_id, cand_id, cell, cos_sim, rank FROM (
@@ -1272,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT unnest(generate_series(0, 7)) AS p),
                      (SELECT unnest(generate_series(0, 63)) AS d)
             ), proj AS (
-                SELECT vec_id, p, sum(x * w) AS proj
+                SELECT vec_id, p, sum(CAST(floor(x * w * 1000000.0 + 0.5) AS BIGINT)) AS proj
                 FROM dims JOIN planes USING (d) GROUP BY vec_id, p
             )
             SELECT vec_id,
@@ -1291,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT unnest(generate_series(0, 7)) AS p),
                      (SELECT unnest(generate_series(0, 63)) AS d)
             ), proj AS (
-                SELECT vec_id, p, sum(x * w) AS proj
+                SELECT vec_id, p, sum(CAST(floor(x * w * 1000000.0 + 0.5) AS BIGINT)) AS proj
                 FROM dims JOIN planes USING (d) GROUP BY vec_id, p
             ), buckets AS (
                 SELECT vec_id,
@@ -1307,18 +1325,18 @@ def oracle_sql() -> dict[str, str]:
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             ), sums AS (
                 SELECT id_a, id_b,
-                       sum(CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)) AS dot,
-                       sum(CAST(emb_a[i] AS DOUBLE) * CAST(emb_a[i] AS DOUBLE)) AS aa,
-                       sum(CAST(emb_b[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)) AS bb
+                       sum(CAST(floor(CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS dot,
+                       sum(CAST(floor(CAST(emb_a[i] AS DOUBLE) * CAST(emb_a[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS aa,
+                       sum(CAST(floor(CAST(emb_b[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS bb
                 FROM (SELECT id_a, id_b, emb_a, emb_b,
                              unnest(generate_series(1, len(emb_a))) AS i
                       FROM cand)
                 GROUP BY id_a, id_b
             )
             SELECT id_a, id_b,
-                   round(dot / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+                   floor((dot / (sqrt(aa) * sqrt(bb))) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
             FROM sums
-            WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4
+            WHERE floor((dot / (sqrt(aa) * sqrt(bb))) * 1000000.0 + 0.5) / 1000000.0 >= 0.4
         """,
         "streaming_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -1352,7 +1370,7 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_pieces,
                    len(list_distinct(string_split(text, ' '))) AS n_types,
-                   round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS chars_per_token
+                   floor((length(text) * 1.0 / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
             FROM documents
         """,
         "lang_id_heuristic": """
@@ -1381,19 +1399,19 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
                 SELECT doc_id,
                        count(*) AS n_tokens,
-                       round(avg(length(word)), 6) AS avg_word_len,
-                       round(avg(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
-                                      THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio,
-                       round(count(DISTINCT word) * 1.0 / count(*), 6) AS distinct_ratio
+                       floor((CAST(sum(length(word)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+                       floor((CAST(sum(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                       floor((count(DISTINCT word) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                       FROM documents)
                 GROUP BY doc_id
             )
             SELECT d.doc_id, length(d.text) AS n_chars_text,
                    t.n_tokens, t.avg_word_len, t.stopword_ratio, t.distinct_ratio,
-                   round(least(t.n_tokens / 100.0, 1.0) * 0.4
+                   floor((least(t.n_tokens / 100.0, 1.0) * 0.4
                          + t.distinct_ratio * 0.4
-                         + (1 - t.stopword_ratio) * 0.2, 6) AS quality_score
+                         + (1 - t.stopword_ratio) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
             FROM documents d JOIN tok t ON d.doc_id = t.doc_id
         """,
         "doc_fingerprints": """
@@ -1416,8 +1434,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_tokens,
                    CAST(sum(CASE WHEN word IN (SELECT word FROM topk)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-                   round(sum(CASE WHEN word IN (SELECT word FROM topk)
-                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   floor((sum(CASE WHEN word IN (SELECT word FROM topk)
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
                        AS coverage
             FROM wn
         """,

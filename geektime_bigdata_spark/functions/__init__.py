@@ -9,6 +9,7 @@ codegen — no Python UDFs.
 from geektime_bigdata_spark.functions.exprs import (
     dot_product,
     exact_sum,
+    grid_round,
     hash_unit_weight,
     shingles,
     tokens,
@@ -22,4 +23,5 @@ __all__ = [
     "vec_norm",
     "hash_unit_weight",
     "exact_sum",
+    "grid_round",
 ]

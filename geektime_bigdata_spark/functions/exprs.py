@@ -26,22 +26,32 @@ def shingles(toks: str = "toks", n: int = 3) -> Column:
 
 
 def dot_product(a: str, b: str) -> Column:
-    """Double-precision dot product of two array columns — a codegen'd
-    fold, accumulation order = element order (matches a sequential SQL
-    sum over positions to ~1ulp)."""
+    """Dot product of two array columns with per-term micro-quantization:
+    each product is snapped to the 1e-6 grid (``floor(x*y*1e6 + 0.5)`` —
+    identical IEEE double ops in every engine) and accumulated as a LONG,
+    so the result is bit-identical regardless of summation order. A plain
+    double fold is sequential in Spark but a DuckDB oracle's group sum
+    has no order guarantee — on a hashed contract edge that is a latent
+    flake (same class as round 1's ``sessionize`` fail). The ~1e-7
+    per-term quantization is noise at ANN precision; 64 terms of
+    unit-range values stay ~1e9 below the long envelope."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        f"(x, y) -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+        f" * 1000000.0D + 0.5D) AS BIGINT)), "
+        f"0L, (acc, v) -> acc + v) / 1000000.0D"
     )
 
 
 def vec_norm(a: str) -> Column:
-    """L2 norm of an array column in double precision."""
+    """L2 norm of an array column over micro-quantized squared terms
+    (same order-independence contract as :func:`dot_product`)."""
     return F.sqrt(
         F.expr(
-            f"aggregate({a}, CAST(0 AS DOUBLE), "
-            f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            f"aggregate({a}, 0L, "
+            f"(acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE)"
+            f" * CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+            f" / 1000000.0D"
         )
     )
 
@@ -101,6 +111,26 @@ def exact_sum(
         ).cast("long")
     )
     return (total / k).cast("double")
+
+
+def grid_round(col: Column | str, scale: int = 6) -> Column:
+    """Engine-portable rounding for hashed contract edges:
+    ``floor(x * 10^scale + 0.5) / 10^scale`` — two IEEE double ops that
+    every engine evaluates identically.
+
+    ``round(x, n)`` is NOT portable at exact decimal ties: Spark rounds
+    HALF_UP on BigDecimal.valueOf's shortest-repr decimal while DuckDB
+    rounds the ``x * 10^n`` double — and integer-sum / small-count
+    ratios (means of micro-unit sums, Jaccard c/(a+b-c), coverage
+    fractions) produce exact ties ROUTINELY, not pathologically
+    (observed: label centroid mean 642700/200/1e6 hashed differently at
+    sf0.1). Ties are not representable in binary, so whichever side of
+    the tie the double lands on, both engines see the same double and
+    this expression floors it identically. Use for every hashed float
+    that is not already an exact multiple of the grid."""
+    c = F.col(col) if isinstance(col, str) else col
+    k = F.lit(float(10**scale))
+    return (F.floor(c * k + F.lit(0.5)) / k).cast("double")
 
 
 def hash_unit_weight(tag: str) -> float:

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import shingles, tokens
+from geektime_bigdata_spark.functions import grid_round, shingles, tokens
 from geektime_bigdata_spark.registry import parallel_table, table
 
 N_HASHES = 12
@@ -422,6 +422,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 
@@ -54,9 +54,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(exact_sum(disc_price), 2).alias("sum_disc_price"),
             F.round(exact_sum(charge), 2).alias("sum_charge"),
-            F.round(exact_sum("l_quantity") / n, 6).alias("avg_qty"),
-            F.round(exact_sum("l_extendedprice") / n, 6).alias("avg_price"),
-            F.round(exact_sum("l_discount") / n, 6).alias("avg_disc"),
+            grid_round(exact_sum("l_quantity") / n, 6).alias("avg_qty"),
+            grid_round(exact_sum("l_extendedprice") / n, 6).alias("avg_price"),
+            grid_round(exact_sum("l_discount") / n, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -206,7 +206,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            grid_round(
                 100.0 * exact_sum(promo) / exact_sum(disc_price), 6
             ).alias("promo_revenue_pct")
         )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 FEATURE_DIM = 8
@@ -146,7 +146,7 @@ def media_features_str(
     feats = media_features(spark, sf_dir, decode_stub=decode_stub)
     micro = F.transform(
         F.col("feature"),
-        lambda x: F.round(x * 1e6, 0).cast("long").cast("string"),
+        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long").cast("string"),
     )
     return feats.select(
         "doc_id",
@@ -170,7 +170,7 @@ def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact_sum/count: feature_norm is on the 1e-6 grid (HALF_UP
             # round in the decoder), so decimal accumulation is exact and
             # the mean is partition-order-independent at the hashed edge
-            F.round(
+            grid_round(
                 exact_sum("feature_norm") / F.count(F.lit(1)), 6
             ).alias("avg_feature_norm"),
         )

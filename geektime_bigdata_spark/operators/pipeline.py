@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.operators.dedup import dedup_clusters
 from geektime_bigdata_spark.operators.textstats import doc_quality_scores
 from geektime_bigdata_spark.registry import table
@@ -97,7 +97,7 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact_sum/count, not avg: quality_score is already on the 1e-6
         # grid (round(,6)), so decimal accumulation is exact and the mean
         # is partition-order-independent at the hashed edge.
-        F.round(exact_sum(kept_quality) / F.count(kept_quality), 6).alias(
+        grid_round(exact_sum(kept_quality) / F.count(kept_quality), 6).alias(
             "kept_avg_quality"
         ),
     )

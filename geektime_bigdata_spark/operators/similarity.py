@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from geektime_bigdata_spark.functions import (
     dot_product,
     exact_sum,
+    grid_round,
     hash_unit_weight,
     vec_norm,
 )
@@ -68,10 +69,14 @@ def _bucket_expr() -> Column:
     terms = []
     for p, w in enumerate(weights):
         w_arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in w)})"
+        # per-term micro-quantized projection (see functions.dot_product):
+        # the sign test is a knife-edge, so the sum must be
+        # order-independent to stay engine-identical
         proj = (
             f"aggregate(zip_with(embedding, {w_arr}, "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), "
-            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            f"(x, y) -> CAST(floor(CAST(x AS DOUBLE) * y * 1000000.0D"
+            f" + 0.5D) AS BIGINT)), "
+            f"0L, (acc, v) -> acc + v)"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END")
     return F.expr(" + ".join(terms)).alias("bucket")
@@ -98,7 +103,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .crossJoin(cand)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", F.round(cos, 6).alias("cos_sim"))
+        .select("query_id", "cand_id", grid_round(cos, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -121,17 +126,20 @@ def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def l2_norm(emb: pd.Series) -> pd.Series:
-        # float32 -> float64 BEFORE squaring, matching the SQL oracle's
-        # CAST(x AS DOUBLE) per element
-        return emb.map(
-            lambda v: float(
-                np.sqrt(np.square(np.asarray(v, dtype=np.float64)).sum())
-            )
-        )
+        # float32 -> float64 BEFORE squaring (the oracle's CAST(x AS
+        # DOUBLE)), then micro-quantize each squared term and sum as
+        # int64 — numpy's pairwise double summation is NOT the oracle's
+        # sequential order, so only an integer sum is order-proof
+        def one(v) -> float:
+            sq = np.square(np.asarray(v, dtype=np.float64))
+            micro = np.floor(sq * 1e6 + 0.5).astype(np.int64)
+            return float(np.sqrt(int(micro.sum()) / 1e6))
+
+        return emb.map(one)
 
     e = table(spark, sf_dir, "embeddings")
     return e.select(
-        "vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm")
+        "vec_id", grid_round(l2_norm("embedding"), 6).alias("l2_norm")
     )
 
 
@@ -163,7 +171,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # so the long envelope holds past 1e11 rows per label, and
                 # 64 extra count/max guard aggregates would dominate this
                 # wide plan's codegen.
-                F.round(
+                grid_round(
                     exact_sum(
                         F.element_at("embedding", i + 1).cast("double"),
                         guarded=False,
@@ -195,10 +203,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"),
         F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
     )
+    # micro-quantized per-term like dot_product: nearest-cell assignment
+    # ranks on d2, so the fold must be order-independent cross-engine
     d2 = F.expr(
         "aggregate(zip_with(embedding, cent, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y)"
+        " * (CAST(x AS DOUBLE) - y) * 1000000.0D + 0.5D) AS BIGINT)), "
+        "0L, (a, v) -> a + v) / 1000000.0D"
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
     assigned = (
@@ -228,7 +239,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("cell_c"))
             & (F.col("query_id") != F.col("cand_id")),
         )
-        .select("query_id", "cand_id", "cell", F.round(cos, 6).alias("cos_sim"))
+        .select("query_id", "cand_id", "cell", grid_round(cos, 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -265,6 +276,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .select("id_a", "id_b", grid_round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )

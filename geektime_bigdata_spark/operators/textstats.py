@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import grid_round
 from geektime_bigdata_spark.registry import parallel_table, table
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
@@ -48,7 +49,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.split(F.col("text"), " ")))
         .cast("long")
         .alias("n_types"),
-        F.round(F.length("text") / _n_tokens(), 6).alias("chars_per_token"),
+        grid_round(F.length("text") / _n_tokens(), 6).alias("chars_per_token"),
     )
 
 
@@ -113,9 +114,9 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_text"),
         n_tokens.alias("n_tokens"),
-        F.round(sum_word_len / n_tokens, 6).alias("avg_word_len"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_types / n_tokens, 6).alias("distinct_ratio"),
+        grid_round(sum_word_len / n_tokens, 6).alias("avg_word_len"),
+        grid_round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        grid_round(n_types / n_tokens, 6).alias("distinct_ratio"),
     )
     quality = (
         F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
@@ -129,7 +130,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_word_len",
         "stopword_ratio",
         "distinct_ratio",
-        F.round(quality, 6).alias("quality_score"),
+        grid_round(quality, 6).alias("quality_score"),
     )
 
 
@@ -269,7 +270,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
             .cast("long")
             .alias("n_covered"),
-            F.round(
+            grid_round(
                 F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
                 / F.count(F.lit(1)),
                 6,

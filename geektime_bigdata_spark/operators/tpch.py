@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 def _disc_price():
@@ -179,7 +179,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # exact_sum in both numerator and denominator: the ratio of two
             # order-dependent double sums is doubly knife-edged at round(,6)
-            F.round(exact_sum(vol) / exact_sum(_disc_price()), 6).alias(
+            grid_round(exact_sum(vol) / exact_sum(_disc_price()), 6).alias(
                 "mkt_share"
             )
         )
@@ -362,7 +362,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         # avg_qty needs no decimal treatment: l_quantity is integer-valued,
         # and integer sums are exact in double regardless of order.
-        .agg(F.round(exact_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(grid_round(exact_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 
@@ -249,7 +249,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        grid_round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 
@@ -296,30 +296,47 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces a custom MapReduce Reducer when per-group logic genuinely
     needs imperative code): per-user OLS slope of event value over time.
 
-    Each user's slice arrives as ONE pandas frame (Arrow-batched); numpy
-    computes the centered least-squares slope in value-units/hour. The
-    DuckDB ``regr_slope`` oracle differentially validates the whole
-    Python path. x is centered per user BEFORE the products on both
-    sides, so neither engine hits catastrophic cancellation on absolute
-    epoch values. Partitioning: one shuffle on user_id; group frames must
-    fit a worker (true for per-user event counts; a power user would be
-    pre-aggregated per hour first)."""
+    Each user's slice arrives as ONE pandas frame (Arrow-batched); the
+    slope comes from the closed-form OLS sums computed in EXACT integer
+    arithmetic: x = whole microseconds since the user's first event
+    (exact int64), y = exact value cents (``floor(v*100 + 0.5)``), and
+    num/den = ``n*Sxy - Sx*Sy`` / ``n*Sxx - Sx^2`` over Python
+    arbitrary-precision ints. Only the final ``num/den`` division and
+    the hours/value unit conversion touch doubles, mirrored
+    op-for-op by the DuckDB oracle (HUGEINT sums there) — so the result
+    is bit-identical no matter how either engine orders the group's
+    rows. (A float implementation here is a latent hash flake: pandas
+    pairwise summation != the oracle's accumulation order, and
+    applyInPandas makes no row-order promise.) Partitioning: one
+    shuffle on user_id; group frames must fit a worker (true for
+    per-user event counts; a power user would be pre-aggregated per
+    hour first)."""
+    import math
+
     import pandas as pd
 
     e = table(spark, sf_dir, "events")
 
     def slope(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ns = pdf["ts"].astype("int64")
-        x = (ns - ns.min()) / 3.6e12  # hours since user's first event
-        y = pdf["value"]
-        xc, yc = x - x.mean(), y - y.mean()
-        denom = (xc * xc).sum()
-        s = float((xc * yc).sum() / denom) if denom > 0 else None
+        xs = ((ns - ns.min()) // 1000).tolist()  # exact µs offsets
+        ys = [math.floor(v * 100 + 0.5) for v in pdf["value"]]  # exact cents
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            out = None
+        else:
+            # cents/µs -> value/hour: * 3.6e9 / 100
+            s = (float(num) / float(den)) * 3.6e7
+            out = math.floor(s * 1e6 + 0.5) / 1e6
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "slope": [None if s is None else round(s, 6)],
-                "n_events": [len(pdf)],
+                "slope": [out],
+                "n_events": [n],
             }
         )
 
