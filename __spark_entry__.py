@@ -63,12 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "benchmark_contamination": dedup.benchmark_contamination,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "label_centroids": similarity.label_centroids,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "lsh_hyperplane_buckets": similarity.lsh_hyperplane_buckets,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "embedding_quantize_int8": similarity.embedding_quantize_int8,
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
@@ -87,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textstats.stratified_sample,
         "vocab_coverage": textstats.vocab_coverage,
         "dataset_splits": textstats.dataset_splits,
+        "packed_sequences": textstats.packed_sequences,
         # --- ETL / pipeline ---
         "scd2_intervals": etl.scd2_intervals,
         "continuous_hourly_rollup": etl.continuous_hourly_rollup,
@@ -1522,6 +1525,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt FROM (
                 SELECT unnest(string_split(text, ' ')) AS word FROM documents
             ) WHERE word <> '' GROUP BY word
+        """,
+        "packed_sequences": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n,
+                       sum(n) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM t
+            )
+            SELECT doc_id, source, n AS n_tokens,
+                   CAST((cum - n) // 256 AS BIGINT) AS bin_id,
+                   CAST((cum - n) % 256 AS BIGINT) AS offset_in_bin
+            FROM c
+        """,
+        "benchmark_contamination": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), ev AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, count(*) AS n_shared_shingles
+            FROM sh JOIN ev USING (shingle)
+            WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+        """,
+        "embedding_quantize_int8": """
+            WITH d AS (
+                SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM (SELECT vec_id, embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+            ), m AS (
+                SELECT vec_id, max(abs(x)) AS m FROM d GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   floor((m.m / 127.0) * 1000000.0 + 0.5) / 1000000.0 AS qscale,
+                   string_agg(
+                       CAST(CAST(CASE WHEN m.m = 0.0 THEN 0.0
+                                      ELSE floor(x * 127.0 / m.m + 0.5)
+                                 END AS BIGINT) AS VARCHAR),
+                       ',' ORDER BY i) AS q_str
+            FROM d JOIN m USING (vec_id)
+            GROUP BY d.vec_id, m.m
         """,
     }
     # the streaming stateful sessionizer emits the exact batch schema

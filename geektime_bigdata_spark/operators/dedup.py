@@ -425,3 +425,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
+
+
+EVAL_SET_MOD = 97  # doc_id % EVAL_SET_MOD == 0 -> held-out benchmark doc
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag every training document sharing at
+    least one 3-gram shingle with the held-out benchmark set (here:
+    ``doc_id % 97 == 0`` stands in for an external eval corpus), with the
+    shared-shingle count — the check every serious pretraining pipeline
+    runs before shipping a corpus.
+
+    Scale shape: the eval side reduces to its DISTINCT shingle set —
+    benchmark suites are tiny next to the corpus, so it broadcasts and
+    the flagging pass is a map-side semi-join at scan speed; only the
+    per-doc count aggregate shuffles (keyed by doc_id, combiner-friendly).
+    No corpus self-join anywhere."""
+    sh = _doc_shingles(spark, sf_dir)
+    eval_shingles = (
+        sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

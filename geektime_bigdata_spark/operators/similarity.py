@@ -279,3 +279,33 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", grid_round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    vector-store compression (4x over float32): per-vector scale =
+    max|x| / 127, elements snapped to ``floor(x * 127 / max|x| + 0.5)``.
+    Output: per-vector scale (grid-rounded) + the int8 codes as a
+    canonical comma-joined string (arrays don't hash across engines).
+
+    A pure narrow projection — array_max and the transform never leave
+    the row, so at 100 TB this is a scan-speed rewrite pass; the
+    quantization arithmetic is the same two IEEE ops in every engine
+    (exact_sum's determinism contract applied element-wise). Zero
+    vectors quantize to all-zero codes with scale 0 rather than NaN."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    m = F.expr(f"array_max(transform({xd}, x -> abs(x)))")
+    codes = F.expr(
+        f"concat_ws(',', transform({xd}, "
+        f"x -> CAST(CAST(CASE WHEN m = 0.0D THEN 0.0D "
+        f"ELSE floor(x * 127.0D / m + 0.5D) END AS BIGINT) AS STRING)))"
+    )
+    return (
+        e.withColumn("m", m)
+        .select(
+            "vec_id",
+            grid_round(F.col("m") / 127.0, 6).alias("qscale"),
+            codes.alias("q_str"),
+        )
+    )

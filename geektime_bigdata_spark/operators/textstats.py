@@ -8,7 +8,7 @@ kind of map-only pass a curation pipeline chains by the dozen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import grid_round
@@ -276,4 +276,40 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+SEQ_TOKEN_BUDGET = 256  # tokens per packed training sequence
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents in
+    deterministic (doc_id) order and cut every SEQ_TOKEN_BUDGET tokens —
+    each doc gets the bin it STARTS in and its token offset there (the
+    GPT-style contiguous packing layout, where a doc may spill into the
+    next bin and no padding is wasted).
+
+    Pure window arithmetic: a running token total per source, then
+    integer div/mod by the budget. Packing is per ``source`` shard —
+    the scale contract: a global ORDER BY would serialize the corpus
+    through one partition, while shard-local packing (how real corpora
+    are stored: one packer per input shard) keeps the window partitioned
+    and each shard's layout independent of cluster size."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (start / SEQ_TOKEN_BUDGET).cast("long").alias("bin_id"),
+        (start % SEQ_TOKEN_BUDGET).cast("long").alias("offset_in_bin"),
     )

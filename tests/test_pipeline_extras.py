@@ -1,0 +1,87 @@
+"""Semantic invariants for the round-2 pipeline additions (their value
+parity is covered by the oracle sweep; these pin the operator CONTRACTS)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.operators.dedup import (
+    EVAL_SET_MOD,
+    benchmark_contamination,
+)
+from geektime_bigdata_spark.operators.similarity import embedding_quantize_int8
+from geektime_bigdata_spark.operators.textstats import (
+    SEQ_TOKEN_BUDGET,
+    packed_sequences,
+)
+from geektime_bigdata_spark.registry import table
+
+
+def test_packed_sequences_layout_invariants(spark, sf_dir):
+    """Every doc's start offset fits its bin, bins are contiguous per
+    source, and bin_id*budget + offset reconstructs the running total."""
+    rows = packed_sequences(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["offset_in_bin"] < SEQ_TOKEN_BUDGET
+        by_source.setdefault(r["source"], []).append(r)
+    for _, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] * SEQ_TOKEN_BUDGET + r["offset_in_bin"] == cum
+            cum += r["n_tokens"]
+
+
+def test_benchmark_contamination_flags_only_train_docs(spark, sf_dir):
+    """Flagged docs are never benchmark docs, always share >= 1 shingle,
+    and a doc sharing a full benchmark text must be flagged."""
+    flagged = benchmark_contamination(spark, sf_dir).collect()
+    assert flagged
+    for r in flagged:
+        assert r["doc_id"] % EVAL_SET_MOD != 0
+        assert r["n_shared_shingles"] >= 1
+    # completeness spot-check: exact duplicates of a benchmark doc (same
+    # text, different id) must be flagged
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_texts = docs.filter(
+        F.col("doc_id") % EVAL_SET_MOD == 0
+    ).select("text").distinct()
+    dupes = (
+        docs.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .join(bench_texts, "text", "left_semi")
+        .select("doc_id")
+        .collect()
+    )
+    flagged_ids = {r["doc_id"] for r in flagged}
+    long_enough = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.size(F.split("text", " ")) >= 3
+        ).collect()
+    }
+    for r in dupes:
+        if r["doc_id"] in long_enough:
+            assert r["doc_id"] in flagged_ids, r["doc_id"]
+
+
+def test_int8_quantization_reconstruction_bound(spark, sf_dir):
+    """Codes stay in [-127, 127] and dequantized values reconstruct the
+    original within scale/2 + grid noise per element."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = embedding_quantize_int8(spark, sf_dir)
+    joined = {r["vec_id"]: r for r in q.collect()}
+    checked = 0
+    for row in e.limit(50).collect():
+        qr = joined[row["vec_id"]]
+        codes = [int(c) for c in qr["q_str"].split(",")]
+        assert len(codes) == len(row["embedding"])
+        assert all(-127 <= c <= 127 for c in codes)
+        scale = qr["qscale"]
+        # qscale is grid-rounded to 1e-6, so reconstruction carries up to
+        # 127 * 5e-7 extra error on top of the half-step quantization
+        for c, x in zip(codes, row["embedding"]):
+            assert abs(c * scale - float(x)) <= scale / 2 + 127 * 5e-7 + 1e-6
+        checked += 1
+    assert checked == 50
