@@ -218,6 +218,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cell")
+        # the cell assignment IS the IVF index — materialize it once.
+        # Without this, the query side (a filter of `assigned`) and the
+        # candidate side duplicate the whole centroid+assignment subtree
+        # in one plan (verified in PLANS.md). In production the index is
+        # a persisted table built by an indexing job; cache() is its
+        # in-session stand-in.
+        .cache()
     )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
