@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_postings": text.positional_postings,
         "phrase_search": text.phrase_search,
         "word_counts": text.word_counts,
+        "chunk_documents": text.chunk_documents,
         "salted_top_words": scale.salted_top_words,
         # --- text analysis ---
         "token_counts": textstats.token_counts,
@@ -1525,6 +1526,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt FROM (
                 SELECT unnest(string_split(text, ' ')) AS word FROM documents
             ) WHERE word <> '' GROUP BY word
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(
+                       toks[chunk_id * 32 + 1 : least((chunk_id + 1) * 32, len(toks))],
+                       ' ') AS chunk_text,
+                   CAST(least((chunk_id + 1) * 32, len(toks)) - chunk_id * 32
+                        AS BIGINT) AS n_tokens
+            FROM c
         """,
         "packed_sequences": """
             WITH t AS (

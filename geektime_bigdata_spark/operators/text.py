@@ -200,3 +200,45 @@ def phrase_search(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF (Spark 4's table-function
+    surface — the one UDF flavor the rest of the engine doesn't already
+    exercise): split each document's token stream into fixed
+    CHUNK_TOKENS-sized training chunks, one output ROW per chunk.
+
+    A UDTF is the right shape when one input row fans out to a variable
+    number of computed rows AND the per-row logic genuinely needs Python
+    (here a stand-in for a real tokenizer; a pure token-count split
+    would be `posexplode` + native slicing). Executed per-partition in
+    the Python worker over batched rows; the lateral join keeps it a
+    narrow map — no shuffle. The DuckDB oracle reproduces the chunking
+    with list slicing, so even this Python fan-out path is
+    hash-verified."""
+    from pyspark.sql.functions import udtf
+
+    from geektime_bigdata_spark.registry import load_tables
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_id bigint, chunk_text string,"
+            " n_tokens bigint"
+        )
+    )
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                chunk = toks[i : i + CHUNK_TOKENS]
+                yield doc_id, i // CHUNK_TOKENS, " ".join(chunk), len(chunk)
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("gbs_chunk_docs", ChunkDocs)
+    return spark.sql(
+        "SELECT c.* FROM documents, "
+        "LATERAL gbs_chunk_docs(doc_id, text) AS c"
+    )

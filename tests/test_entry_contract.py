@@ -13,6 +13,27 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def test_no_duplicate_dict_keys_in_entry_module():
+    """A duplicate key in the queries()/oracle_sql() dict literals would
+    silently shadow a query — scan the module AST for them."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(entrymod))
+    dups: list[str] = []
+
+    class V(ast.NodeVisitor):
+        def visit_Dict(self, node: ast.Dict) -> None:
+            keys = [
+                k.value for k in node.keys if isinstance(k, ast.Constant)
+            ]
+            dups.extend(k for k in keys if keys.count(k) > 1)
+            self.generic_visit(node)
+
+    V().visit(tree)
+    assert not dups, f"duplicate dict keys: {sorted(set(dups))}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
