@@ -82,9 +82,11 @@ def exact_sum(
             / 1000000.0
 
     Envelope: the group's |sum of micro-units| must stay below 2^63.
-    A parallel ``count * max(abs(micro))`` guard (two cheap primitive
-    aggregates) raises instead of silently wrapping when a group could
-    exceed it — at 2-decimal money values (~1e5) and scale 6 that
+    Overflow always fails LOUDLY: under ANSI mode (Spark 4 default) the
+    long sum itself raises ARITHMETIC_OVERFLOW the moment it wraps; for
+    ``ansi=false`` deployments a parallel ``count * max(abs(micro))``
+    guard (two cheap primitive aggregates) raises instead of silently
+    wrapping when a group could exceed the envelope — at 2-decimal money values (~1e5) and scale 6 that
     triggers around 1e12 rows per group; ``wide=True`` switches to the
     overflow-proof DECIMAL(38, scale) accumulator (~6x slower) for
     beyond-long aggregations. ``guarded=False`` drops the guard pair —
@@ -98,10 +100,17 @@ def exact_sum(
     micro = F.floor(c * k + F.lit(0.5)).cast("long")
     if not guarded:
         return (F.sum(micro) / k).cast("double")
-    # conservative in double space: count * max|micro| bounds |sum(micro)|
-    fits = (
-        F.count(c).cast("double") * F.max(F.abs(micro)).cast("double")
-    ) < F.lit(9.0e18)
+    # conservative in double space: count * max|micro| bounds |sum(micro)|.
+    # coalesce: an empty/all-null global aggregate has count=0 and a NULL
+    # max, making the product NULL — that must take the sum branch (which
+    # is NULL, matching SQL semantics), not the raise branch.
+    fits = F.coalesce(
+        (
+            F.count(c).cast("double") * F.max(F.abs(micro)).cast("double")
+        )
+        < F.lit(9.0e18),
+        F.lit(True),
+    )
     total = F.when(fits, F.sum(micro)).otherwise(
         F.raise_error(
             F.lit(
