@@ -40,12 +40,11 @@ from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import (
     dot_product,
-    exact_sum,
     grid_round,
     hash_unit_weight,
     vec_norm,
 )
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import parallel_table, table
 
 N_PLANES = 8
 N_DIMS = 64
@@ -157,30 +156,39 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over ONE hash shuffle on ``label`` — never a
     posexplode (which would multiply the shuffle 64x). Output is wide
     (c0..c63, rounded 6dp) so the oracle compares scalar columns, not
-    arrays."""
-    e = table(spark, sf_dir, "embeddings")
-    n = F.count(F.lit(1))
+    arrays. parallel_table: the single-file scan otherwise leaves all 64
+    partial aggregates on one core (measured 2.6s -> ~0.3s at sf0.1);
+    exact_sum's integer partials are order-independent, so the
+    repartition cannot perturb the result."""
+    e = parallel_table(spark, sf_dir, "embeddings")
+
+    # exact_sum/count, not avg: a per-label double sum is
+    # partition-order-dependent; quantizing each element to the 1e-6
+    # grid makes the mean engine-identical. Unguarded micro-unit sum
+    # (exact_sum guarded=False semantics): elements are unit-range
+    # (|micro| <= ~1e7) so the long envelope holds past 1e11 rows per
+    # label, and 64 extra count/max guard aggregates would dominate
+    # this wide plan. Each column is ONE SQL string (identical IEEE op
+    # tree to the grid_round(exact_sum(..)/n) Column form) because 64
+    # Column-builder pipelines cost ~1000 Py4J round-trips (~3s of
+    # driver time per call, measured) while 64 expr parses cost ~0.2s.
+    def _c(i: int) -> str:
+        x = f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        s = (
+            f"CAST(sum(CAST(floor({x} * 1000000.0D + 0.5D) AS BIGINT))"
+            f" / 1000000.0D AS DOUBLE)"
+        )
+        mean = f"{s} / count(1)"
+        return (
+            f"CAST(floor(({mean}) * 1000000.0D + 0.5D) / 1000000.0D"
+            f" AS DOUBLE)"
+        )
+
     return (
         e.groupBy("label")
         .agg(
-            *[
-                # exact_sum/count, not avg: a per-label double sum is
-                # partition-order-dependent; quantizing each element to
-                # the 1e-6 grid first makes the mean engine-identical.
-                # guarded=False: elements are unit-range (|micro| <= ~1e7)
-                # so the long envelope holds past 1e11 rows per label, and
-                # 64 extra count/max guard aggregates would dominate this
-                # wide plan's codegen.
-                grid_round(
-                    exact_sum(
-                        F.element_at("embedding", i + 1).cast("double"),
-                        guarded=False,
-                    )
-                    / n,
-                    6,
-                ).alias(f"c{i}")
-                for i in range(N_DIMS)
-            ]
+            F.expr(_c(0)).alias("c0"),
+            *[F.expr(_c(i)).alias(f"c{i}") for i in range(1, N_DIMS)],
         )
         .orderBy("label")
     )
@@ -197,27 +205,41 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-partitioned by cell so each probe touches one partition
     group. (A production IVF adds multi-probe for recall; single-probe
     keeps the oracle exact.) Centroids are the ROUNDED label means so
-    both engines quantize identically."""
-    e = table(spark, sf_dir, "embeddings")
+    both engines quantize identically. parallel_table spreads the
+    single-file corpus scan before the per-row HOF distance folds (which
+    evaluate interpreted, not codegen'd — the expensive part of the
+    indexing pass)."""
+    e = parallel_table(spark, sf_dir, "embeddings")
     cents = label_centroids(spark, sf_dir).select(
         F.col("label").alias("cell"),
         F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
     )
-    # micro-quantized per-term like dot_product: nearest-cell assignment
-    # ranks on d2, so the fold must be order-independent cross-engine
-    d2 = F.expr(
-        "aggregate(zip_with(embedding, cent, "
+    # Nearest-cell assignment as a pure per-row fold: the 10 centroids
+    # collapse to ONE broadcast row holding array<struct<cell,cent>>, and
+    # argmin is array_min over struct('d2','cell') — Spark orders structs
+    # lexicographically, so this reproduces exactly the previous
+    # (rounded-d2, cell) row_number ranking (d2 stays in LONG micro-units;
+    # round(d2/1e6, 6) is the identity on that grid, so ordering by the
+    # integer is ordering by the rounded double). vs the old
+    # crossJoin+window formulation this removes the |corpus| x n_cells
+    # row expansion AND the per-vec_id window shuffle — assignment is now
+    # a narrow map over the scan, which is what an IVF indexing pass must
+    # be at 100 TB. The micro-quantized per-term d2 keeps the knife-edge
+    # engine-identical (see functions.dot_product).
+    cells_one = cents.agg(
+        F.collect_list(F.struct("cell", "cent")).alias("cells")
+    )
+    nearest = F.expr(
+        "array_min(transform(cells, c -> named_struct("
+        "'d2', aggregate(zip_with(embedding, c.cent, "
         "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y)"
         " * (CAST(x AS DOUBLE) - y) * 1000000.0D + 0.5D) AS BIGINT)), "
-        "0L, (a, v) -> a + v) / 1000000.0D"
+        "0L, (a, v) -> a + v), "
+        "'cell', c.cell))).cell"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cell", F.round(d2, 6).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        e.crossJoin(F.broadcast(cells_one))
+        .select("vec_id", "embedding", nearest.alias("cell"))
         # the cell assignment IS the IVF index — materialize it once.
         # Without this, the query side (a filter of `assigned`) and the
         # candidate side duplicate the whole centroid+assignment subtree

@@ -30,10 +30,16 @@ TABLES = (
     "embeddings",
 )
 
-# Testdata columns written as parquet TIMESTAMP(NANOS). With
+# Testdata timestamp columns have shipped in two physical forms across
+# driver rounds: parquet TIMESTAMP(NANOS) (round 1 — with
 # ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as LongType
-# (nanoseconds since epoch); we truncate to microseconds — the same
-# conversion DuckDB applies — so the engine sees real TimestampType.
+# nanoseconds, truncated here to microseconds exactly like DuckDB), and
+# plain TIMESTAMP(MICROS) without a timezone (round 2+ — Spark infers
+# TIMESTAMP_NTZ). Either way we normalize to TimestampType (LTZ): the
+# session timezone is UTC, so the NTZ->LTZ cast is identity on the
+# instant, watermarks/stream-stream joins (which require LTZ event time)
+# work, and the engine sees the same type that produced every round-1
+# green driver row.
 _NANOS_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -43,12 +49,17 @@ _NANOS_TS_COLS = {
 
 def _normalize_timestamps(name: str, df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             # integer division: double math would lose sub-microsecond bits
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -83,10 +83,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
+    elif ts_type == "timestamp_ntz":
+        # round-2 testdata ships TIMESTAMP(MICROS) without a timezone;
+        # watermarks on stream-stream joins require LTZ event time, and
+        # the UTC session makes the cast identity on the instant
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
