@@ -194,38 +194,35 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid cell
-    (L2, broadcast 10x64 centroid table, deterministic rounded-distance
-    + cell tiebreak), then search top-k ONLY within the query's cell.
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index: every vector assigned to its nearest centroid cell
+    — ``(vec_id, embedding, cell)``, cached.
 
-    This is the scale path next to :func:`ann_topk_bruteforce`: the
-    scored pair space shrinks from |Q| x |corpus| to |Q| x |cell|, and
-    the cell equi-join replaces the cross join — at 100 TB the corpus
-    is hash-partitioned by cell so each probe touches one partition
-    group. (A production IVF adds multi-probe for recall; single-probe
-    keeps the oracle exact.) Centroids are the ROUNDED label means so
-    both engines quantize identically. parallel_table spreads the
-    single-file corpus scan before the per-row HOF distance folds (which
-    evaluate interpreted, not codegen'd — the expensive part of the
-    indexing pass)."""
+    Nearest-cell assignment is a pure per-row fold: the 10 centroids
+    collapse to ONE broadcast row holding array<struct<cell,cent>>, and
+    argmin is array_min over struct('d2','cell') — Spark orders structs
+    lexicographically, so this reproduces exactly a
+    (rounded-d2, cell) row_number ranking (d2 stays in LONG micro-units;
+    round(d2/1e6, 6) is the identity on that grid, so ordering by the
+    integer is ordering by the rounded double). vs a
+    crossJoin+window formulation this removes the |corpus| x n_cells
+    row expansion AND the per-vec_id window shuffle — assignment is a
+    narrow map over the scan, which is what an IVF indexing pass must
+    be at 100 TB. The micro-quantized per-term d2 keeps the knife-edge
+    engine-identical (see functions.dot_product). parallel_table spreads
+    the single-file corpus scan before the per-row HOF distance folds
+    (which evaluate interpreted, not codegen'd — the expensive part).
+
+    The cell assignment IS the IVF index — materialized once via
+    cache(): without it, every consumer that joins the index against
+    itself duplicates the whole centroid+assignment subtree in one plan
+    (verified in PLANS.md). In production the index is a persisted table
+    built by an indexing job; cache() is its in-session stand-in."""
     e = parallel_table(spark, sf_dir, "embeddings")
     cents = label_centroids(spark, sf_dir).select(
         F.col("label").alias("cell"),
         F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
     )
-    # Nearest-cell assignment as a pure per-row fold: the 10 centroids
-    # collapse to ONE broadcast row holding array<struct<cell,cent>>, and
-    # argmin is array_min over struct('d2','cell') — Spark orders structs
-    # lexicographically, so this reproduces exactly the previous
-    # (rounded-d2, cell) row_number ranking (d2 stays in LONG micro-units;
-    # round(d2/1e6, 6) is the identity on that grid, so ordering by the
-    # integer is ordering by the rounded double). vs the old
-    # crossJoin+window formulation this removes the |corpus| x n_cells
-    # row expansion AND the per-vec_id window shuffle — assignment is now
-    # a narrow map over the scan, which is what an IVF indexing pass must
-    # be at 100 TB. The micro-quantized per-term d2 keeps the knife-edge
-    # engine-identical (see functions.dot_product).
     cells_one = cents.agg(
         F.collect_list(F.struct("cell", "cent")).alias("cells")
     )
@@ -237,17 +234,27 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0L, (a, v) -> a + v), "
         "'cell', c.cell))).cell"
     )
-    assigned = (
+    return (
         e.crossJoin(F.broadcast(cells_one))
         .select("vec_id", "embedding", nearest.alias("cell"))
-        # the cell assignment IS the IVF index — materialize it once.
-        # Without this, the query side (a filter of `assigned`) and the
-        # candidate side duplicate the whole centroid+assignment subtree
-        # in one plan (verified in PLANS.md). In production the index is
-        # a persisted table built by an indexing job; cache() is its
-        # in-session stand-in.
         .cache()
     )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (L2, broadcast 10x64 centroid table, deterministic rounded-distance
+    + cell tiebreak — see :func:`_ivf_assigned`), then search top-k ONLY
+    within the query's cell.
+
+    This is the scale path next to :func:`ann_topk_bruteforce`: the
+    scored pair space shrinks from |Q| x |corpus| to |Q| x |cell|, and
+    the cell equi-join replaces the cross join — at 100 TB the corpus
+    is hash-partitioned by cell so each probe touches one partition
+    group. (A production IVF adds multi-probe for recall; single-probe
+    keeps the oracle exact.) Centroids are the ROUNDED label means so
+    both engines quantize identically."""
+    assigned = _ivf_assigned(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -337,4 +344,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid_round(F.col("m") / 127.0, 6).alias("qscale"),
             codes.alias("q_str"),
         )
+    )
+
+
+# tuned to the synthetic corpus so the removal list is non-empty at the
+# driver's sf0.01 correctness scale (max candidate-pair cos there ~0.34;
+# real embedding corpora would use ~0.95)
+SEMDEDUP_THETA = 0.2
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each IVF cell, a vector is REMOVED when a lower-id vector in the
+    same cell is semantically close (cosine >= theta); the lowest such
+    neighbor is recorded as its keeper. Output:
+    ``(vec_id, keeper_id, cos_sim)`` — the removal list a curation
+    pipeline anti-joins against the corpus.
+
+    Candidate bounding is cell + LSH bucket (the same two-level
+    coarse-quantizer a production vector store probes): pairs are
+    generated ONLY inside a (cell, bucket) group, never all-pairs — at
+    100 TB the corpus is hash-partitioned by (cell, bucket) and each
+    group is small and independent, at the usual LSH recall/cost
+    tradeoff (a multi-probe variant would raise recall; single-probe
+    keeps the oracle exact). The keeper choice (min id_a, via min_by on
+    the unique-per-group id) is deterministic, so the whole output is
+    hashable cross-engine."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    ev = assigned.withColumn("bucket", _bucket_expr())
+    a = ev.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "cell",
+        "bucket",
+    )
+    b = ev.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = dot_product("emb_a", "emb_b") / (
+        vec_norm("emb_a") * vec_norm("emb_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", grid_round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_THETA)
+    )
+    return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.min_by("cos_sim", "id_a").alias("cos_sim"),
     )

@@ -313,3 +313,73 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start / SEQ_TOKEN_BUDGET).cast("long").alias("bin_id"),
         (start % SEQ_TOKEN_BUDGET).cast("long").alias("offset_in_bin"),
     )
+
+
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-rules repetition
+    filter (Rae et al. 2021 §A1.1): fraction of duplicate words and
+    fraction of duplicate word-3-grams per document. High values flag
+    boilerplate/spam for removal before LLM training.
+
+    A pure narrow projection: tokens and n-grams are array expressions
+    that never leave the row (no explode, no shuffle), so at 100 TB this
+    is a scan-speed map pass like the rest of this module. Fractions are
+    ``1 - distinct/total`` of integer counts — both engines divide the
+    same two integers in IEEE double and land on the same grid_round
+    result. Documents with fewer than 3 tokens are dropped (no 3-gram is
+    defined; mirrored in the oracle)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    ng = (
+        f"transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
+    )
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"CAST(floor((1.0D - CAST(size(array_distinct({arr})) AS DOUBLE)"
+            f" / size({arr})) * 1000000.0D + 0.5D) / 1000000.0D AS DOUBLE)"
+        )
+
+    return docs.filter(F.expr(f"size({toks}) >= 3")).select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(dup_frac(toks)).alias("dup_word_frac"),
+        F.expr(dup_frac(ng)).alias("dup_3gram_frac"),
+    )
+
+
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching histogram: documents bucketed by
+    power-of-two token count (bucket b holds 2^b <= n_tokens < 2^(b+1)),
+    with the padding waste a naive pad-to-bucket-max batcher would pay
+    (``n_docs * max_tokens - sum_tokens``). The standard pre-training
+    scheduler diagnostic next to :func:`packed_sequences` (which packs
+    instead of padding).
+
+    One narrow projection + one tiny aggregate (≤ ~15 bucket groups
+    regardless of corpus size); every measure is integer arithmetic, so
+    the contract edge has no float at all. floor(log2(n)) is exact for
+    IEEE doubles at these magnitudes (log2 of 2^k is exactly k; between
+    powers the floor is unambiguous)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    b = docs.filter(_n_tokens() >= 1).select(
+        F.expr(
+            "CAST(floor(log2(CAST(size(split(text, ' ')) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
+        )
+    )

@@ -85,3 +85,71 @@ def test_int8_quantization_reconstruction_bound(spark, sf_dir):
             assert abs(c * scale - float(x)) <= scale / 2 + 127 * 5e-7 + 1e-6
         checked += 1
     assert checked == 50
+
+
+def test_doc_repetition_scores_match_python_recompute(spark, sf_dir):
+    """Fractions recomputed in pure Python for every doc must match, and
+    docs under 3 tokens are excluded."""
+    from geektime_bigdata_spark.operators.textstats import (
+        doc_repetition_scores,
+    )
+
+    rows = {r["doc_id"]: r for r in doc_repetition_scores(spark, sf_dir).collect()}
+    assert rows
+    import math
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for d in docs:
+        toks = d["text"].split(" ")
+        if len(toks) < 3:
+            assert d["doc_id"] not in rows
+            continue
+        ngrams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+
+        def gr(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert r["dup_word_frac"] == gr(1.0 - len(set(toks)) / len(toks))
+        assert r["dup_3gram_frac"] == gr(1.0 - len(set(ngrams)) / len(ngrams))
+        n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_length_bucket_stats_partitions_corpus(spark, sf_dir):
+    """Buckets partition the corpus: doc counts add up,every bucket's max
+    lies in [2^b, 2^(b+1)), and padding waste is non-negative."""
+    from geektime_bigdata_spark.operators.textstats import length_bucket_stats
+
+    rows = length_bucket_stats(spark, sf_dir).collect()
+    assert rows
+    total = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 1
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 2 ** r["bucket"] <= r["max_tokens"] < 2 ** (r["bucket"] + 1)
+        assert r["padding_waste"] >= 0
+        assert r["sum_tokens"] <= r["n_docs"] * r["max_tokens"]
+
+
+def test_semantic_dedup_removal_contract(spark, sf_dir):
+    """Every removal names a strictly-lower keeper at >= theta cosine,
+    and removed ids are unique (it is a keep/remove partition)."""
+    from geektime_bigdata_spark.operators.similarity import (
+        SEMDEDUP_THETA,
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["keeper_id"] < r["vec_id"]
+        assert r["cos_sim"] >= SEMDEDUP_THETA
+        assert r["vec_id"] not in seen
+        seen.add(r["vec_id"])
