@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": textstats.doc_repetition_scores,
         "length_bucket_stats": textstats.length_bucket_stats,
         "semantic_dedup": similarity.semantic_dedup,
+        "kmeans_step": similarity.kmeans_step,
+        "bow_dedup": dedup.bow_dedup,
         # --- dedup suite (training-data pipeline; no driver row yet) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -1304,6 +1306,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id
+        """,
+        "bow_dedup": """
+            SELECT md5(array_to_string(list_sort(string_split(text, ' ')),
+                                       ' ')) AS bow_fingerprint,
+                   min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "kmeans_step": f"""
+            WITH cent AS (
+                SELECT label AS cell, pos,
+                       floor((CAST(sum(CAST(floor((CAST(embedding[pos] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS c
+                FROM (SELECT label, embedding,
+                             unnest(generate_series(1, 64)) AS pos
+                      FROM embeddings)
+                GROUP BY 1, 2
+            ), dist AS (
+                SELECT v.vec_id, c.cell,
+                       round(sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                                 * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0,
+                             6) AS d2
+                FROM embeddings v CROSS JOIN cent c
+                GROUP BY 1, 2
+            ), assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                    FROM dist)
+                WHERE rn = 1
+            ), ae AS (
+                SELECT a.cell, e.embedding
+                FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+            )
+            SELECT cell, {centroid_cols}
+            FROM ae GROUP BY cell
         """,
         "doc_repetition_scores": """
             WITH tok AS (

@@ -454,3 +454,27 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: documents whose token MULTISETS are equal
+    collapse to one group — catches word-order shuffles that exact
+    hashing misses (the cheapest member of the near-dup ladder before
+    MinHash). Fingerprint = md5 of the sorted token join; like
+    :func:`exact_dedup` this is one hash-shuffle on a 32-byte key at any
+    scale, and sorting happens inside the row (array_sort never leaves
+    the projection). ASCII tokens sort identically under Spark's and
+    DuckDB's lexicographic collation, so the fingerprints are
+    engine-identical."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.split(F.col("text"), " ")))
+    )
+    return (
+        docs.select(fp.alias("bow_fingerprint"), "doc_id")
+        .groupBy("bow_fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -149,6 +149,36 @@ def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", _bucket_expr())
 
 
+def _centroid_col_sql(i: int) -> str:
+    """Micro-quantized mean of embedding dimension ``i`` as ONE SQL
+    string. exact_sum/count, not avg: a per-group double sum is
+    partition-order-dependent; quantizing each element to the 1e-6 grid
+    makes the mean engine-identical. Unguarded micro-unit sum
+    (exact_sum guarded=False semantics): elements are unit-range
+    (|micro| <= ~1e7) so the long envelope holds past 1e11 rows per
+    group, and 64 extra count/max guard aggregates would dominate the
+    wide plan. One SQL string per column (identical IEEE op tree to the
+    grid_round(exact_sum(..)/n) Column form) because 64 Column-builder
+    pipelines cost ~1000 Py4J round-trips (~3s of driver time per call,
+    measured) while 64 expr parses cost ~0.2s."""
+    x = f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+    s = (
+        f"CAST(sum(CAST(floor({x} * 1000000.0D + 0.5D) AS BIGINT))"
+        f" / 1000000.0D AS DOUBLE)"
+    )
+    mean = f"{s} / count(1)"
+    return (
+        f"CAST(floor(({mean}) * 1000000.0D + 0.5D) / 1000000.0D"
+        f" AS DOUBLE)"
+    )
+
+
+def _centroid_agg_cols() -> list[Column]:
+    return [
+        F.expr(_centroid_col_sql(i)).alias(f"c{i}") for i in range(N_DIMS)
+    ]
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector (the coarse quantizer an IVF index trains
     with k-means; here the label partition IS the cell assignment of the
@@ -162,34 +192,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition cannot perturb the result."""
     e = parallel_table(spark, sf_dir, "embeddings")
 
-    # exact_sum/count, not avg: a per-label double sum is
-    # partition-order-dependent; quantizing each element to the 1e-6
-    # grid makes the mean engine-identical. Unguarded micro-unit sum
-    # (exact_sum guarded=False semantics): elements are unit-range
-    # (|micro| <= ~1e7) so the long envelope holds past 1e11 rows per
-    # label, and 64 extra count/max guard aggregates would dominate
-    # this wide plan. Each column is ONE SQL string (identical IEEE op
-    # tree to the grid_round(exact_sum(..)/n) Column form) because 64
-    # Column-builder pipelines cost ~1000 Py4J round-trips (~3s of
-    # driver time per call, measured) while 64 expr parses cost ~0.2s.
-    def _c(i: int) -> str:
-        x = f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
-        s = (
-            f"CAST(sum(CAST(floor({x} * 1000000.0D + 0.5D) AS BIGINT))"
-            f" / 1000000.0D AS DOUBLE)"
-        )
-        mean = f"{s} / count(1)"
-        return (
-            f"CAST(floor(({mean}) * 1000000.0D + 0.5D) / 1000000.0D"
-            f" AS DOUBLE)"
-        )
-
     return (
         e.groupBy("label")
-        .agg(
-            F.expr(_c(0)).alias("c0"),
-            *[F.expr(_c(i)).alias(f"c{i}") for i in range(1, N_DIMS)],
-        )
+        .agg(*_centroid_agg_cols())
         .orderBy("label")
     )
 
@@ -400,4 +405,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("keeper_id"),
         F.min_by("cos_sim", "id_a").alias("cos_sim"),
+    )
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus: assign
+    every vector to its nearest current centroid (the label means —
+    exactly :func:`_ivf_assigned`'s index build), then recompute each
+    cell's mean. Output is the NEW centroid table ``(cell, c0..c63)`` —
+    feeding it back as the next assignment's quantizer is the iterative
+    loop an IVF index trains with.
+
+    The iteration is two narrow passes + one wide aggregate: a per-row
+    argmin fold (no row expansion, no window — see _ivf_assigned) and a
+    64-column micro-quantized mean over ONE hash shuffle on cell. That
+    is the canonical distributed k-means step: at 100 TB each executor
+    computes partial (sum, count) per cell map-side and ships 10x64
+    partials, never vectors. Determinism: assignment ranks integer
+    micro-unit distances and means quantize per element, so the whole
+    step is engine-identical (same contract as label_centroids)."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    return (
+        assigned.groupBy("cell")
+        .agg(*_centroid_agg_cols())
+        .orderBy("cell")
     )

@@ -153,3 +153,41 @@ def test_semantic_dedup_removal_contract(spark, sf_dir):
         assert r["cos_sim"] >= SEMDEDUP_THETA
         assert r["vec_id"] not in seen
         seen.add(r["vec_id"])
+
+
+def test_kmeans_step_covers_all_cells(spark, sf_dir):
+    """One Lloyd iteration yields exactly one centroid per non-empty
+    cell, with every coordinate finite and inside the corpus range."""
+    from geektime_bigdata_spark.operators.similarity import (
+        _ivf_assigned,
+        kmeans_step,
+    )
+
+    new_cents = kmeans_step(spark, sf_dir).collect()
+    assert new_cents
+    cells = {r["cell"] for r in _ivf_assigned(spark, sf_dir).collect()}
+    assert {r["cell"] for r in new_cents} == cells
+    for r in new_cents:
+        for i in range(64):
+            v = r[f"c{i}"]
+            assert v is not None and -10.0 < v < 10.0
+
+
+def test_bow_dedup_matches_python_recompute(spark, sf_dir):
+    """Group keys, keepers and copy counts recomputed in pure Python."""
+    import hashlib
+    from collections import defaultdict
+
+    from geektime_bigdata_spark.operators.dedup import bow_dedup
+
+    rows = {r["bow_fingerprint"]: r for r in bow_dedup(spark, sf_dir).collect()}
+    groups = defaultdict(list)
+    for d in table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        fp = hashlib.md5(
+            " ".join(sorted(d["text"].split(" "))).encode()
+        ).hexdigest()
+        groups[fp].append(d["doc_id"])
+    assert set(rows) == set(groups)
+    for fp, ids in groups.items():
+        assert rows[fp]["keep_doc_id"] == min(ids)
+        assert rows[fp]["n_copies"] == len(ids)
