@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": similarity.semantic_dedup,
         "kmeans_step": similarity.kmeans_step,
         "bow_dedup": dedup.bow_dedup,
+        "order_grouping_sets": relational.order_grouping_sets,
+        "corpus_report": textstats.corpus_report,
         # --- dedup suite (training-data pipeline; no driver row yet) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -1306,6 +1308,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id
+        """,
+        "order_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total,
+                   CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "corpus_report": """
+            WITH base AS (
+                SELECT lang, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(floor(CAST(len(list_distinct(
+                                string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' '))
+                            * 1000000.0 + 0.5) AS BIGINT) AS ttr_micro,
+                       CASE WHEN len(string_split(text, ' ')) < 8
+                            THEN 1 ELSE 0 END AS is_short
+                FROM documents
+            )
+            SELECT lang, source, count(*) AS n_docs,
+                   floor((CAST(sum(n_tokens) AS BIGINT) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens,
+                   floor((CAST(sum(is_short) AS BIGINT) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS short_doc_frac,
+                   floor((CAST(sum(ttr_micro) AS BIGINT) / count(*)
+                          / 1000000.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_ttr
+            FROM base GROUP BY 1, 2
         """,
         "bow_dedup": """
             SELECT md5(array_to_string(list_sort(string_split(text, ' ')),

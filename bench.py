@@ -44,6 +44,11 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "doc_quality_scores",
+    # round-2 additions: keep the new pipeline ops regression-visible
+    "kmeans_step",
+    "semantic_dedup",
+    "doc_repetition_scores",
+    "bow_dedup",
 ]
 
 

@@ -222,6 +222,25 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: explicit GROUPING SETS ((status), (priority), ()) —
+    the irregular-set sibling of rollup/cube; Catalyst plans the same
+    Expand + one aggregate shuffle (3 rows per input into a partial
+    aggregate), so adding sets never adds shuffles. lvl is the
+    PostgreSQL-compatible grouping bitmask (first column = MSB), which
+    Spark and DuckDB agree on."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum("o_totalprice"), 4).alias("total"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+
+
 def prefix_scan_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homework-3's reversed prefix scan (HBaseClient.java:63-68):
     ``PrefixFilter('G202005790') + setReversed(true)`` becomes a

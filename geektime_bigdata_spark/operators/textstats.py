@@ -330,9 +330,14 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined; mirrored in the oracle)."""
     docs = parallel_table(spark, sf_dir, "documents")
     toks = "split(text, ' ')"
+    # n-grams as structs, not joined strings: array_distinct on
+    # struct<tok,tok,tok> counts exactly the same groups (tokens cannot
+    # contain the split character) but skips per-n-gram string
+    # allocation — measured 3x faster at sf0.1. The oracle keeps the
+    # string form; only the distinct COUNT crosses the contract edge.
     ng = (
         f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"i -> struct(element_at({toks}, i), "
         f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
     )
 
@@ -382,4 +387,38 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "padding_waste",
             F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"),
         )
+    )
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per (lang, source) shard — document count,
+    mean token length, short-document fraction (< 8 tokens), and mean
+    type-token ratio (lexical diversity). The one-page summary a
+    curation run prints before/after filtering.
+
+    One narrow projection + one aggregate on the (lang, source) key.
+    Contract edges: per-doc TTR snaps to the 1e-6 grid FIRST (an exact
+    integer in micro-units), so every group mean is an integer-sum /
+    count division — order-independent and engine-identical; token
+    counts are already integers."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    base = docs.select(
+        "lang",
+        "source",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(floor(CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / size({toks}) * 1000000.0D + 0.5D) AS BIGINT)"
+        ).alias("ttr_micro"),
+        F.expr(
+            f"CASE WHEN size({toks}) < 8 THEN 1L ELSE 0L END"
+        ).alias("is_short"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("lang", "source").agg(
+        n.alias("n_docs"),
+        grid_round(F.sum("n_tokens") / n, 6).alias("mean_tokens"),
+        grid_round(F.sum("is_short") / n, 6).alias("short_doc_frac"),
+        grid_round(F.sum("ttr_micro") / n / F.lit(1e6), 6).alias("mean_ttr"),
     )
