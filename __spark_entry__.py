@@ -8,6 +8,7 @@ twin for the driver's differential correctness check.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,6 +133,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": (
             lambda spark, sf_dir: streaming.run_streaming_attribution(
                 spark, sf_dir
+            )
+        ),
+        # dropDuplicatesWithinWatermark emits whole first-arrival rows
+        # (arrival order is partition-nondeterministic), so the driver
+        # surface is the DETERMINISTIC part: the key set that passed.
+        "streaming_dedup": (
+            lambda spark, sf_dir: streaming.run_streaming_dedup(
+                spark, sf_dir
+            )
+            .select("user_id", "event_type")
+            .distinct()
+        ),
+        # foreachBatch upsert state: latest row per key with a total
+        # (ts, event_id) tiebreak — deterministic however the stream is
+        # micro-batched. Reads back the parquet state it wrote.
+        "streaming_upsert_sink": (
+            lambda spark, sf_dir: streaming.run_streaming_upsert_sink(
+                spark, sf_dir, tempfile.mkdtemp(prefix="gbs_upsert_")
             )
         ),
         # --- windows / time-series without a round-1 driver row ---
@@ -1549,6 +1568,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_upsert_sink": """
+            SELECT user_id, event_type, ts, value, event_id FROM (
+                SELECT user_id, event_type, ts, value, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "token_counts": """
             SELECT doc_id,
