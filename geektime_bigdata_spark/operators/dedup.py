@@ -206,6 +206,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_fingerprints(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        # four consumers below (hamming-0 pairs, value bands, both sides
+        # of the group-size join) would each recompute the whole
+        # explode+md5+16-agg fingerprint pipeline; the value-group table
+        # is <= 2^16 rows, so materialize it once (measured 2.7s -> ~1s
+        # at sf0.1)
+        .cache()
     )
     same = groups.filter(F.col("n_docs") > 1).select(
         F.col("simhash").alias("fp_a"),
