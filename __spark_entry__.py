@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bow_dedup": dedup.bow_dedup,
         "order_grouping_sets": relational.order_grouping_sets,
         "corpus_report": textstats.corpus_report,
+        "key_skew_report": scale.key_skew_report,
         # --- dedup suite (training-data pipeline; no driver row yet) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -1327,6 +1328,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id
+        """,
+        "key_skew_report": """
+            WITH c AS (
+                SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+            ), d AS (
+                SELECT user_id, cnt,
+                       CAST(length(CAST(cnt AS VARCHAR)) - 1 AS BIGINT)
+                           AS decade
+                FROM c
+            ), m AS (
+                SELECT decade, count(*) AS n_keys, max(cnt) AS max_cnt
+                FROM d GROUP BY 1
+            )
+            SELECT m.decade, m.n_keys, m.max_cnt,
+                   min(d.user_id) AS hottest_key
+            FROM m JOIN d ON d.decade = m.decade AND d.cnt = m.max_cnt
+            GROUP BY 1, 2, 3
         """,
         "order_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,

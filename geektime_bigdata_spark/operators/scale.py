@@ -117,3 +117,40 @@ def pruned_daily_rollup(spark: SparkSession, path: str, day: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis for join/aggregate planning: per decimal decade
+    of key frequency (1-9, 10-99, ... — ``len(str(cnt)) - 1``, exact
+    integer arithmetic rather than a ``floor(log10)`` float knife-edge),
+    the number of keys, the hottest key's row count, and the hottest key
+    itself (lowest id among ties). The report a pipeline consults before
+    choosing broadcast vs shuffle vs salting (operators/scale.py's
+    salted path, or AQE skew splitting) for a key.
+
+    Two aggregates plus one tiny join: the per-key count is the only
+    full-data shuffle; everything downstream is O(|distinct keys|) and
+    the decade rollup is O(10). Entirely integer arithmetic — no float
+    ever crosses the contract edge."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    d = counts.select(
+        "user_id",
+        "cnt",
+        (F.length(F.col("cnt").cast("string")) - 1)
+        .cast("long")
+        .alias("decade"),
+    )
+    m = d.groupBy("decade").agg(
+        F.count(F.lit(1)).alias("n_keys"), F.max("cnt").alias("max_cnt")
+    )
+    hottest = (
+        d.join(
+            F.broadcast(m.select("decade", "max_cnt")),
+            ["decade"],
+        )
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("decade")
+        .agg(F.min("user_id").alias("hottest_key"))
+    )
+    return m.join(hottest, ["decade"])

@@ -167,3 +167,38 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     )
     got = df.agg(F.sum("n")).collect()[0][0]
     assert got == expect and expect > 0, (got, expect)
+
+
+def test_dynamic_partition_pruning_subquery(spark, sf_dir, tmp_path):
+    """Joining a dt-partitioned fact against a FILTERED dim must inject a
+    dynamicpruning subquery on the fact scan (DPP — partitions are
+    skipped at runtime from the dim's build side, the mechanism that
+    makes star-schema joins viable on a partitioned 100 TB fact), and
+    the result must equal the semantically-identical static filter."""
+    from geektime_bigdata_spark.operators.scale import write_date_partitioned
+    from geektime_bigdata_spark.plans import explain_str
+
+    out = str(tmp_path / "events_dpp")
+    write_date_partitioned(spark, sf_dir, out)
+    fact = spark.read.parquet(out)
+    days = [r["dt"] for r in fact.select("dt").distinct().collect()]
+    pick = sorted(days)[:2]
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in pick else "drop") for d in days], "dt string, flag string"
+    )
+    joined = (
+        fact.join(dim.filter(F.col("flag") == "keep"), "dt")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    text = explain_str(joined, "formatted")
+    assert "dynamicpruning" in text.lower(), text
+
+    expect = (
+        fact.filter(F.col("dt").isin(pick))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = joined.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect)) and got
