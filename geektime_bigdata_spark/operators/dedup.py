@@ -47,11 +47,20 @@ SMALL_GRAPH_EDGES = 100_000  # below this, CC runs driver-side union-find
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — one row per distinct 3-gram per document."""
+    """(doc_id, shingle) — one row per distinct 3-gram per document.
+
+    Cached: every dedup query consumes this relation at least once and
+    ngram_jaccard_pairs twice (per-doc sizes + postings), so without
+    materialization each consumer re-runs the explode+array_distinct
+    pipeline. The relation is |docs| x ~|tokens| short strings — the
+    working set a shingle-based pipeline has to hold somewhere anyway;
+    in production it is the persisted intermediate a dedup job writes
+    once and reuses across stages."""
     docs = parallel_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles()).alias("shingle"))
+        .cache()
     )
 
 
