@@ -225,3 +225,51 @@ def test_simhash_banding_is_recall_complete(a, flips):
     )
     if hamming <= 3:
         assert shares_band
+
+
+FLOATS = st.floats(
+    min_value=-1e5,
+    max_value=1e5,
+    allow_nan=False,
+    allow_infinity=False,
+    width=64,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(FLOATS, min_size=1, max_size=40),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_exact_sum_three_engine_equivalence(spark, vals, nparts):
+    """The micro-unit sum contract must yield the BIT-IDENTICAL double in
+    Spark (any partitioning), DuckDB (the mirrored SQL), and plain
+    Python — for arbitrary inputs, not just fixtures. This is the
+    property every hashed contract edge in the repo leans on."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from geektime_bigdata_spark.functions import exact_sum
+
+    expected = sum(math.floor(v * 1e6 + 0.5) for v in vals) / 1e6
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got_spark = (
+        df.repartition(nparts).agg(exact_sum("v").alias("s")).collect()
+    )[0]["s"]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    got_duck = con.execute(
+        "SELECT CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 1000000.0 FROM t"
+    ).fetchone()[0]
+    con.close()
+
+    assert got_spark == expected == got_duck, (vals, nparts)
