@@ -403,6 +403,30 @@ def dedup_clusters(
     return labels
 
 
+def _shingle_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_a, doc_b, c)`` — shared-shingle count for every doc pair
+    with >= 1 common 3-gram, via the inverted-index posting-list
+    expansion (one groupBy collects each shingle's sorted doc list, an
+    array-combinations projection emits its co-occurrence pairs, a
+    second aggregate counts intersections). Work is sum over shingles of
+    |posting|^2 — bounded at scale by dropping/salting top-frequency
+    shingles (stopword trigrams)."""
+    sh = _doc_shingles(spark, sf_dir)
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") > 1)
+    pair_combos = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        postings.select(F.explode(F.expr(pair_combos)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for doc pairs sharing >= 1 shingle,
     thresholded at 0.1 — the verification stage a MinHash candidate pass
@@ -418,19 +442,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     here."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
-    ).filter(F.size("ds") > 1)
-    pair_combos = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    inter = (
-        postings.select(F.explode(F.expr(pair_combos)).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    inter = _shingle_pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
@@ -492,4 +504,69 @@ def bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (fraction of the 12
+    signature components that agree — the unbiased estimator LSH is
+    built on) next to the EXACT 3-gram Jaccard, plus the absolute
+    error. This is the measurement a pipeline runs before trusting a
+    banding configuration at scale: it answers "how wrong is the sketch
+    on my corpus" with data, not theory.
+
+    Cost shape: the candidate set is the (already linear) LSH bucket
+    expansion; the estimate is a 12-term projection over the wide
+    signature join; the exact side reuses the posting-list intersection
+    counts. No all-pairs anything. Contract edges: n_eq/12 and
+    c/(n_a+n_b-c) are integer-ratio doubles (identical IEEE division in
+    both engines) snapped to the 1e-6 grid, and the error is the
+    difference of two on-grid doubles."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_HASHES)],
+    )
+    n_eq = F.expr(
+        " + ".join(
+            f"CASE WHEN a{s} = b{s} THEN 1L ELSE 0L END"
+            for s in range(N_HASHES)
+        )
+    ).alias("n_eq")
+    est_pairs = pairs.join(wa, "doc_a").join(wb, "doc_b").select(
+        "doc_a", "doc_b", n_eq
+    )
+    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    inter = _shingle_pair_intersections(spark, sf_dir)
+    joined = (
+        est_pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    est = grid_round(F.col("n_eq") / F.lit(N_HASHES), 6)
+    exact = grid_round(
+        F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "n_eq",
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        grid_round(F.abs(est - exact), 6).alias("abs_err"),
     )
