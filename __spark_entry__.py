@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
+        "neardup_pagerank": dedup.neardup_pagerank,
         "dedup_clusters": dedup.dedup_clusters,
         "benchmark_contamination": dedup.benchmark_contamination,
         # --- similarity search ---
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "bm25_top_terms": text.bm25_top_terms,
         "posting_list_tf_str": text.posting_list_tf_str,
         "positional_postings": text.positional_postings,
         "phrase_search": text.phrase_search,
@@ -242,6 +244,28 @@ def oracle_sql() -> dict[str, str]:
         for i in range(8)
     )
     media_norm = " + ".join(f"f{i} * f{i}" for i in range(8))
+    # unrolled PageRank iterations (SQL has no loops): r1..r5, each the
+    # exact scalar-op mirror of the Spark recurrence in
+    # dedup.neardup_pagerank (1e-9-unit quantized contributions)
+    pagerank_iters = "".join(
+        f""", r{k} AS (
+                SELECT d0.doc_id,
+                       floor(((0.15 / n.n_docs)
+                              + (0.85 * (coalesce(s.m, 0) / 1000000000.0)))
+                             * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+                FROM documents d0 CROSS JOIN n
+                LEFT JOIN (
+                    SELECT b.d AS dst,
+                           sum(CAST(floor((r.pr / g.deg)
+                                          * 1000000000.0 + 0.5) AS BIGINT))
+                               AS m
+                    FROM bidir b
+                    JOIN r{k - 1} r ON r.doc_id = b.s
+                    JOIN deg g ON g.src = b.s
+                    GROUP BY 1) s ON s.dst = d0.doc_id
+            )"""
+        for k in range(1, 6)
+    )
     oracles = {
         "media_type_stats": f"""
             WITH bytes AS (
@@ -1082,6 +1106,40 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rk FROM scored
             ) WHERE rk <= 3
         """,
+        "bm25_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM toks
+                WHERE word <> '' GROUP BY doc_id, word
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks
+                WHERE word <> '' GROUP BY doc_id
+            ), df AS (
+                SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            avg_t AS (
+                SELECT CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM dl
+            ), scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf, df.df, dl.dl,
+                       floor(((ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
+                                  / (df.df + 0.5) + 1.0)
+                               * (tf.tf * 2.2))
+                              / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+                                                / avg_t.avgdl)))
+                             * 1000000.0 + 0.5) / 1000000.0 AS bm25
+                FROM tf
+                JOIN df USING (word)
+                JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN avg_t
+            )
+            SELECT doc_id, word, tf, df, dl, bm25, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY bm25 DESC, word
+                ) AS rk FROM scored
+            ) WHERE rk <= 3
+        """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1113,6 +1171,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "neardup_pagerank": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+            ), bidir AS (
+                SELECT doc_a AS s, doc_b AS d FROM edges
+                UNION SELECT doc_b, doc_a FROM edges
+            ), deg AS (
+                SELECT s AS src, count(*) AS deg FROM bidir GROUP BY 1
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            r0 AS (
+                SELECT doc_id,
+                       floor((1.0 / n.n_docs) * 1000000000.0 + 0.5)
+                           / 1000000000.0 AS pr
+                FROM documents CROSS JOIN n
+            ){pagerank_iters}
+            SELECT doc_id, pr AS pagerank FROM r5
         """,
         "order_price_quantiles": """
             SELECT o_orderpriority,

@@ -570,3 +570,62 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_jaccard"),
         grid_round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+PAGERANK_ITERS = 5
+PAGERANK_D = 0.85  # damping; literals 0.15/0.85 mirrored in the oracle
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph (edges =
+    :func:`ngram_jaccard_pairs`, undirected), PAGERANK_ITERS fixed
+    power iterations with damping 0.85 — ranks the most central
+    documents of each duplicate cluster (a principled representative
+    pick for the keep/drop step, vs min-doc_id).
+
+    The iterative-algorithm pattern on Spark beyond connected
+    components: each iteration is one join (ranks onto out-edges) + one
+    aggregate (incoming mass per node) — the standard message-passing
+    topology, O(iters) stages, edge relation cached across iterations.
+    Dangling-node mass is dropped (the common simplified variant) and
+    isolated docs settle at (1-d)/N.
+
+    Determinism across engines for an ITERATED float recurrence:
+    per-edge contributions quantize to 1e-9-unit LONGs before the
+    (order-dependent) sum, every scalar op is written in the same order
+    in the oracle's unrolled CTE chain, and each iteration's rank snaps
+    to the 1e-9 grid — so five chained recurrences stay bit-identical.
+    The oracle unrolls the same five iterations as chained CTEs (SQL
+    has no loops; the driver check stays exact)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()  # tiny scalar, same style as tfidf/bm25
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    bidir = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    bd = bidir.join(deg, "src").cache()
+
+    r = docs.select(
+        "doc_id", grid_round(F.lit(1.0) / F.lit(n_docs), 9).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = bd.join(r, bd["src"] == r["doc_id"]).select(
+            "dst",
+            F.floor((F.col("pr") / F.col("deg")) * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("mi"),
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("mi").alias("m"))
+        r = docs.join(inc, docs["doc_id"] == inc["dst"], "left").select(
+            "doc_id",
+            grid_round(
+                F.lit(0.15) / F.lit(n_docs)
+                + F.lit(0.85)
+                * (F.coalesce(F.col("m"), F.lit(0).cast("long")) / F.lit(1e9)),
+                9,
+            ).alias("pr"),
+        )
+    return r.select("doc_id", F.col("pr").alias("pagerank"))

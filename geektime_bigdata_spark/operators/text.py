@@ -242,3 +242,60 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM documents, "
         "LATERAL gbs_chunk_docs(doc_id, text) AS c"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson; the Lucene-style idf variant):
+    ``idf(w) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`` with k1=1.2,
+    b=0.75 — top-3 terms per document. The ranking-function upgrade of
+    :func:`tfidf_top_terms` for the inverted-index family
+    (InvertedMain.scala lineage): same two aggregations over the one
+    tokens relation plus a per-doc length and one global avgdl scalar.
+
+    Plan shape: df and dl both broadcast back onto tf (vocabulary and
+    doc-count << corpus at scale); avgdl is a one-row aggregate
+    cross-joined broadcast, exactly like the TPC-H scalar subqueries.
+    Every float op is written in the same order in the DuckDB oracle
+    (literals 0.25/0.75/1.2/2.2, integer-ratio divisions) so the
+    grid-rounded score is engine-identical."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+
+    from pyspark.sql import Window
+
+    from geektime_bigdata_spark.functions import grid_round
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(0.25) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(avg))
+        .withColumn(
+            "bm25",
+            grid_round((idf * (F.col("tf") * F.lit(2.2))) / denom, 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "dl", "bm25", "rk")
+    )

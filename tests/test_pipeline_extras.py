@@ -191,3 +191,31 @@ def test_bow_dedup_matches_python_recompute(spark, sf_dir):
     for fp, ids in groups.items():
         assert rows[fp]["keep_doc_id"] == min(ids)
         assert rows[fp]["n_copies"] == len(ids)
+
+
+def test_neardup_pagerank_mass_and_baseline(spark, sf_dir):
+    """Ranks are positive, total mass never exceeds 1 (dangling mass is
+    dropped, not invented), isolated docs sit exactly at the (1-d)/N
+    baseline, and every connected doc outranks the baseline."""
+    import math
+
+    from geektime_bigdata_spark.operators.dedup import (
+        neardup_pagerank,
+        ngram_jaccard_pairs,
+    )
+
+    ranks = {
+        r["doc_id"]: r["pagerank"]
+        for r in neardup_pagerank(spark, sf_dir).collect()
+    }
+    assert ranks and all(v > 0 for v in ranks.values())
+    assert sum(ranks.values()) <= 1.0 + 1e-6
+    edges = ngram_jaccard_pairs(spark, sf_dir).collect()
+    connected = {r["doc_a"] for r in edges} | {r["doc_b"] for r in edges}
+    n = len(ranks)
+    base = math.floor((0.15 / n) * 1e9 + 0.5) / 1e9
+    for doc, pr in ranks.items():
+        if doc in connected:
+            assert pr > base, (doc, pr, base)
+        else:
+            assert pr == base, (doc, pr, base)
