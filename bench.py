@@ -49,6 +49,9 @@ HEADLINE = [
     "semantic_dedup",
     "doc_repetition_scores",
     "bow_dedup",
+    "bm25_top_terms",
+    "minhash_jaccard_estimate",
+    "neardup_pagerank",
 ]
 
 

@@ -81,7 +81,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with all N_HASHES minhash columns mh0..mhN-1,
-    computed as N min-aggregates over a single (doc, shingle) shuffle."""
+    computed as N min-aggregates over a single (doc, shingle) shuffle.
+    Cached: |docs| x 12 hex strings — the signature table an indexing
+    job persists; signatures/lsh_pairs/the estimator all read it, and
+    the estimator alone consumes it twice (pair generation + the
+    component-agreement join)."""
     sh = _doc_shingles(spark, sf_dir)
     return sh.groupBy("doc_id").agg(
         *[
@@ -90,7 +94,7 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"mh{s}")
             for s in range(N_HASHES)
         ]
-    )
+    ).cache()
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

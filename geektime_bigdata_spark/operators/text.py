@@ -265,8 +265,15 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallel_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
     toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # one explode feeds everything: dl = sum of tf per doc (identical to
+    # counting tokens, without a second pass over the tokens relation),
+    # and tf is materialized once for its two consumers (df + the join)
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
 
