@@ -248,6 +248,60 @@ def run_streaming_attribution(
     return spark.table(name)
 
 
+def run_streaming_attribution_outer(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 180
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — purchases with their
+    preceding-hour clicks, null-padded when no click exists. The outer
+    variant is the advanced shape: Spark can emit the null-padded row
+    only once the watermark proves no matching click can still arrive,
+    which is exactly the state-eviction bound of the inner join reused
+    as a completeness proof.
+
+    availableNow caveat (why this is pytest-verified, not a driver
+    oracle row): the run terminates when input is exhausted, so the
+    final watermark may still sit before the join bound of the last
+    purchases — their null rows are legitimately withheld. The
+    batch-equivalence test therefore asserts SOUNDNESS (matched rows ==
+    batch inner join; every null row is a true batch anti-join member),
+    not null-completeness."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "c_ts")
+    name = f"gbs_stream_attr_outer_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, timeout_sec)
+    return spark.table(name)
+
+
 def run_streaming_dedup(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 120
 ) -> DataFrame:

@@ -188,3 +188,48 @@ def test_streaming_dedup_one_row_per_key(spark, sf_dir):
         table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     )
     assert _rowset(out.select("user_id", "event_type")) == batch_keys
+
+
+def test_streaming_outer_attribution_sound_vs_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream join soundness: matched rows must equal
+    the batch inner join exactly, and every null-padded row must be a
+    true batch anti-join member (availableNow may WITHHOLD trailing
+    null rows — watermark hasn't passed their bound — but must never
+    invent or duplicate one)."""
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_attribution_outer,
+    )
+
+    out = run_streaming_attribution_outer(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    inner = {
+        (r["purchase_id"], r["user_id"], r["c_ts"])
+        for r in p.join(c, cond).select(
+            "purchase_id", "user_id", "c_ts"
+        ).collect()
+    }
+    anti = {
+        r["purchase_id"]
+        for r in p.join(c, cond, "left_anti").collect()
+    }
+    got_matched = {
+        (r["purchase_id"], r["user_id"], r["c_ts"])
+        for r in out
+        if r["c_ts"] is not None
+    }
+    got_null = [r["purchase_id"] for r in out if r["c_ts"] is None]
+    assert got_matched == inner and inner
+    assert set(got_null) <= anti
+    assert len(got_null) == len(set(got_null))
