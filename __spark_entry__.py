@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_grouping_sets": relational.order_grouping_sets,
         "corpus_report": textstats.corpus_report,
         "key_skew_report": scale.key_skew_report,
+        "event_funnel": windows.event_funnel,
         # --- dedup suite (training-data pipeline; no driver row yet) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -1477,6 +1478,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id
+        """,
+        "event_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY 1
+            ), stages AS (
+                SELECT '1_view' AS stage, count(*) AS n_users FROM v
+                UNION ALL
+                SELECT '2_click', count(*) FROM c
+                UNION ALL
+                SELECT '3_purchase', count(*) FROM p
+            ), top AS (SELECT count(*) AS top_n FROM v)
+            SELECT stage, n_users,
+                   floor((n_users / top.top_n) * 1000000.0 + 0.5)
+                       / 1000000.0 AS pct_of_top
+            FROM stages CROSS JOIN top
         """,
         "key_skew_report": """
             WITH c AS (

@@ -345,3 +345,58 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(slope, "user_id long, slope double, n_events long")
     )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    reaches a stage only via events STRICTLY AFTER their entry into the
+    previous stage (min-ts semantics — the standard product-analytics
+    funnel). Output: one row per stage with the user count and the
+    fraction of stage-1 users still converting.
+
+    Scale shape: three filtered per-user min-aggregates chained by
+    equi-joins on user_id — each stage's relation only shrinks, no
+    window functions, no self-join of the raw events; at 100 TB all
+    three shuffles hash on the same key so AQE can coalesce. Counts are
+    integers; the conversion fraction is an integer-ratio double on the
+    1e-6 grid."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    top = v.agg(F.count(F.lit(1)).alias("top_n"))
+    return stages.crossJoin(F.broadcast(top)).select(
+        "stage",
+        "n_users",
+        grid_round(F.col("n_users") / F.col("top_n"), 6).alias("pct_of_top"),
+    )
