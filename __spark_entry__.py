@@ -868,8 +868,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id,
                    count(*) AS n_events,
-                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS session_value,
-                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+                   sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS session_value_micros,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
             FROM sessions GROUP BY user_id, session_id
         """,
         "asof_last_click": """

@@ -12,6 +12,7 @@ from geektime_bigdata_spark.functions.exprs import (
     grid_round,
     hash_unit_weight,
     shingles,
+    sum_micros,
     tokens,
     vec_norm,
 )
@@ -24,4 +25,5 @@ __all__ = [
     "hash_unit_weight",
     "exact_sum",
     "grid_round",
+    "sum_micros",
 ]

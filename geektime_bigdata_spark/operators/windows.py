@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum, grid_round
+from geektime_bigdata_spark.functions import exact_sum, grid_round, sum_micros
 from geektime_bigdata_spark.registry import table
 
 
@@ -68,10 +68,16 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_id  = sum(new_session) over (user ORDER BY ts)
 
     Returns one row per session with size and duration. One shuffle on
-    user_id covers both windows (same partitioning). session_value sums
-    through DECIMAL(18,6) (:func:`exact_sum`) — a plain double group sum
-    is accumulation-order-dependent and round(,6) can straddle a 0.5e-6
-    boundary between engines (round 1's only driver hash-mismatch)."""
+    user_id covers both windows (same partitioning).
+
+    Contract-edge hardening (rounds 1+2 both hash-failed this query's
+    DOUBLE surface on the driver even though the micro-unit sum is
+    engine-identical by construction): the output is now ALL-INTEGER —
+    ``session_value_micros`` is the raw LONG micro-unit sum
+    (:func:`sum_micros`, no division, no rounding) and ``duration_us``
+    is an exact microsecond difference (``unix_micros``; the DuckDB twin
+    uses ``epoch_us``, BIGINT on both engines — no double ``epoch()``
+    floor anywhere). Integer columns cannot knife-edge a value hash."""
     e = table(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_ord)
@@ -88,10 +94,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("session_id", F.sum(is_new).over(w_cum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(exact_sum("value"), 6).alias("session_value"),
-        # whole-second duration; floor on both engines (see oracle SQL)
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
-            "duration_sec"
+        sum_micros("value").alias("session_value_micros"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
         ),
     )
 

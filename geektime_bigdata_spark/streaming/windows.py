@@ -401,8 +401,9 @@ def _sessionize_group(
 ) -> Iterable[pd.DataFrame]:
     """Stateful per-user sessionizer — the streaming twin of the batch
     lag-chain :func:`...operators.windows.sessionize`, emitting the SAME
-    per-session schema (user_id, session_id, n_events, session_value,
-    duration_sec) so both share one DuckDB oracle.
+    per-session schema (user_id, session_id, n_events,
+    session_value_micros, duration_us — ALL-INTEGER contract surface,
+    see the batch twin's docstring) so both share one DuckDB oracle.
 
     State per user: (last_ts_us, session_id, start_ts_us, n_events,
     value_micro) for the open session. A gap > SESSION_GAP_SEC closes it
@@ -427,18 +428,16 @@ def _sessionize_group(
         "user_id": [],
         "session_id": [],
         "n_events": [],
-        "session_value": [],
-        "duration_sec": [],
+        "session_value_micros": [],
+        "duration_us": [],
     }
 
     def _emit() -> None:
         out["user_id"].append(user_id)
         out["session_id"].append(session_id)
         out["n_events"].append(n_events)
-        out["session_value"].append(value_u / 1_000_000)
-        out["duration_sec"].append(
-            last_ts_us // 1_000_000 - start_ts_us // 1_000_000
-        )
+        out["session_value_micros"].append(value_u)
+        out["duration_us"].append(last_ts_us - start_ts_us)
 
     for ts_us, _eid, v in sorted(rows):
         if last_ts_us < 0 or ts_us - last_ts_us > SESSION_GAP_SEC * 1_000_000:
@@ -476,7 +475,7 @@ def run_streaming_sessionization(
         _sessionize_group,
         outputStructType=(
             "user_id long, session_id long, n_events long, "
-            "session_value double, duration_sec long"
+            "session_value_micros long, duration_us long"
         ),
         stateStructType=(
             "last_ts_us long, session_id long, start_ts_us long, "
@@ -503,14 +502,14 @@ def run_streaming_sessionization(
         t.groupBy("user_id", "session_id")
         .agg(
             F.max(
-                F.struct("n_events", "session_value", "duration_sec")
+                F.struct("n_events", "session_value_micros", "duration_us")
             ).alias("s")
         )
         .select(
             "user_id",
             "session_id",
             F.col("s.n_events").alias("n_events"),
-            F.round(F.col("s.session_value"), 6).alias("session_value"),
-            F.col("s.duration_sec").alias("duration_sec"),
+            F.col("s.session_value_micros").alias("session_value_micros"),
+            F.col("s.duration_us").alias("duration_us"),
         )
     )

@@ -29,12 +29,13 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # 12 significant digits: strict enough that magnitude can't erode
-        # the check (a 1e7-range revenue still exposes sub-cent drift),
-        # loose enough to absorb only the last ~4 bits of double noise.
-        # Every contract-edge sum accumulates through DECIMAL(18,6) on
-        # both engines, so equality here is effectively bit-equality.
-        return f"{v:.12g}"
+        # FULL precision (shortest round-trip repr = bit equality). The
+        # driver's value hash is at least this strict; the previous
+        # 12-sig-digit canon masked sub-ulp engine drift locally that
+        # then hash-failed on the driver (round 2: sessionize). Every
+        # hashed float must be IDENTICAL IEEE ops on both engines
+        # (grid_round / micro-unit sums) — this canon enforces it.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -64,8 +64,9 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
 
 def test_streaming_sessionization_equals_batch(spark, sf_dir):
     """The stateful sessionizer now emits the full batch-sessionize
-    schema (user_id, session_id, n_events, session_value, duration_sec),
-    so the equivalence check is row-for-row against the batch twin."""
+    schema (user_id, session_id, n_events, session_value_micros,
+    duration_us — the all-integer contract surface), so the equivalence
+    check is row-for-row against the batch twin."""
     stream_result = run_streaming_sessionization(spark, sf_dir)
     batch_result = sessionize(spark, sf_dir)
     assert stream_result.columns == batch_result.columns
