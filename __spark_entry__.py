@@ -8,6 +8,7 @@ twin for the driver's differential correctness check.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -37,26 +38,126 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.flow_stats(spark, SF0001)
 
 
+def _streaming_upsert_with_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the foreachBatch upsert sink in a scratch dir and REMOVE it
+    after materializing the final state (ADVICE r2: the old per-call
+    ``mkdtemp`` leaked parquet state + checkpoints across driver runs).
+    The state is collected and re-created as a local DataFrame so the
+    returned plan has no dangling reference to the deleted path."""
+    out_dir = tempfile.mkdtemp(prefix="gbs_upsert_")
+    try:
+        df = streaming.run_streaming_upsert_sink(spark, sf_dir, out_dir)
+        return spark.createDataFrame(df.collect(), df.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic driver surface for the watermarked LEFT OUTER
+    stream-stream join: all matched rows, plus null-padded rows only for
+    purchases safely inside the state-eviction bound.
+
+    The engine's final watermark is the MIN across both watermark
+    operators, each computed on its own FILTERED stream — i.e.
+    ``least(max(p_ts), max(c_ts)) - 2h`` (measured empirically: null
+    rows stop exactly at that value, NOT at max(ts) - 2h). Null rows are
+    kept only for ``p_ts <= least(maxP, maxC) - 2h - 1h``: one full hour
+    inside whichever boundary strictness Spark applies, so the emitted
+    set cannot depend on a boundary tie. The oracle mirrors: inner pairs
+    UNION unmatched purchases under the same cutoff."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.registry import table
+
+    out = streaming.run_streaming_attribution_outer(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    row = e.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+    ).collect()[0]
+    wm_min = min(row["p"], row["c"])
+    return out.filter(
+        F.col("c_ts").isNotNull()
+        | (F.col("p_ts") <= F.lit(wm_min) - F.expr("INTERVAL 3 HOURS"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: round 1's driver checked only the first 50 of 98
-    registered queries, leaving the whole dedup/ANN/text/streaming/ETL
-    suite without a hard CORRECTNESS row. Entries are therefore ordered
-    by verification debt: queries with no driver row yet (plus
-    ``sessionize``, round 1's only hash-fail, now determinism-fixed)
-    come first; the 49 queries that already earned a green row in
-    CORRECTNESS_r01.json follow. If the driver sweeps a prefix of any
-    length, it always maximizes newly-verified coverage."""
+    ORDERING CONTRACT: the driver sweeps a 50-slot prefix, so entries
+    are ordered by verification debt (round 3 re-sort): (1) the two
+    rounds-1/2 hash-fails, now re-surfaced as all-integer outputs;
+    (2) queries whose contract surface changed this round; (3) the 18
+    queries that have never received a driver row (streaming x7 + the
+    newly registered LEFT OUTER stream-stream join, multimodal x3,
+    pipeline x2, windows/time-series x5); (4) everything already green
+    in CORRECTNESS_r01/r02. A prefix of any length always maximizes
+    newly-verified coverage."""
     return {
-        # --- round-1 fail first: the determinism fix to prove ---
+        # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,
         "streaming_sessionization": (
             lambda spark, sf_dir: streaming.run_streaming_sessionization(
                 spark, sf_dir
             )
         ),
-        # --- round-2 additions (newest first: no driver row yet) ---
+        # --- (2) contract surface changed this round ---
+        "running_user_totals": windows.running_user_totals,
+        # --- (3) never driver-checked: streaming suite ---
+        "streaming_attribution_outer": _streaming_attr_outer_surface,
+        "streaming_hourly_rollup": (
+            lambda spark, sf_dir: streaming.run_streaming_hourly_rollup(
+                spark, sf_dir
+            )
+        ),
+        "streaming_sliding_counts": (
+            lambda spark, sf_dir: streaming.run_streaming_sliding_counts(
+                spark, sf_dir
+            )
+        ),
+        "streaming_enriched_rollup": (
+            lambda spark, sf_dir: streaming.run_streaming_enriched_rollup(
+                spark, sf_dir
+            )
+        ),
+        "streaming_attribution": (
+            lambda spark, sf_dir: streaming.run_streaming_attribution(
+                spark, sf_dir
+            )
+        ),
+        # dropDuplicatesWithinWatermark emits whole first-arrival rows
+        # (arrival order is partition-nondeterministic), so the driver
+        # surface is the DETERMINISTIC part: the key set that passed.
+        # Single-batch assumption guarded in the runner.
+        "streaming_dedup": (
+            lambda spark, sf_dir: streaming.run_streaming_dedup(
+                spark, sf_dir
+            )
+            .select("user_id", "event_type")
+            .distinct()
+        ),
+        # foreachBatch upsert state: latest row per key with a total
+        # (ts, event_id) tiebreak — deterministic however the stream is
+        # micro-batched. Scratch dir removed after materialization.
+        "streaming_upsert_sink": _streaming_upsert_with_cleanup,
+        # --- (3) never driver-checked: multimodal plumbing (stub decoder
+        #     is deterministic, so even the Python decode path is fully
+        #     oracle-checked; features canonicalize to micro-unit strings)
+        "media_type_stats": multimodal.media_type_stats,
+        "media_features": multimodal.media_features_str,
+        "media_features_wide": multimodal.media_features_wide,
+        # --- (3) never driver-checked: curation pipeline ---
+        "curated_corpus": pipeline.curated_corpus,
+        "curation_summary": pipeline.curation_summary,
+        # --- (3) never driver-checked: windows / time-series ---
+        "customer_balance_quartiles": windows.customer_balance_quartiles,
+        "user_value_trend": windows.user_value_trend,
+        "asof_last_click": windows.asof_last_click,
+        "hourly_event_rollup": windows.hourly_event_rollup,
+        "json_props_extract": windows.json_props_extract,
+        "sliding_window_counts": windows.sliding_window_counts,
+        # ---- (4) driver-green in rounds 1-2 below ----
         "doc_repetition_scores": textstats.doc_repetition_scores,
         "length_bucket_stats": textstats.length_bucket_stats,
         "semantic_dedup": similarity.semantic_dedup,
@@ -66,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": textstats.corpus_report,
         "key_skew_report": scale.key_skew_report,
         "event_funnel": windows.event_funnel,
-        # --- dedup suite (training-data pipeline; no driver row yet) ---
+        # --- dedup suite (training-data pipeline) ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -110,62 +211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_hourly_rollup": etl.continuous_hourly_rollup,
         "orders_audit": etl.orders_audit,
         "incremental_ingest_dedup": etl.incremental_ingest_dedup,
-        "curated_corpus": pipeline.curated_corpus,
-        "curation_summary": pipeline.curation_summary,
-        # --- multimodal plumbing (stub decoder is deterministic, so even
-        #     the Python decode path is fully oracle-checked; the feature
-        #     array canonicalizes to a micro-unit string) ---
-        "media_type_stats": multimodal.media_type_stats,
-        "media_features": multimodal.media_features_str,
-        "media_features_wide": multimodal.media_features_wide,
-        # --- streaming (availableNow micro-batch; hourly rollup shares the
-        #     batch twin's oracle — tumbling window start == date_trunc) ---
-        "streaming_hourly_rollup": (
-            lambda spark, sf_dir: streaming.run_streaming_hourly_rollup(
-                spark, sf_dir
-            )
-        ),
-        "streaming_sliding_counts": (
-            lambda spark, sf_dir: streaming.run_streaming_sliding_counts(
-                spark, sf_dir
-            )
-        ),
-        "streaming_enriched_rollup": (
-            lambda spark, sf_dir: streaming.run_streaming_enriched_rollup(
-                spark, sf_dir
-            )
-        ),
-        "streaming_attribution": (
-            lambda spark, sf_dir: streaming.run_streaming_attribution(
-                spark, sf_dir
-            )
-        ),
-        # dropDuplicatesWithinWatermark emits whole first-arrival rows
-        # (arrival order is partition-nondeterministic), so the driver
-        # surface is the DETERMINISTIC part: the key set that passed.
-        "streaming_dedup": (
-            lambda spark, sf_dir: streaming.run_streaming_dedup(
-                spark, sf_dir
-            )
-            .select("user_id", "event_type")
-            .distinct()
-        ),
-        # foreachBatch upsert state: latest row per key with a total
-        # (ts, event_id) tiebreak — deterministic however the stream is
-        # micro-batched. Reads back the parquet state it wrote.
-        "streaming_upsert_sink": (
-            lambda spark, sf_dir: streaming.run_streaming_upsert_sink(
-                spark, sf_dir, tempfile.mkdtemp(prefix="gbs_upsert_")
-            )
-        ),
-        # --- windows / time-series without a round-1 driver row ---
-        "customer_balance_quartiles": windows.customer_balance_quartiles,
-        "user_value_trend": windows.user_value_trend,
-        "asof_last_click": windows.asof_last_click,
-        "hourly_event_rollup": windows.hourly_event_rollup,
-        "json_props_extract": windows.json_props_extract,
-        "sliding_window_counts": windows.sliding_window_counts,
-        # ================= driver-green in round 1 below =================
         # --- relational core (homework-1/-2/-3/-5 parity) ---
         "flow_stats": relational.flow_stats,
         "null_filter_empty": relational.null_filter_empty,
@@ -216,7 +261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- windows / time-series (driver-green) ---
         "window_topn_orders": windows.window_topn_orders,
         "session_window_rollup": windows.session_window_rollup,
-        "running_user_totals": windows.running_user_totals,
         "order_price_quantiles": windows.order_price_quantiles,
     }
 
@@ -345,9 +389,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flow_stats": """
             SELECT user_id,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_up,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_down,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_total
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS sum_up,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS sum_down,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type IN ('click','view') THEN value ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS sum_total
             FROM events GROUP BY user_id
         """,
         "null_filter_empty": """
@@ -409,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_catalog_query": """
             SELECT n.n_name, count(*) AS n_orders,
-                   round(CAST(sum(CAST(floor((o.o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total_price
+                   floor((CAST(sum(CAST(floor((o.o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS total_price
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -419,7 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_rollup": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n,
-                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty,
+                   floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
                    CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS lvl
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -427,7 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "order_status_cube": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n,
-                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total,
+                   floor((CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS total,
                    CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -487,16 +531,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
                    CAST(month(o_orderdate) AS BIGINT) AS mo,
                    count(*) AS n_orders,
-                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
+                   floor((CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
             FROM orders GROUP BY 1, 2
         """,
         "event_type_pivot": """
             SELECT user_id,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS click,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS view,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS purchase,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'signup' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS signup,
-                   round(CAST(sum(CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS error
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'click' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS click,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'view' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS view,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS purchase,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'signup' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS signup,
+                   floor((CAST(sum(CAST(floor((CASE WHEN event_type = 'error' THEN value END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS error
             FROM events GROUP BY user_id
         """,
         "embedding_norms_pandas": """
@@ -509,10 +553,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty,
-                   round(CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_base_price,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_disc_price,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+                   floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_charge,
                    floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
                    floor((CAST(sum(CAST(floor((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
                    floor((CAST(sum(CAST(floor((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
@@ -524,7 +568,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -537,7 +581,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
             FROM region
             JOIN nation ON n_regionkey = r_regionkey
             JOIN customer ON c_nationkey = n_nationkey
@@ -551,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue,
+            SELECT floor((CAST(sum(CAST(floor((l_extendedprice * l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue,
                    count(*) AS n_lines
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -561,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -611,7 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -646,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+                   floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0
                        AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -665,7 +709,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_name = 'NATION_4'
                 GROUP BY l_partkey
             )
-            SELECT l_partkey, round(value, 4) AS value
+            SELECT l_partkey, floor((value) * 10000.0 + 0.5) / 10000.0 AS value
             FROM v WHERE value > 0.002 * (SELECT CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 FROM v)
             ORDER BY value DESC, l_partkey
         """,
@@ -698,7 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH revenue AS (
                 SELECT l_suppkey,
-                       round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4)
+                       floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0
                            AS total_revenue
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -740,9 +784,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_large_volume_customers": """
             WITH big AS (
-                SELECT l_orderkey, round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS sum_qty
+                SELECT l_orderkey, floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_qty
                 FROM lineitem GROUP BY l_orderkey
-                HAVING round(CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) > 180
+                HAVING floor((CAST(sum(CAST(floor((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 100.0 + 0.5) / 100.0 > 180
             )
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                    sum_qty
@@ -753,7 +797,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "q19_discounted_revenue": """
-            SELECT round(CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS revenue,
+            SELECT floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS revenue,
                    count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -803,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_global_sales_opportunity": """
             SELECT c_nationkey, count(*) AS numcust,
-                   round(CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS totacctbal
+                   floor((CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS totacctbal
             FROM customer
             WHERE c_acctbal > (SELECT CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) FROM customer
                                WHERE c_acctbal > 0)
@@ -815,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_dim_join": """
             SELECT n_name, count(*) AS n_customers,
-                   round(CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total_acctbal
+                   floor((CAST(sum(CAST(floor((c_acctbal) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS total_acctbal
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
@@ -842,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_user_totals": """
             SELECT user_id, event_id,
-                   round(sum(value) OVER w, 6) AS running_value,
+                   sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS running_value_micros,
                    count(*) OVER w AS event_idx
             FROM events
             WINDOW w AS (
@@ -883,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_event_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
+                   count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS total_value
             FROM events GROUP BY 1, 2
         """,
         "json_props_extract": """
@@ -1083,7 +1127,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS last_event_ts,
                    count(*) AS n_events,
-                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS session_value
+                   floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS session_value
             FROM sessions GROUP BY user_id, session_id
         """,
         "tfidf_top_terms": """
@@ -1098,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             ), n AS (SELECT count(*) AS n_docs FROM documents),
             scored AS (
                 SELECT tf.doc_id, tf.word, tf.tf, df.df,
-                       round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+                       floor((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
                 FROM tf JOIN df USING (word) CROSS JOIN n
             )
             SELECT doc_id, word, tf, df, tfidf, rk FROM (
@@ -1124,11 +1168,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM dl
             ), scored AS (
                 SELECT tf.doc_id, tf.word, tf.tf, df.df, dl.dl,
+                       -- every fractional literal cast to DOUBLE: a bare
+                       -- 2.2 is DECIMAL in DuckDB and BIGINT*DECIMAL stays
+                       -- exact-decimal, off the IEEE product by 1 ulp for
+                       -- odd tf (ADVICE r2) — Spark computes doubles
                        floor(((ln((CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
                                   / (df.df + 0.5) + 1.0)
-                               * (tf.tf * 2.2))
-                              / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
-                                                / avg_t.avgdl)))
+                               * (tf.tf * CAST(2.2 AS DOUBLE)))
+                              / (tf.tf + CAST(1.2 AS DOUBLE)
+                                 * (0.25 + (CAST(0.75 AS DOUBLE) * dl.dl)
+                                           / avg_t.avgdl)))
                              * 1000000.0 + 0.5) / 1000000.0 AS bm25
                 FROM tf
                 JOIN df USING (word)
@@ -1210,13 +1259,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "order_price_quantiles": """
             SELECT o_orderpriority,
-                   round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   floor((quantile_cont(o_totalprice, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+                   floor((quantile_cont(o_totalprice, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
         """,
         "sliding_window_counts": """
-            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
+            SELECT w_start, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -1226,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "continuous_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_value
+                   count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "scd2_intervals": """
@@ -1419,10 +1468,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ), dist AS (
                 SELECT v.vec_id, c.cell,
-                       round(sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                       floor((sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
                                  * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
-                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0,
-                             6) AS d2
+                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM embeddings v CROSS JOIN cent c
                 GROUP BY 1, 2
             ), assign AS (
@@ -1525,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "order_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n,
-                   round(CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS total,
+                   floor((CAST(sum(CAST(floor((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 10000.0 + 0.5) / 10000.0 AS total,
                    CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -1569,10 +1617,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ), dist AS (
                 SELECT v.vec_id, c.cell,
-                       round(sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                       floor((sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
                                  * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
-                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0,
-                             6) AS d2
+                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM embeddings v CROSS JOIN cent c
                 GROUP BY 1, 2
             ), assign AS (
@@ -1636,10 +1683,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ), dist AS (
                 SELECT v.vec_id, c.cell,
-                       round(sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
+                       floor((sum(CAST(floor((CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
                                  * (CAST(v.embedding[c.pos] AS DOUBLE) - c.c)
-                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0,
-                             6) AS d2
+                                 * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS d2
                 FROM embeddings v CROSS JOIN cent c
                 GROUP BY 1, 2
             ), assign AS (
@@ -1738,11 +1784,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
-                   count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
+                   count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS total_value
             FROM events GROUP BY 1, 2
         """,
         "streaming_sliding_counts": """
-            SELECT w_start, count(*) AS n, round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
+            SELECT w_start, count(*) AS n, floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS total_value
             FROM (
                 SELECT unnest([date_trunc('hour', ts),
                                date_trunc('hour', ts) - INTERVAL '1 hour']) AS w_start,
@@ -1759,12 +1805,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_enriched_rollup": """
             SELECT c_mktsegment, count(*) AS n_events,
-                   round(CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS total_value
+                   floor((CAST(sum(CAST(floor((value) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS total_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_attribution_outer": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id AS c_user, ts AS c_ts
+                FROM events WHERE event_type = 'click'
+            ), m AS (
+                SELECT p.purchase_id, p.user_id, p.p_ts, c.c_ts
+                FROM p JOIN c ON p.user_id = c.c_user
+                 AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+                 AND c.c_ts < p.p_ts
+            ), mx AS (
+                -- engine watermark = min over the two watermark operators,
+                -- each on its own filtered stream; -3h = 2h delay + 1h
+                -- safety margin inside the eviction boundary
+                SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                             max(CASE WHEN event_type = 'click' THEN ts END))
+                       AS mt
+                FROM events
+            )
+            SELECT purchase_id, user_id, p_ts, c_ts FROM m
+            UNION ALL
+            SELECT p.purchase_id, p.user_id, p.p_ts,
+                   CAST(NULL AS TIMESTAMP) AS c_ts
+            FROM p CROSS JOIN mx
+            WHERE p.p_ts <= mx.mt - INTERVAL '3 hours'
+              AND NOT EXISTS (
+                  SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
         """,
         "streaming_upsert_sink": """
             SELECT user_id, event_type, ts, value, event_id FROM (

@@ -80,17 +80,17 @@ def main() -> None:
     for name in names:
         _run(queries[name](spark, warm_dir))
 
-    # best-of-2 per query: a second measured run filters out transient
-    # scheduler/GC noise (observed 30-50% swings on a loaded machine)
-    # while still reporting end-to-end plan execution, scan included
+    # median-of-3 per query (VERDICT r2: several apparent regressions were
+    # single-run noise; medians make the round-over-round <=2x bar
+    # auditable while still absorbing transient scheduler/GC swings)
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _run(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -112,6 +112,11 @@ def main() -> None:
     except OSError:
         pass  # history is best-effort; the contract is the stdout line
     print(json.dumps(record))
+    # drop the shared operator caches so a host embedding this bench in a
+    # longer session does not keep the sf-scale relations pinned
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
 
 
 if __name__ == "__main__":

@@ -313,12 +313,19 @@ def dedup_clusters(
     Size-gated hybrid: when the edge set is small (the common case — true
     near-dup pairs are rare even in a 100 TB corpus), collect it and run
     driver-side union-find, then broadcast-join labels back — one pass,
-    no iteration. Above the threshold, iterative min-label propagation
-    (the standard large-graph CC algorithm: hash-partitioned message
-    passing, O(diameter) rounds, each round one join + one aggregate)
-    keeps everything distributed. The DuckDB oracle computes the same
-    components with a recursive CTE, making this iterative,
-    non-SQL-expressible operator still differentially testable."""
+    no iteration. Above the threshold, the distributed path runs
+    ALTERNATING LARGE-STAR / SMALL-STAR rounds (the MapReduce CC scheme
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round rewires every node toward its neighborhood minimum, which
+    contracts long chains multiplicatively — convergence in O(log)
+    rounds instead of the O(graph diameter) a one-hop min-label
+    propagation needs (ADVICE r2: a 25-round budget silently bounds
+    diameter; star doubling removes that bound for the same budget).
+    Each phase is one groupBy-min plus one join, hash-partitioned on the
+    node id — no driver state, no row explosion beyond the (shrinking)
+    edge set. The DuckDB oracle computes the same components with a
+    recursive CTE, making this iterative, non-SQL-expressible operator
+    still differentially testable."""
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
@@ -355,56 +362,104 @@ def dedup_clusters(
                 F.coalesce(F.col("cc"), F.col("doc_id")).alias("cluster_id"),
             )
         )
-    bidir = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # canonical undirected edge set: a < b, no self-loops, distinct.
+    # Each round's edge set is localCheckpoint'ed: the round reads E three
+    # times (two bidir legs + the fixpoint diff), so without severing the
+    # lineage the logical plan grows 3^k over k rounds and the DRIVER
+    # OOMs on plan analysis long before any executor works hard. On a
+    # cluster with a fault-tolerance requirement, swap for a reliable
+    # checkpoint(dir) — same call shape, HDFS-backed blocks.
+    E = (
+        edges.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    bidir = bidir.cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
     converged = False
     for _ in range(max_iter):
-        labels = labels.cache()
-        nbr_min = (
-            bidir.join(labels, bidir["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # LARGE-STAR: per node u, connect every strictly-LARGER neighbor
+        # to m(u) = min(Γ(u) ∪ {u}). Preserves connectivity; hangs every
+        # heavy node's big neighbors directly off the local minimum.
+        bidir = E.selectExpr("a AS u", "b AS v").unionByName(
+            E.selectExpr("b AS u", "a AS v")
         )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+        m_all = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            bidir.join(m_all, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        E_ls = (
+            large.filter(F.col("x") != F.col("y"))
             .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
             )
-            .cache()
+            .distinct()
         )
+        # SMALL-STAR: per node u, connect u and every strictly-SMALLER
+        # neighbor to m(u) = min of those smaller neighbors. Directing
+        # each canonical edge (a < b) as b -> a gives exactly the
+        # smaller-neighbor sets.
+        dirn = E_ls.selectExpr("b AS u", "a AS v")
+        m_small = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        joined = dirn.join(m_small, "u")
+        E_ss = (
+            joined.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                joined.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("x"), F.col("m").alias("y")
+                )
+            )
+            .filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint test: symmetric difference empty (both sides distinct,
+        # so a lone (a,b) group means the edge exists on one side only)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            E.unionByName(E_ss)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 1)
+            .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        E = E_ss
         if changed == 0:
             converged = True
             break
-    bidir.unpersist()
     if not converged:
-        # one-hop min-label propagation needs O(graph diameter) rounds;
-        # returning here would silently mislabel any component with
-        # diameter > max_iter. Fail loudly — callers with pathological
-        # chain graphs should raise max_iter (or switch the propagation
-        # to a large-star/small-star doubling scheme).
         raise RuntimeError(
-            f"connected-components label propagation did not converge "
-            f"within max_iter={max_iter} rounds; graph diameter exceeds "
-            f"the round budget and cluster_ids would be wrong"
+            f"large-star/small-star did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds; cluster_ids would be wrong"
         )
-    return labels
+    # fixpoint graph is a forest of stars centered on component minima:
+    # every node's label is its minimum neighbor (or itself if isolated)
+    lbl = (
+        E.selectExpr("a AS doc_id", "a AS cc")
+        .unionByName(E.selectExpr("b AS doc_id", "a AS cc"))
+        .groupBy("doc_id")
+        .agg(F.min("cc").alias("cc"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(lbl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return out
 
 
 def _shingle_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import grid_round
 from geektime_bigdata_spark.registry import table
 
 INCOMING_SOURCE = "src0"
@@ -166,7 +167,7 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "event_type",
         "n",
-        F.round(
+        grid_round(
             (F.col("sum_value") / F.lit(1e6)).cast("double"), 6
         ).alias("sum_value"),
     )

@@ -50,10 +50,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(exact_sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(exact_sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(exact_sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(exact_sum(charge), 2).alias("sum_charge"),
+            grid_round(exact_sum("l_quantity"), 2).alias("sum_qty"),
+            grid_round(exact_sum("l_extendedprice"), 2).alias("sum_base_price"),
+            grid_round(exact_sum(disc_price), 2).alias("sum_disc_price"),
+            grid_round(exact_sum(charge), 2).alias("sum_charge"),
             grid_round(exact_sum("l_quantity") / n, 6).alias("avg_qty"),
             grid_round(exact_sum("l_extendedprice") / n, 6).alias("avg_price"),
             grid_round(exact_sum("l_discount") / n, 6).alias("avg_disc"),
@@ -90,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
+        .agg(grid_round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -133,7 +133,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
+        .agg(grid_round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -154,7 +154,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
+            grid_round(
                 exact_sum(F.col("l_extendedprice") * F.col("l_discount")), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -185,7 +185,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(exact_sum(revenue), 4).alias("revenue"))
+        .agg(grid_round(exact_sum(revenue), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -224,7 +224,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(exact_sum("c_acctbal"), 4).alias("total_acctbal"),
+            grid_round(exact_sum("c_acctbal"), 4).alias("total_acctbal"),
         )
     )
 

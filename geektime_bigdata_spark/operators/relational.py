@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import load_tables, table
 
 
@@ -58,9 +58,9 @@ def flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # exact_sum: order-independent decimal accumulation at the
             # hashed contract edge (see functions.exprs.exact_sum)
-            F.round(exact_sum("up"), 6).alias("sum_up"),
-            F.round(exact_sum("down"), 6).alias("sum_down"),
-            F.round(exact_sum(F.col("up") + F.col("down")), 6).alias("sum_total"),
+            grid_round(exact_sum("up"), 6).alias("sum_up"),
+            grid_round(exact_sum("down"), 6).alias("sum_down"),
+            grid_round(exact_sum(F.col("up") + F.col("down")), 6).alias("sum_total"),
         )
     )
 
@@ -203,7 +203,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_sum("l_quantity"), 2).alias("sum_qty"),
+            grid_round(exact_sum("l_quantity"), 2).alias("sum_qty"),
             F.grouping_id().cast("long").alias("lvl"),
         )
     )
@@ -217,7 +217,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(exact_sum("o_totalprice"), 4).alias("total"),
+        grid_round(exact_sum("o_totalprice"), 4).alias("total"),
         F.grouping_id().cast("long").alias("lvl"),
     )
 
@@ -236,7 +236,7 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(exact_sum("o_totalprice"), 4).alias("total"),
+        grid_round(exact_sum("o_totalprice"), 4).alias("total"),
         F.grouping_id().cast("long").alias("lvl"),
     )
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 
@@ -57,8 +58,9 @@ def bucketed_order_lineitem_join(
         .groupBy("o_orderkey", "o_totalprice")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            grid_round(
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
             ).alias("revenue"),
         )
     )
@@ -114,7 +116,7 @@ def pruned_daily_rollup(spark: SparkSession, path: str, day: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            grid_round(exact_sum("value"), 6).alias("total_value"),
         )
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import grid_round
 from geektime_bigdata_spark.registry import parallel_table, table
 
 
@@ -136,7 +137,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_), "word")
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6),
+            # grid_round: identical IEEE ops on both engines (plain
+            # round() knife-edges at decimal ties, VERDICT r2 item 4)
+            grid_round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(

@@ -132,7 +132,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(exact_sum(_disc_price()), 4).alias("revenue"))
+        .agg(grid_round(exact_sum(_disc_price()), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -211,7 +211,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(exact_sum(profit), 4).alias("sum_profit"))
+        .agg(grid_round(exact_sum(profit), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -242,7 +242,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value") > 0.002 * F.col("total_value"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .select("l_partkey", grid_round("value", 4).alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
@@ -309,7 +309,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(exact_sum(_disc_price()), 4).alias("total_revenue"))
+        .agg(grid_round(exact_sum(_disc_price()), 4).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -376,7 +376,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(grid_round(exact_sum("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 180)
     )
     return (
@@ -424,7 +424,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(cond)
         .agg(
-            F.round(exact_sum(_disc_price()), 4).alias("revenue"),
+            grid_round(exact_sum(_disc_price()), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -541,7 +541,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(exact_sum("c_acctbal"), 4).alias("totacctbal"),
+            grid_round(exact_sum("c_acctbal"), 4).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

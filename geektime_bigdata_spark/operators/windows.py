@@ -45,17 +45,24 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running sum + event index over the event stream — the
     cumulative frame (UNBOUNDED PRECEDING .. CURRENT ROW). event_id breaks
-    timestamp ties deterministically."""
+    timestamp ties deterministically.
+
+    ``running_value_micros`` is a LONG micro-unit cumulative sum (the
+    same integer contract surface as :func:`sessionize`): a plain double
+    window sum relies on both engines accumulating the frame in the same
+    float op order, which neither documents — integers are associative,
+    so the hashed value is order-proof."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.sum(micro).over(w).alias("running_value_micros"),
         F.count(F.lit(1)).over(w).alias("event_idx"),
     )
 
@@ -160,7 +167,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_sum("value"), 6).alias("total_value"),
+            grid_round(exact_sum("value"), 6).alias("total_value"),
         )
     )
 
@@ -182,7 +189,7 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(exact_sum("value"), 6).alias("session_value"),
+            grid_round(exact_sum("value"), 6).alias("session_value"),
         )
         .select(
             "user_id",
@@ -207,7 +214,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(exact_sum("o_totalprice"), 4).alias("revenue"),
+            grid_round(exact_sum("o_totalprice"), 4).alias("revenue"),
         )
     )
 
@@ -222,7 +229,7 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(F.round(exact_sum("value"), 6))
+        .agg(grid_round(exact_sum("value"), 6))
     )
 
 
@@ -234,8 +241,8 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mergeable t-digest sketch) — tested separately with tolerance."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        grid_round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        grid_round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -268,7 +275,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_sum("value"), 6).alias("total_value"),
+            grid_round(exact_sum("value"), 6).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("w_start"),

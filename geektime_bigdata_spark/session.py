@@ -64,3 +64,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every relation the operator layer has ``.cache()``d.
+
+    The dedup/similarity/text operators intentionally cache shared
+    intermediates (doc shingles, minhash signatures, IVF assignments,
+    BM25 term frequencies) because Spark's CacheManager dedupes by
+    logical plan — repeated queries in one session reuse them for free.
+    The flip side (ADVICE r2): a long-lived session accumulates cached
+    relations without bound. MEMORY_AND_DISK spills, so this is memory
+    pressure rather than correctness, but long-running hosts (bench, the
+    CLI, a driver sweeping 100+ queries) should call this between suites.
+    ``clearCache`` unpersists lazily; subsequent queries simply re-cache
+    what they need."""
+    spark.catalog.clearCache()

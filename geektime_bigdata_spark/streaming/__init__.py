@@ -4,6 +4,7 @@ reference has zero streaming code; the `events` table is stream-shaped)."""
 from geektime_bigdata_spark.streaming.windows import (
     read_events_stream,
     run_streaming_attribution,
+    run_streaming_attribution_outer,
     run_streaming_dedup,
     run_streaming_enriched_rollup,
     run_streaming_hourly_rollup,
@@ -15,6 +16,7 @@ from geektime_bigdata_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "run_streaming_attribution",
+    "run_streaming_attribution_outer",
     "run_streaming_dedup",
     "run_streaming_enriched_rollup",
     "run_streaming_hourly_rollup",

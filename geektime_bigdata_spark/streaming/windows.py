@@ -46,6 +46,25 @@ def _await_or_raise(q, timeout_sec: int) -> None:
         )
 
 
+def _assert_single_batch(q) -> None:
+    """Guard for runners whose driver-contract surface assumes the whole
+    file source arrived in ONE data micro-batch (ADVICE r2): with several
+    batches, ``dropDuplicatesWithinWatermark`` could drop a first-arrival
+    whose event time trails an already-advanced watermark, and outer-join
+    eviction timing would depend on the batch split. availableNow over a
+    single parquet file satisfies this today; if the source ever splits
+    (more files, maxFilesPerTrigger), fail loudly instead of silently
+    diverging from the batch oracle."""
+    data_batches = sum(
+        1 for p in q.recentProgress if (p["numInputRows"] or 0) > 0
+    )
+    if data_batches != 1:
+        raise AssertionError(
+            f"streaming run processed {data_batches} data micro-batches; "
+            "the batch-oracle surface is only sound for exactly 1"
+        )
+
+
 def _exact_value_sum(rounded: int = 6):
     """Order-independent micro-unit sum of ``value`` for streaming
     aggregates — same contract-edge rule as
@@ -54,14 +73,15 @@ def _exact_value_sum(rounded: int = 6):
     the hashed result). The overflow-guard form of exact_sum is not used
     here because count/max guards are extra stateful aggregates in a
     streaming plan; events value <= ~1e3 keeps the envelope safe past
-    1e12 rows per window."""
-    return F.round(
-        (
-            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long"))
-            / F.lit(1e6)
-        ).cast("double"),
-        rounded,
-    )
+    1e12 rows per window. Rounding is the floor-based grid form
+    (identical IEEE ops on both engines) to mirror the batch twins'
+    ``grid_round``."""
+    k = F.lit(float(10**rounded))
+    x = (
+        F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        / F.lit(1e6)
+    ).cast("double")
+    return (F.floor(x * k + F.lit(0.5)) / k).cast("double")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,13 +278,14 @@ def run_streaming_attribution_outer(
     which is exactly the state-eviction bound of the inner join reused
     as a completeness proof.
 
-    availableNow caveat (why this is pytest-verified, not a driver
-    oracle row): the run terminates when input is exhausted, so the
-    final watermark may still sit before the join bound of the last
-    purchases — their null rows are legitimately withheld. The
-    batch-equivalence test therefore asserts SOUNDNESS (matched rows ==
-    batch inner join; every null row is a true batch anti-join member),
-    not null-completeness."""
+    availableNow caveat: the run terminates when input is exhausted, so
+    the final watermark (max event time - 2h) may still sit before the
+    join bound of the last purchases — their null rows are legitimately
+    withheld. The pytest asserts SOUNDNESS (matched rows == batch inner
+    join; every null row is a true batch anti-join member); the driver
+    surface (see ``__spark_entry__``) additionally restricts null rows
+    to purchases ≤ max(ts) - 3h — 1h inside the eviction bound, so the
+    emitted set is fully deterministic and oracle-predictable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _events_stream(spark, sf_dir)
     purchases = (
@@ -287,7 +308,7 @@ def run_streaming_attribution_outer(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") < F.col("p_ts")),
         "leftOuter",
-    ).select("purchase_id", "user_id", "c_ts")
+    ).select("purchase_id", "user_id", "p_ts", "c_ts")
     name = f"gbs_stream_attr_outer_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -299,6 +320,7 @@ def run_streaming_attribution_outer(
             .start()
         )
         _await_or_raise(q, timeout_sec)
+        _assert_single_batch(q)
     return spark.table(name)
 
 
@@ -311,7 +333,13 @@ def run_streaming_dedup(
     watermark horizon, so state is bounded even on an infinite stream
     (plain dropDuplicates on a stream grows state forever). The
     training-data analogue is streaming ingest dedup by content
-    fingerprint."""
+    fingerprint.
+
+    The batch ``SELECT DISTINCT`` oracle equivalence assumes the whole
+    file arrived as ONE data micro-batch (guarded by
+    :func:`_assert_single_batch`): across batches, a key first arriving
+    with an event time older than the advanced watermark would be
+    dropped and the key set would diverge."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _events_stream(spark, sf_dir).select(
         "user_id", "event_type", "ts"
@@ -330,6 +358,7 @@ def run_streaming_dedup(
             .start()
         )
         _await_or_raise(q, timeout_sec)
+        _assert_single_batch(q)
     return spark.table(name)
 
 

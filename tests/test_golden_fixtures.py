@@ -405,3 +405,31 @@ def test_dedup_clusters_chain_component(spark, monkeypatch):
             tuple(r) for r in dedup.dedup_clusters(spark, "x", **kwargs).collect()
         )
         assert got == expect, kwargs
+
+
+def test_dedup_clusters_long_chain_beats_diameter(spark, monkeypatch):
+    """A 64-node path graph has diameter 63: one-hop label propagation
+    would need 63 rounds, but the large-star/small-star scheme must
+    converge within a LOGARITHMIC budget (8 rounds here) and still label
+    the whole chain with its minimum."""
+    from geektime_bigdata_spark.operators import dedup
+
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.table", lambda *a: docs
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.ngram_jaccard_pairs",
+        lambda *a, **k: edges,
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(
+            spark, "x", small_graph_edges=0, max_iter=8
+        ).collect()
+    )
+    assert got == [(i, 0) for i in range(n)]

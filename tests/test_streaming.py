@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import grid_round
 from geektime_bigdata_spark.operators.windows import (
     hourly_event_rollup,
     sessionize,
@@ -46,7 +47,7 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
+            grid_round(
                 (
                     F.sum(
                         F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
