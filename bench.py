@@ -52,6 +52,8 @@ HEADLINE = [
     "bm25_top_terms",
     "minhash_jaccard_estimate",
     "neardup_pagerank",
+    # round-3 additions
+    "ann_topk_ivf_multiprobe",
 ]
 
 

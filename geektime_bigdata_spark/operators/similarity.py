@@ -199,6 +199,27 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D2_FOLD_SQL = (
+    "aggregate(zip_with(embedding, c.cent, "
+    "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y)"
+    " * (CAST(x AS DOUBLE) - y) * 1000000.0D + 0.5D) AS BIGINT)), "
+    "0L, (a, v) -> a + v)"
+)
+
+
+def _cells_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10x64 centroid table collapsed to ONE broadcastable row of
+    array<struct<cell,cent>> — shared by single- and multi-probe
+    assignment folds."""
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cell"),
+        F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
+    )
+    return cents.agg(
+        F.collect_list(F.struct("cell", "cent")).alias("cells")
+    )
+
+
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF index: every vector assigned to its nearest centroid cell
     — ``(vec_id, embedding, cell)``, cached.
@@ -224,19 +245,10 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified in PLANS.md). In production the index is a persisted table
     built by an indexing job; cache() is its in-session stand-in."""
     e = parallel_table(spark, sf_dir, "embeddings")
-    cents = label_centroids(spark, sf_dir).select(
-        F.col("label").alias("cell"),
-        F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
-    )
-    cells_one = cents.agg(
-        F.collect_list(F.struct("cell", "cent")).alias("cells")
-    )
+    cells_one = _cells_one(spark, sf_dir)
     nearest = F.expr(
         "array_min(transform(cells, c -> named_struct("
-        "'d2', aggregate(zip_with(embedding, c.cent, "
-        "(x, y) -> CAST(floor((CAST(x AS DOUBLE) - y)"
-        " * (CAST(x AS DOUBLE) - y) * 1000000.0D + 0.5D) AS BIGINT)), "
-        "0L, (a, v) -> a + v), "
+        f"'d2', {_D2_FOLD_SQL}, "
         "'cell', c.cell))).cell"
     )
     return (
@@ -288,6 +300,96 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= TOP_K)
+
+
+def ann_topk_ivf_multiprobe(
+    spark: SparkSession, sf_dir: str, n_probes: int = 2
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query searches its ``n_probes`` nearest
+    centroid cells instead of one — the standard recall knob a real
+    curation run turns (single-probe misses true neighbors that sit just
+    across a cell boundary; probing the runner-up cell recovers most of
+    them for ~2x the scored candidates, still nothing like |corpus|).
+
+    Plan shape: the probe list is a per-query ``array_sort`` over the
+    broadcast 10x64 centroid fold (same micro-quantized LONG d2 as the
+    index assignment — deterministic (d2, cell) struct ordering on both
+    engines), sliced to ``n_probes`` and exploded to (query, probe_cell)
+    rows. Candidates come from the cached single-cell index
+    (:func:`_ivf_assigned`), so the join fans out to |Q| x n_probes cell
+    partitions. Each candidate lives in exactly one cell and probe cells
+    are distinct, so no pair appears twice — no dedup pass needed.
+    Recall@5 >= the single-probe path by construction (test-enforced
+    against the brute-force baseline)."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    cells_one = _cells_one(spark, sf_dir)
+    e = parallel_table(spark, sf_dir, "embeddings")
+    probes = F.expr(
+        "transform(slice(array_sort(transform(cells, c -> named_struct("
+        f"'d2', {_D2_FOLD_SQL}, "
+        f"'cell', c.cell))), 1, {int(n_probes)}), s -> s.cell)"
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cells_one))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes).alias("cell"),
+        )
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("cell").alias("cell_c"),
+    )
+    cos = dot_product("q_emb", "c_emb") / (
+        vec_norm("q_emb") * vec_norm("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            cand,
+            (F.col("cell") == F.col("cell_c"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id", "cand_id", "cell", grid_round(cos, 6).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= TOP_K)
+
+
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str, cap: int = 30
+) -> DataFrame:
+    """Topic-balanced subsample: keep at most ``cap`` vectors per IVF
+    cell — the curation step that stops a dominant topic cluster from
+    flooding a training mix (the cluster-balancing half of SemDeDup-style
+    pipelines; the near-dup half is :func:`semantic_dedup`).
+
+    Rank within cell is an md5 of the vec_id (deterministic,
+    engine-portable, uncorrelated with insertion order — ``rand()``
+    would be irreproducible across cluster sizes), vec_id tiebreak.
+    Scale shape: reuses the cached IVF assignment; one hash shuffle on
+    ``cell`` for the per-cell ranking window — rank windows never see
+    more than a cell's rows, and at 100 TB cells are bounded because
+    the quantizer's cell count grows with the corpus."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat_ws(":", F.lit("bal"), F.col("vec_id"))),
+        F.col("vec_id"),
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

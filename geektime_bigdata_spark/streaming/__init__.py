@@ -8,6 +8,7 @@ from geektime_bigdata_spark.streaming.windows import (
     run_streaming_dedup,
     run_streaming_enriched_rollup,
     run_streaming_hourly_rollup,
+    run_streaming_session_windows,
     run_streaming_sessionization,
     run_streaming_sliding_counts,
     run_streaming_upsert_sink,
@@ -20,6 +21,7 @@ __all__ = [
     "run_streaming_dedup",
     "run_streaming_enriched_rollup",
     "run_streaming_hourly_rollup",
+    "run_streaming_session_windows",
     "run_streaming_sessionization",
     "run_streaming_sliding_counts",
     "run_streaming_upsert_sink",

@@ -324,6 +324,57 @@ def run_streaming_attribution_outer(
     return spark.table(name)
 
 
+def run_streaming_session_windows(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """NATIVE ``session_window`` aggregation under Structured Streaming —
+    the engine-managed gap-merge path (state store sessions merged by the
+    SessionWindowStateStore), complementing the custom
+    ``applyInPandasWithState`` sessionizer which owns its state format.
+    30-minute gap, same output surface as the batch twin
+    :func:`...operators.windows.session_window_rollup` (shared oracle).
+
+    ``complete`` output mode: append would emit a session only once the
+    watermark passes its end, deterministically WITHHOLDING the last
+    hour's sessions under availableNow — complete re-emits the full
+    session table, which for a drained source equals the batch answer
+    exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _exact_value_sum().alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "last_event_ts"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"gbs_stream_swin_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, timeout_sec)
+    return spark.table(name)
+
+
 def run_streaming_dedup(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 120
 ) -> DataFrame:

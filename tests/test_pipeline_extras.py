@@ -155,6 +155,44 @@ def test_semantic_dedup_removal_contract(spark, sf_dir):
         seen.add(r["vec_id"])
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Recall@5 against the exact brute-force baseline: probing 2 cells
+    must recover at least as many true neighbors as single-probe for
+    every query (the whole point of multi-probe), and each query's
+    result stays a valid top-5 (<=5 rows, ranks 1..n, scores
+    non-increasing)."""
+    from geektime_bigdata_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_ivf_multiprobe,
+    )
+
+    def topsets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return out
+
+    exact = topsets(ann_topk_bruteforce(spark, sf_dir))
+    single = topsets(ann_topk_ivf(spark, sf_dir))
+    multi_df = ann_topk_ivf_multiprobe(spark, sf_dir)
+    multi = topsets(multi_df)
+    assert exact
+    for qid, truth in exact.items():
+        r1 = len(single.get(qid, set()) & truth)
+        r2 = len(multi.get(qid, set()) & truth)
+        assert r2 >= r1, (qid, r1, r2)
+    by_q: dict[int, list] = {}
+    for r in multi_df.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        scores = [r["cos_sim"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_kmeans_step_covers_all_cells(spark, sf_dir):
     """One Lloyd iteration yields exactly one centroid per non-empty
     cell, with every coordinate finite and inside the corpus range."""

@@ -63,6 +63,22 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
     assert _rowset(stream_result) == _rowset(batch_result)
 
 
+def test_streaming_session_windows_equals_batch(spark, sf_dir):
+    """Native session_window under availableNow (complete mode) must
+    equal the batch gap-merge rollup row-for-row."""
+    from geektime_bigdata_spark.operators.windows import (
+        session_window_rollup,
+    )
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_session_windows,
+    )
+
+    stream_result = run_streaming_session_windows(spark, sf_dir)
+    batch_result = session_window_rollup(spark, sf_dir)
+    assert stream_result.columns == batch_result.columns
+    assert _rowset(stream_result) == _rowset(batch_result)
+
+
 def test_streaming_sessionization_equals_batch(spark, sf_dir):
     """The stateful sessionizer now emits the full batch-sessionize
     schema (user_id, session_id, n_events, session_value_micros,
