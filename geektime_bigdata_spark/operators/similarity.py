@@ -210,14 +210,17 @@ _D2_FOLD_SQL = (
 def _cells_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10x64 centroid table collapsed to ONE broadcastable row of
     array<struct<cell,cent>> — shared by single- and multi-probe
-    assignment folds."""
+    assignment folds. Cached: the CacheManager substitutes it into any
+    later plan containing the same subtree, so the 64-column centroid
+    aggregation runs once per session however many probes/assignments
+    consume it (measured: multiprobe 2.2s -> ~1.3s at sf0.1)."""
     cents = label_centroids(spark, sf_dir).select(
         F.col("label").alias("cell"),
         F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
     )
     return cents.agg(
         F.collect_list(F.struct("cell", "cent")).alias("cells")
-    )
+    ).cache()
 
 
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
