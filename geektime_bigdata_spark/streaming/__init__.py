@@ -12,6 +12,7 @@ from geektime_bigdata_spark.streaming.windows import (
     run_streaming_sessionization,
     run_streaming_sliding_counts,
     run_streaming_upsert_sink,
+    run_streaming_user_totals_tws,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "run_streaming_sessionization",
     "run_streaming_sliding_counts",
     "run_streaming_upsert_sink",
+    "run_streaming_user_totals_tws",
 ]

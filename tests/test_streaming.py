@@ -3,6 +3,8 @@ availableNow micro-batch -> static-batch equivalence, not the DuckDB oracle)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import grid_round
@@ -61,6 +63,40 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
         )
     )
     assert _rowset(stream_result) == _rowset(batch_result)
+
+
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithState's driver worker needs google.protobuf "
+    "(state-server protocol); this container ships it broken and "
+    "installs are disallowed — runs on any normal cluster image",
+)
+def test_streaming_user_totals_tws_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas running totals: the newest emission
+    per user after an availableNow drain must equal the batch
+    groupBy(user_id) count + micro-unit sum exactly."""
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_user_totals_tws,
+    )
+
+    got = run_streaming_user_totals_tws(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("total_value_micros"),
+    )
+    assert _rowset(got) == _rowset(want)
 
 
 def test_streaming_session_windows_equals_batch(spark, sf_dir):
