@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_user_totals": windows.running_user_totals,
         "ann_topk_ivf_multiprobe": similarity.ann_topk_ivf_multiprobe,
         "cluster_balanced_sample": similarity.cluster_balanced_sample,
+        # cogrouped-pandas differential twin of the native as-of join
+        "asof_last_click_cogroup": windows.asof_last_click_cogroup,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -2180,4 +2182,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_sessionization"] = oracles["sessionize"]
     # native streaming session_window in complete mode == batch gap-merge
     oracles["streaming_session_windows"] = oracles["session_window_rollup"]
+    # the cogroup-pandas as-of twin shares the native as-of oracle
+    oracles["asof_last_click_cogroup"] = oracles["asof_last_click"]
     return oracles

@@ -155,6 +155,75 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, via the COGROUP pandas API
+    (``groupBy().cogroup().applyInPandas`` — SURVEY §2.8's last
+    grouped-pandas surface): clicks and purchases arrive as two aligned
+    per-user pandas frames and a merge-asof runs in Python. Differential
+    twin of :func:`asof_last_click` — same output schema, same oracle —
+    so the native window formulation and the Arrow-cogroup formulation
+    check each other.
+
+    Scale shape: ONE co-partitioned shuffle on user_id for both sides
+    (exactly the shuffle the native version pays), then per-user Python
+    work over Arrow batches. The native version stays the hot path —
+    this is the API surface a pipeline reaches for when per-group logic
+    outgrows expressions (model-feature alignment, custom event
+    pairing). Timestamps are compared as exact int64 microseconds; the
+    searchsorted walk is O(n log n) per group."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+
+    def asof(c_pdf: "pd.DataFrame", p_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if p_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "purchase_id",
+                    "user_id",
+                    "purchase_ts",
+                    "last_click_ts",
+                    "n_prior_clicks",
+                ]
+            )
+        # normalize to ns explicitly: Arrow may hand pandas either
+        # datetime64[ns] or [us], and astype("int64") follows the unit
+        c_us = np.sort(
+            c_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        )
+        p_us = p_pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        # clicks AT-OR-BEFORE the purchase (<= semantics): count = number
+        # of click timestamps <= p_ts; last = the count-1'th sorted click
+        n_prior = np.searchsorted(c_us, p_us, side="right")
+        last = np.where(n_prior > 0, c_us[np.maximum(n_prior - 1, 0)], 0)
+        out = pd.DataFrame(
+            {
+                "purchase_id": p_pdf["purchase_id"].to_numpy(),
+                "user_id": p_pdf["user_id"].to_numpy(),
+                "purchase_ts": p_pdf["ts"].to_numpy(),
+                "last_click_ts": pd.to_datetime(last, unit="ns"),
+                "n_prior_clicks": n_prior.astype("int64"),
+            }
+        )
+        out.loc[out["n_prior_clicks"] == 0, "last_click_ts"] = pd.NaT
+        return out
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "purchase_id long, user_id long, purchase_ts timestamp, "
+            "last_click_ts timestamp, n_prior_clicks long",
+        )
+    )
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup in batch form: events bucketed per hour per
     type — `date_trunc` keeps it oracle-comparable; the streaming twin uses

@@ -407,6 +407,24 @@ def test_dedup_clusters_chain_component(spark, monkeypatch):
         assert got == expect, kwargs
 
 
+def test_asof_cogroup_equals_native(spark, sf_dir):
+    """The cogrouped-pandas as-of implementation must match the native
+    window formulation row-for-row (two independent engines for the
+    same semantics)."""
+    from geektime_bigdata_spark.operators.windows import (
+        asof_last_click,
+        asof_last_click_cogroup,
+    )
+
+    native = sorted(
+        tuple(r) for r in asof_last_click(spark, sf_dir).collect()
+    )
+    cog = sorted(
+        tuple(r) for r in asof_last_click_cogroup(spark, sf_dir).collect()
+    )
+    assert native == cog and native
+
+
 def test_dedup_clusters_long_chain_beats_diameter(spark, monkeypatch):
     """A 64-node path graph has diameter 63: one-hop label propagation
     would need 63 rounds, but the large-star/small-star scheme must
