@@ -513,6 +513,79 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_multiprobe(
+    spark: SparkSession, sf_dir: str, n_probes: int = 2
+) -> DataFrame:
+    """Multi-probe SemDeDup: like :func:`semantic_dedup` but a pair is a
+    candidate when EITHER vector's home cell appears in the other's
+    ``n_probes`` nearest cells (still bucket-gated) — recovering the
+    near-duplicates that single-probe misses because the pair straddles
+    an IVF cell boundary. The removed-id set is a superset of the
+    single-probe removal list by construction (test-enforced).
+
+    Scale shape: the probe relation is |corpus| x n_probes narrow rows;
+    both candidate routes are (cell, bucket) equi-joins — pair space
+    stays linear in bucket collisions, never all-pairs — and the
+    union+distinct dedupes the at-most-two routes per pair before any
+    cosine is scored, so the expensive fold runs once per candidate."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    cells_one = _cells_one(spark, sf_dir)
+    e = parallel_table(spark, sf_dir, "embeddings")
+    probes = F.expr(
+        "transform(slice(array_sort(transform(cells, c -> named_struct("
+        f"'d2', {_D2_FOLD_SQL}, "
+        f"'cell', c.cell))), 1, {int(n_probes)}), s -> s.cell)"
+    )
+    pv = (
+        e.crossJoin(F.broadcast(cells_one))
+        .withColumn("bucket", _bucket_expr())
+        .select("vec_id", "bucket", F.explode(probes).alias("cell"))
+    )
+    av = assigned.withColumn("bucket", _bucket_expr()).select(
+        "vec_id", "cell", "bucket"
+    )
+    c1 = (
+        pv.alias("x")
+        .join(
+            av.alias("y"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+    c2 = (
+        av.alias("x")
+        .join(
+            pv.alias("y"),
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+    )
+    cand = c1.unionByName(c2).distinct()
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cos = dot_product("emb_a", "emb_b") / (
+        vec_norm("emb_a") * vec_norm("emb_b")
+    )
+    close = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", grid_round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_THETA)
+    )
+    return close.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.min_by("cos_sim", "id_a").alias("cos_sim"),
+    )
+
+
 def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embedding corpus: assign
     every vector to its nearest current centroid (the label means —

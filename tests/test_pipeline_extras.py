@@ -155,6 +155,25 @@ def test_semantic_dedup_removal_contract(spark, sf_dir):
         seen.add(r["vec_id"])
 
 
+def test_semantic_dedup_multiprobe_superset(spark, sf_dir):
+    """The 2-probe removal list must contain every single-probe removal
+    (more candidate pairs can only add removals or lower keepers), and
+    every row keeps the keeper<removed + theta contracts."""
+    from geektime_bigdata_spark.operators.similarity import (
+        SEMDEDUP_THETA,
+        semantic_dedup,
+        semantic_dedup_multiprobe,
+    )
+
+    single = {r["vec_id"] for r in semantic_dedup(spark, sf_dir).collect()}
+    multi_rows = semantic_dedup_multiprobe(spark, sf_dir).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    assert single <= multi
+    for r in multi_rows:
+        assert r["keeper_id"] < r["vec_id"]
+        assert r["cos_sim"] >= SEMDEDUP_THETA
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """Recall@5 against the exact brute-force baseline: probing 2 cells
     must recover at least as many true neighbors as single-probe for
