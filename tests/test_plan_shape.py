@@ -153,3 +153,28 @@ def test_textstats_projections_single_rebalance(spark, sf_dir):
             or ") Exchange" in l
         )
         assert "HashAggregate" not in text, fn.__name__
+
+
+def test_multiprobe_ivf_no_cartesian(spark, sf_dir):
+    """Multi-probe ANN must stay an equi-join on the probed cell — never
+    a cartesian/nested-loop over the corpus — and the probe side must
+    broadcast (10 probe rows vs the corpus)."""
+    df = similarity.ann_topk_ivf_multiprobe(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastHashJoin" in text, text
+
+
+def test_cluster_balanced_sample_single_cell_shuffle(spark, sf_dir):
+    """The balance sampler must add exactly one hash exchange (the
+    per-cell ranking window) above the cached IVF assignment."""
+    df = similarity.cluster_balanced_sample(spark, sf_dir)
+    text = explain_str(df, "formatted")
+    # the InMemoryRelation block re-prints the cached index's BUILD plan;
+    # only exchanges ABOVE the cache scan execute for this query
+    above_cache = text.split("InMemoryTableScan", 1)[0]
+    n_ex = sum(
+        1 for line in above_cache.splitlines() if "Exchange" in line
+    )
+    assert n_ex == 1, above_cache
+    assert "Window" in text, text
