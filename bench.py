@@ -54,6 +54,8 @@ HEADLINE = [
     "neardup_pagerank",
     # round-3 additions
     "ann_topk_ivf_multiprobe",
+    "semantic_dedup_multiprobe",
+    "cluster_balanced_sample",
 ]
 
 
