@@ -244,6 +244,50 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOP_K = 20
 
 
+def contrastive_negatives(
+    spark: SparkSession, sf_dir: str, k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets ``k`` pseudo-random partner documents derived from
+    ``md5(doc_id:i)`` — never itself (self-collisions shift one rank),
+    reproducible across runs, engines, and cluster sizes (``rand()`` is
+    none of those, and a non-reproducible negative set makes training
+    runs uncomparable).
+
+    Shape: the doc-rank map (row_number over doc_id — robust to id
+    gaps) is |docs| rows and broadcasts; the k-way fan-out is an
+    in-row ``explode(sequence(...))``; two broadcast joins resolve the
+    hashed rank to a real doc_id. At 100 TB the rank map is the
+    precomputed contiguous id-map every training pipeline maintains
+    anyway, and the pass is map-only."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # tiny driver scalar (the corpus size)
+    w = Window.orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", (F.row_number().over(w) - 1).cast("long").alias("rnk")
+    )
+    fan = ranked.select(
+        "doc_id",
+        "rnk",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("neg_i"),
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat_ws(':', CAST(doc_id AS STRING), "
+        "CAST(neg_i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    ) % F.lit(n)
+    picked = fan.withColumn(
+        "neg_rnk",
+        F.when(h == F.col("rnk"), (h + 1) % F.lit(n)).otherwise(h),
+    )
+    neg = ranked.select(
+        F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("neg_doc_id")
+    )
+    return (
+        picked.join(F.broadcast(neg), "neg_rnk")
+        .select("doc_id", "neg_i", "neg_doc_id")
+    )
+
+
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage: the fraction of all corpus tokens falling in
     the top-K most frequent words — the check run before fixing a
