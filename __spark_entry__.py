@@ -170,7 +170,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": windows.hourly_event_rollup,
         "json_props_extract": windows.json_props_extract,
         "sliding_window_counts": windows.sliding_window_counts,
-        # ---- (4) driver-green in rounds 1-2 below ----
+        # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
+        #      (the grid-round sweep replaced every scale-2/4 round() —
+        #      the empirically knife-edged class — so these earn fresh
+        #      rows inside the 50-slot sweep ahead of unchanged greens)
+        "q1_pricing_summary": joins.q1_pricing_summary,
+        "q3_shipping_priority": joins.q3_shipping_priority,
+        "q5_local_supplier_volume": joins.q5_local_supplier_volume,
+        "q6_forecast_revenue": joins.q6_forecast_revenue,
+        "q10_returned_items": joins.q10_returned_items,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q9_product_profit": tpch.q9_product_profit,
+        "q11_important_stock": tpch.q11_important_stock,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q18_large_volume_customers": tpch.q18_large_volume_customers,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
+        "student_q2": relational.student_q2,
+        "flow_stats": relational.flow_stats,
+        "sales_rollup": relational.sales_rollup,
+        "order_status_cube": relational.order_status_cube,
+        "orders_by_month": windows.orders_by_month,
+        "event_type_pivot": windows.event_type_pivot,
+        "session_window_rollup": windows.session_window_rollup,
+        "order_price_quantiles": windows.order_price_quantiles,
+        "continuous_hourly_rollup": etl.continuous_hourly_rollup,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "bm25_top_terms": text.bm25_top_terms,
+        "broadcast_dim_join": joins.broadcast_dim_join,
+        # ---- (4b) driver-green in rounds 1-2, surface unchanged ----
         "doc_repetition_scores": textstats.doc_repetition_scores,
         "length_bucket_stats": textstats.length_bucket_stats,
         "semantic_dedup": similarity.semantic_dedup,
@@ -201,8 +229,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text / inverted index (homework-4 parity) ---
         "term_freq": text.term_freq,
         "inverted_index_str": text.inverted_index_str,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "bm25_top_terms": text.bm25_top_terms,
         "posting_list_tf_str": text.posting_list_tf_str,
         "positional_postings": text.positional_postings,
         "phrase_search": text.phrase_search,
@@ -221,60 +247,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": textstats.packed_sequences,
         # --- ETL / pipeline ---
         "scd2_intervals": etl.scd2_intervals,
-        "continuous_hourly_rollup": etl.continuous_hourly_rollup,
         "orders_audit": etl.orders_audit,
         "incremental_ingest_dedup": etl.incremental_ingest_dedup,
         # --- relational core (homework-1/-2/-3/-5 parity) ---
-        "flow_stats": relational.flow_stats,
         "null_filter_empty": relational.null_filter_empty,
         "cast_filter": relational.cast_filter,
         "const_score_order": relational.const_score_order,
         "distinct_pairs": relational.distinct_pairs,
         "except_anti": relational.except_anti,
-        "student_q2": relational.student_q2,
         "prefix_scan_desc": relational.prefix_scan_desc,
         "point_lookup": relational.point_lookup,
         "upsert_latest": relational.upsert_latest,
         "versioned_cells": relational.versioned_cells,
         "sql_catalog_query": relational.sql_catalog_query,
-        "sales_rollup": relational.sales_rollup,
-        "order_status_cube": relational.order_status_cube,
         "nation_full_outer": joins.nation_full_outer,
         "intersect_segments": joins.intersect_segments,
-        "orders_by_month": windows.orders_by_month,
-        "event_type_pivot": windows.event_type_pivot,
         "embedding_norms_pandas": similarity.embedding_norms_pandas,
         # --- joins / flagship analytics (J1-J3 + TPC-H-style) ---
-        "q1_pricing_summary": joins.q1_pricing_summary,
-        "q3_shipping_priority": joins.q3_shipping_priority,
-        "q5_local_supplier_volume": joins.q5_local_supplier_volume,
-        "q6_forecast_revenue": joins.q6_forecast_revenue,
-        "q10_returned_items": joins.q10_returned_items,
         "q14_promo_effect": joins.q14_promo_effect,
         "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
         "q4_order_priority": tpch.q4_order_priority,
-        "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
-        "q9_product_profit": tpch.q9_product_profit,
-        "q11_important_stock": tpch.q11_important_stock,
         "q12_late_priority": tpch.q12_late_priority,
         "q13_customer_distribution": tpch.q13_customer_distribution,
-        "q15_top_supplier": tpch.q15_top_supplier,
         "q16_part_supplier_counts": tpch.q16_part_supplier_counts,
         "q17_small_quantity_revenue": tpch.q17_small_quantity_revenue,
-        "q18_large_volume_customers": tpch.q18_large_volume_customers,
-        "q19_discounted_revenue": tpch.q19_discounted_revenue,
         "q20_heavy_shippers": tpch.q20_heavy_shippers,
         "q21_suppliers_waiting": tpch.q21_suppliers_waiting,
-        "q22_global_sales_opportunity": tpch.q22_global_sales_opportunity,
-        "broadcast_dim_join": joins.broadcast_dim_join,
         "semi_anti_join": joins.semi_anti_join,
         "top_k_orders": joins.top_k_orders,
         "attribution_range_join": joins.attribution_range_join,
         # --- windows / time-series (driver-green) ---
         "window_topn_orders": windows.window_topn_orders,
-        "session_window_rollup": windows.session_window_rollup,
-        "order_price_quantiles": windows.order_price_quantiles,
     }
 
 
