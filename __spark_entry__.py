@@ -52,6 +52,40 @@ def _streaming_upsert_with_cleanup(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _streaming_attr_full_outer_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic surface for the FULL OUTER stream-stream join: all
+    matched rows, plus null-padded rows of EITHER side only when safely
+    inside that side's state-eviction bound. With the engine watermark
+    wm = least(max p_ts, max c_ts) - 2h: an unmatched purchase is
+    evicted once wm >= p_ts (keep p_ts <= wm - 1h margin), an unmatched
+    click once wm >= c_ts + 1h — its joinable purchases extend 1h past
+    it — (keep c_ts <= wm - 2h margin). The oracle mirrors both cutoffs."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.registry import table
+
+    out = streaming.run_streaming_attribution_full_outer(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    row = e.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+    ).collect()[0]
+    wm_min = min(row["p"], row["c"])
+    return out.filter(
+        (F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull())
+        | (
+            F.col("c_ts").isNull()
+            & (F.col("p_ts") <= F.lit(wm_min) - F.expr("INTERVAL 3 HOURS"))
+        )
+        | (
+            F.col("p_ts").isNull()
+            & (F.col("c_ts") <= F.lit(wm_min) - F.expr("INTERVAL 4 HOURS"))
+        )
+    )
+
+
 def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic driver surface for the watermarked LEFT OUTER
     stream-stream join: all matched rows, plus null-padded rows only for
@@ -119,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- (3) never driver-checked: streaming suite ---
         "streaming_attribution_outer": _streaming_attr_outer_surface,
+        "streaming_attribution_full_outer": _streaming_attr_full_outer_surface,
         "streaming_hourly_rollup": (
             lambda spark, sf_dir: streaming.run_streaming_hourly_rollup(
                 spark, sf_dir
@@ -1914,6 +1949,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_attribution_full_outer": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id AS p_user,
+                       ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+                FROM events WHERE event_type = 'click'
+            ), m AS (
+                SELECT p.purchase_id, p.p_user, p.p_ts,
+                       c.click_id, c.c_user, c.c_ts
+                FROM p JOIN c ON p.p_user = c.c_user
+                 AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+                 AND c.c_ts < p.p_ts
+            ), mx AS (
+                SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                             max(CASE WHEN event_type = 'click' THEN ts END))
+                       AS mt
+                FROM events
+            )
+            SELECT purchase_id, p_user, p_ts, click_id, c_user, c_ts FROM m
+            UNION ALL
+            SELECT p.purchase_id, p.p_user, p.p_ts,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP)
+            FROM p CROSS JOIN mx
+            WHERE p.p_ts <= mx.mt - INTERVAL '3 hours'
+              AND NOT EXISTS (
+                  SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP),
+                   c.click_id, c.c_user, c.c_ts
+            FROM c CROSS JOIN mx
+            WHERE c.c_ts <= mx.mt - INTERVAL '4 hours'
+              AND NOT EXISTS (
+                  SELECT 1 FROM m WHERE m.click_id = c.click_id)
         """,
         "streaming_attribution_outer": """
             WITH p AS (

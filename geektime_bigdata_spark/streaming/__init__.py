@@ -4,6 +4,7 @@ reference has zero streaming code; the `events` table is stream-shaped)."""
 from geektime_bigdata_spark.streaming.windows import (
     read_events_stream,
     run_streaming_attribution,
+    run_streaming_attribution_full_outer,
     run_streaming_attribution_outer,
     run_streaming_dedup,
     run_streaming_enriched_rollup,
@@ -18,6 +19,7 @@ from geektime_bigdata_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "run_streaming_attribution",
+    "run_streaming_attribution_full_outer",
     "run_streaming_attribution_outer",
     "run_streaming_dedup",
     "run_streaming_enriched_rollup",

@@ -324,6 +324,63 @@ def run_streaming_attribution_outer(
     return spark.table(name)
 
 
+def run_streaming_attribution_full_outer(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 180
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the last join type of
+    the §2.7 matrix (inner, left-outer, full-outer): purchases x
+    preceding-hour clicks, with BOTH unmatched sides null-padded once
+    the watermark proves no counterpart can arrive. Left nulls are
+    purchases that saw no click in their preceding hour; right nulls are
+    clicks no purchase followed within an hour.
+
+    Same eviction caveat as the LEFT OUTER runner: under availableNow
+    the final watermark (min over both per-side watermark operators)
+    may withhold trailing null rows on either side — the driver surface
+    (``__spark_entry__``) restricts null rows of BOTH sides to 1h
+    inside the bound so the emitted set is oracle-predictable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _events_stream(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select("purchase_id", "p_user", "p_ts", "click_id", "c_user", "c_ts")
+    name = f"gbs_stream_attr_fo_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, timeout_sec)
+        _assert_single_batch(q)
+    return spark.table(name)
+
+
 def run_streaming_session_windows(
     spark: SparkSession, sf_dir: str, timeout_sec: int = 120
 ) -> DataFrame:

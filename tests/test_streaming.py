@@ -65,6 +65,52 @@ def test_streaming_enriched_rollup_equals_batch(spark, sf_dir):
     assert _rowset(stream_result) == _rowset(batch_result)
 
 
+def test_streaming_full_outer_attribution_sound_vs_batch(spark, sf_dir):
+    """FULL OUTER stream-stream join soundness: matched rows equal the
+    batch inner join; every left-null row is a true purchase anti-join
+    member and every right-null row a true click anti-join member; no
+    null row duplicates."""
+    from geektime_bigdata_spark.streaming.windows import (
+        run_streaming_attribution_full_outer,
+    )
+
+    out = run_streaming_attribution_full_outer(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, cond).select("purchase_id", "click_id").collect()
+    }
+    p_anti = {r["purchase_id"] for r in p.join(c, cond, "left_anti").collect()}
+    c_anti = {r["click_id"] for r in c.join(p, cond, "left_anti").collect()}
+    got_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in out
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    got_pnull = [r["purchase_id"] for r in out if r["click_id"] is None]
+    got_cnull = [r["click_id"] for r in out if r["purchase_id"] is None]
+    assert got_matched == inner and inner
+    assert set(got_pnull) <= p_anti
+    assert set(got_cnull) <= c_anti
+    assert len(got_pnull) == len(set(got_pnull))
+    assert len(got_cnull) == len(set(got_cnull))
+
+
 def _protobuf_usable() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
