@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click_cogroup": windows.asof_last_click_cogroup,
         "semantic_dedup_multiprobe": similarity.semantic_dedup_multiprobe,
         "contrastive_negatives": textstats.contrastive_negatives,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
+        "unigram_logprob_scores": textstats.unigram_logprob_scores,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1158,6 +1160,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes x ON doc_a = x.doc_id
             JOIN sizes y ON doc_b = y.doc_id
             WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+        """,
+        "unigram_logprob_scores": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            freq AS (
+                SELECT word, count(*) AS cnt FROM t GROUP BY word
+            ), total AS (SELECT count(*) AS tot FROM t)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   floor(((CAST(sum(CAST(floor(ln(cnt * 1.0 / total.tot) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+            FROM t JOIN freq USING (word) CROSS JOIN total
+            GROUP BY doc_id
+        """,
+        "ngram_containment_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor((c * 1.0 / x.n) * 1000000.0 + 0.5) / 1000000.0 AS containment_a,
+                   floor((c * 1.0 / y.n) * 1000000.0 + 0.5) / 1000000.0 AS containment_b,
+                   floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+            FROM inter
+            JOIN sizes x ON doc_a = x.doc_id
+            JOIN sizes y ON doc_b = y.doc_id
+            WHERE greatest(
+                floor((c * 1.0 / x.n) * 1000000.0 + 0.5) / 1000000.0,
+                floor((c * 1.0 / y.n) * 1000000.0 + 0.5) / 1000000.0) >= 0.4
         """,
         "session_window_rollup": """
             WITH flagged AS (

@@ -523,6 +523,45 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram CONTAINMENT for doc pairs sharing >= 1 shingle:
+    ``c/|A|`` and ``c/|B|`` next to the symmetric Jaccard. Containment is
+    the dedup signal Jaccard misses: a document wholly embedded in a
+    much larger one scores near 1.0 on containment but near 0 on
+    Jaccard (|A∩B|/|A∪B| shrinks with the size gap) — exactly the
+    quote/boilerplate-inclusion case a curation pipeline must catch.
+    Thresholded at max-containment >= 0.4.
+
+    Cost: reuses the cached shingle co-occurrence table and per-doc
+    sizes — two broadcast joins, no new expansion. Contract edges are
+    integer-ratio doubles on the 1e-6 grid."""
+    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    inter = _shingle_pair_intersections(spark, sf_dir)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont_a = grid_round(F.col("c") / F.col("n_a"), 6)
+    cont_b = grid_round(F.col("c") / F.col("n_b"), 6)
+    jac = grid_round(
+        F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= 0.4
+        )
+    )
+
+
 EVAL_SET_MOD = 97  # doc_id % EVAL_SET_MOD == 0 -> held-out benchmark doc
 
 

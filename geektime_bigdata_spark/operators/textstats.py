@@ -244,6 +244,51 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOP_K = 20
 
 
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean log-probability
+    under the corpus's OWN unigram distribution — the cheapest LM-based
+    quality signal (documents made of corpus-rare tokens score low,
+    boilerplate scores high; the poor man's perplexity filter every
+    curation stack runs before a neural one).
+
+    Scale shape: one token shuffle builds the frequency table (vocab-
+    sized — broadcast), then scoring is a map-side broadcast join +
+    per-doc aggregate. Determinism: p(w) = cnt/total is an integer-ratio
+    double (identical IEEE division); each token's ``ln p`` is
+    micro-quantized to a LONG before the per-doc sum (a raw double sum
+    would be accumulation-order-dependent), and the mean divides two
+    exact integers before one grid round. ``ln`` itself relies on both
+    engines' libm agreeing — empirically exact for tfidf/bm25 across
+    two driver rounds."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # tiny driver scalar (corpus token count)
+    logp_micro = F.floor(
+        F.log(F.col("cnt") / F.lit(float(total))) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(F.broadcast(freq), "word")
+        .select("doc_id", logp_micro.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("logprob_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            grid_round(
+                (F.col("logprob_micros") / F.lit(1e6)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def contrastive_negatives(
     spark: SparkSession, sf_dir: str, k: int = 4
 ) -> DataFrame:
