@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_negatives": textstats.contrastive_negatives,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "unigram_logprob_scores": textstats.unigram_logprob_scores,
+        "hourly_anomaly_scores": windows.hourly_anomaly_scores,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1160,6 +1161,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes x ON doc_a = x.doc_id
             JOIN sizes y ON doc_b = y.doc_id
             WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+        """,
+        "hourly_anomaly_scores": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+                FROM events GROUP BY 1
+            ), win AS (
+                SELECT hour, n,
+                       sum(n) OVER w AS s,
+                       sum(n * n) OVER w AS s2,
+                       count(*) OVER w AS k
+                FROM hourly
+                WINDOW w AS (ORDER BY hour
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT hour, n,
+                   CASE WHEN k = 24
+                             AND (k * s2 - s * s) * 1.0 / (k * k) > 0
+                        THEN floor(((n - s * 1.0 / k)
+                                    / sqrt((k * s2 - s * s) * 1.0 / (k * k)))
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS zscore
+            FROM win WHERE k = 24
         """,
         "unigram_logprob_scores": """
             WITH toks AS (

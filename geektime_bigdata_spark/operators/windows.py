@@ -428,6 +428,43 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic anomaly detection: per-hour event-count z-score against
+    the trailing 24 fully-observed hours — the ops-monitoring view a
+    pipeline watches for ingest regressions (an hour at z >= 3 means a
+    broken upstream or a flood).
+
+    Scale shape: the expensive pass is the hourly rollup (one hash
+    shuffle on the hour bucket); the trailing window then runs over
+    O(hours) ROWS — ~720/month regardless of corpus size — so the
+    unpartitioned window is a driver-scale afterthought, not a skew
+    risk. Determinism: counts are integers, the trailing sum/sum-of-
+    squares stay integers, variance = (k*s2 - s*s)/k^2 and the z-score
+    divide exact integers in identical IEEE order on both engines
+    (sqrt included), and the result lands on the 1e-6 grid. Hours with
+    an incomplete window or zero variance emit NULL."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    s = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    k = F.count(F.lit(1)).over(w)
+    var = (k * s2 - s * s) / (k * k)
+    z = (F.col("n") - s / k) / F.sqrt(var)
+    return (
+        hourly.select(
+            "hour",
+            "n",
+            k.alias("k"),
+            F.when((k == 24) & (var > 0), grid_round(z, 6)).alias("zscore"),
+        )
+        .filter(F.col("k") == 24)
+        .drop("k")
+    )
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: a user
     reaches a stage only via events STRICTLY AFTER their entry into the
