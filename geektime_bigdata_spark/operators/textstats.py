@@ -251,9 +251,14 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate scores high; the poor man's perplexity filter every
     curation stack runs before a neural one).
 
-    Scale shape: one token shuffle builds the frequency table (vocab-
-    sized — broadcast), then scoring is a map-side broadcast join +
-    per-doc aggregate. Determinism: p(w) = cnt/total is an integer-ratio
+    Scale shape: one token shuffle builds the frequency table; at test
+    scale it broadcasts, but a WEB-SCALE raw-token vocabulary is
+    billions of entries — there the hint comes off and the score join
+    becomes an ordinary shuffle join on ``word`` (or the freq table is
+    truncated to top-K with an OOV floor, the standard LM-filter
+    compromise); Spark's size-based selection makes that regression
+    automatic if the hint is dropped. Determinism: p(w) = cnt/total is
+    an integer-ratio
     double (identical IEEE division); each token's ``ln p`` is
     micro-quantized to a LONG before the per-doc sum (a raw double sum
     would be accumulation-order-dependent), and the mean divides two
@@ -270,7 +275,10 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("cnt") / F.lit(float(total))) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
     return (
-        toks.join(F.broadcast(freq), "word")
+        # size-selected join, deliberately unhinted: the tiny test vocab
+        # auto-broadcasts; a web-scale vocab degrades to a shuffle join
+        # instead of OOMing the driver (see docstring)
+        toks.join(freq, "word")
         .select("doc_id", logp_micro.alias("lp"))
         .groupBy("doc_id")
         .agg(
