@@ -308,11 +308,15 @@ def contrastive_negatives(
     runs uncomparable).
 
     Shape: the doc-rank map (row_number over doc_id — robust to id
-    gaps) is |docs| rows and broadcasts; the k-way fan-out is an
-    in-row ``explode(sequence(...))``; two broadcast joins resolve the
-    hashed rank to a real doc_id. At 100 TB the rank map is the
-    precomputed contiguous id-map every training pipeline maintains
-    anyway, and the pass is map-only."""
+    gaps) is |docs| rows; the k-way fan-out is an in-row
+    ``explode(sequence(...))``; two joins resolve the hashed rank to a
+    real doc_id (broadcast at test scale). Scale honesty: a GLOBAL
+    row_number is a single-partition sort — at billions of docs the
+    rank map is instead built once by a distributed sort +
+    zipWithIndex-style job (the contiguous id-map every training
+    pipeline maintains anyway) and the rank joins become shuffle joins
+    on the rank key; the per-negative hashing itself stays map-only at
+    any scale."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # tiny driver scalar (the corpus size)
     w = Window.orderBy("doc_id")
