@@ -56,6 +56,9 @@ HEADLINE = [
     "ann_topk_ivf_multiprobe",
     "semantic_dedup_multiprobe",
     "cluster_balanced_sample",
+    "ngram_containment_pairs",
+    "unigram_logprob_scores",
+    "hourly_anomaly_scores",
 ]
 
 
