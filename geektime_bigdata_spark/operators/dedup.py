@@ -684,7 +684,11 @@ PAGERANK_ITERS = 5
 PAGERANK_D = 0.85  # damping; literals 0.15/0.85 mirrored in the oracle
 
 
-def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    small_graph_edges: int | None = None,
+) -> DataFrame:
     """PageRank over the near-duplicate graph (edges =
     :func:`ngram_jaccard_pairs`, undirected), PAGERANK_ITERS fixed
     power iterations with damping 0.85 — ranks the most central
@@ -708,6 +712,47 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()  # tiny scalar, same style as tfidf/bm25
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+    # size-gated driver fast path (same hybrid as dedup_clusters): a
+    # near-dup graph is tiny even on a huge corpus, and 5 distributed
+    # iterations cost ~10 shuffle stages of pure scheduling overhead.
+    # The Python loop below runs THE SAME IEEE double ops in the same
+    # order (Python floats are doubles; quantization mirrors floor(x *
+    # 1e9 + 0.5)), so the result is bit-identical to the distributed
+    # path and the oracle — asserted by the fast==distributed pytest.
+    threshold = (
+        SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
+    )
+    edge_rows = edges.limit(threshold + 1).collect() if threshold > 0 else []
+    if threshold > 0 and len(edge_rows) <= threshold and n_docs <= threshold:
+        import math
+        from collections import defaultdict
+
+        def g9(x: float) -> float:
+            return math.floor(x * 1e9 + 0.5) / 1e9
+
+        bidir_e: list[tuple[int, int]] = []
+        for row in edge_rows:
+            a, b = row["doc_a"], row["doc_b"]
+            bidir_e.append((a, b))
+            bidir_e.append((b, a))
+        degree: dict[int, int] = defaultdict(int)
+        for s, _ in bidir_e:
+            degree[s] += 1
+        ids = [r0["doc_id"] for r0 in docs.collect()]
+        pr = {d: g9(1.0 / n_docs) for d in ids}
+        for _ in range(PAGERANK_ITERS):
+            m: dict[int, int] = defaultdict(int)
+            for s, d in bidir_e:
+                m[d] += math.floor((pr[s] / degree[s]) * 1e9 + 0.5)
+            pr = {
+                d: g9(0.15 / n_docs + 0.85 * (m.get(d, 0) / 1e9))
+                for d in ids
+            }
+        return spark.createDataFrame(
+            [(d, pr[d]) for d in ids], "doc_id long, pagerank double"
+        )
+
     bidir = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -407,6 +407,24 @@ def test_dedup_clusters_chain_component(spark, monkeypatch):
         assert got == expect, kwargs
 
 
+def test_pagerank_fast_path_equals_distributed(spark, sf_dir):
+    """The driver-side PageRank fast path must be BIT-identical to the
+    distributed join+aggregate loop (both run the same quantized IEEE
+    recurrence)."""
+    from geektime_bigdata_spark.operators.dedup import neardup_pagerank
+
+    fast = sorted(
+        tuple(r) for r in neardup_pagerank(spark, sf_dir).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in neardup_pagerank(
+            spark, sf_dir, small_graph_edges=0
+        ).collect()
+    )
+    assert fast == dist and fast
+
+
 def test_asof_cogroup_equals_native(spark, sf_dir):
     """The cogrouped-pandas as-of implementation must match the native
     window formulation row-for-row (two independent engines for the
