@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_multiprobe": similarity.semantic_dedup_multiprobe,
         "contrastive_negatives": textstats.contrastive_negatives,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
+        "dedup_cluster_representatives": dedup.dedup_cluster_representatives,
         "unigram_logprob_scores": textstats.unigram_logprob_scores,
         "hourly_anomaly_scores": windows.hourly_anomaly_scores,
         # native session_window under Structured Streaming (complete
@@ -2330,6 +2331,40 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_session_windows"] = oracles["session_window_rollup"]
     # the cogroup-pandas as-of twin shares the native as-of oracle
     oracles["asof_last_click_cogroup"] = oracles["asof_last_click"]
+    # representative pick = the pagerank oracle's CTE chain, made
+    # RECURSIVE, extended with the connected-components walk and a
+    # per-cluster ranking window — composed by string surgery so the
+    # two sub-oracles can never drift apart
+    _pr = oracles["neardup_pagerank"]
+    assert _pr.lstrip().startswith("WITH toks AS")
+    _final = "SELECT doc_id, pr AS pagerank FROM r5"
+    assert _final in _pr
+    oracles["dedup_cluster_representatives"] = _pr.replace(
+        "WITH toks AS", "WITH RECURSIVE toks AS", 1
+    ).replace(
+        _final,
+        """, walk(doc, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.doc, b2.d FROM walk w JOIN bidir b2 ON w.reach = b2.s
+            ), cc AS (
+                SELECT doc AS doc_id, min(reach) AS cluster_id
+                FROM walk GROUP BY doc
+            ), joined AS (
+                SELECT cc.cluster_id, r5.doc_id, r5.pr
+                FROM cc JOIN r5 USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS rep_doc_id, pr AS rep_pagerank,
+                   n_members
+            FROM (
+                SELECT cluster_id, doc_id, pr,
+                       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+                       row_number() OVER (
+                           PARTITION BY cluster_id ORDER BY pr DESC, doc_id
+                       ) AS rn
+                FROM joined)
+            WHERE rn = 1""",
+    )
     oracles["contrastive_negatives"] = """
             WITH ranked AS (
                 SELECT doc_id,

@@ -34,7 +34,7 @@ groups small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import grid_round, shingles, tokens
@@ -558,6 +558,43 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.greatest(F.col("containment_a"), F.col("containment_b")) >= 0.4
+        )
+    )
+
+
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The keep/drop HEAD of the dedup pipeline: one row per duplicate
+    cluster with its PageRank-central member as the representative
+    (``rep_doc_id``), the member count, and the representative's score —
+    the "principled representative pick" the PageRank docstring promises,
+    delivered as a query. Singleton clusters keep themselves.
+
+    Composition: :func:`dedup_clusters` (connected components) joined to
+    :func:`neardup_pagerank` on doc_id, then one per-cluster ranking
+    window (max pagerank, doc_id tiebreak — both engines order the same
+    grid doubles identically). Both inputs ride their own caches/fast
+    paths; the join and window hash on cluster_id, whose groups are
+    near-dup clusters — small by construction at any corpus scale."""
+    clusters = dedup_clusters(spark, sf_dir)
+    ranks = neardup_pagerank(spark, sf_dir)
+    joined = clusters.join(ranks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn(
+            "n_members", F.count(F.lit(1)).over(wc).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("pagerank").alias("rep_pagerank"),
+            "n_members",
         )
     )
 
