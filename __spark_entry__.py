@@ -148,6 +148,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_representatives": dedup.dedup_cluster_representatives,
         "unigram_logprob_scores": textstats.unigram_logprob_scores,
         "hourly_anomaly_scores": windows.hourly_anomaly_scores,
+        # round-3 continuation: corpus-boilerplate detection, C4-style
+        # blocklist scrubbing, source-mix diagnostics, sequence mining
+        "boilerplate_ngrams": dedup.boilerplate_ngrams,
+        "boilerplate_coverage": dedup.boilerplate_coverage,
+        "blocklist_scrub": textstats.blocklist_scrub,
+        "source_vocab_overlap": textstats.source_vocab_overlap,
+        "user_path_trigrams": windows.user_path_trigrams,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1162,6 +1169,101 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes x ON doc_a = x.doc_id
             JOIN sizes y ON doc_b = y.doc_id
             WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5) / 1000000.0 >= 0.1
+        """,
+        "boilerplate_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), thr AS (
+                -- ceil(1% of corpus) with a floor of 5, pure integers
+                SELECT greatest(5, (count(*) + 99) // 100) AS thr
+                FROM documents
+            ), dfq AS (
+                SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+            )
+            SELECT shingle, df FROM dfq, thr WHERE df >= thr
+        """,
+        "boilerplate_coverage": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), thr AS (
+                SELECT greatest(5, (count(*) + 99) // 100) AS thr
+                FROM documents
+            ), boiler AS (
+                SELECT shingle
+                FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), thr
+                WHERE df >= thr
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+            ), hits AS (
+                SELECT doc_id, count(*) AS n_boiler FROM sh
+                WHERE shingle IN (SELECT shingle FROM boiler) GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_shingles,
+                   coalesce(h.n_boiler, 0) AS n_boiler,
+                   CAST(floor(coalesce(h.n_boiler, 0) / s.n_shingles
+                              * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+                       AS coverage
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "blocklist_scrub": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                        x -> x IN ('slow','dup','big'))) AS BIGINT) AS n_hits,
+                   md5(array_to_string(list_filter(toks,
+                        x -> NOT x IN ('slow','dup','big')), ' '))
+                       AS scrub_md5,
+                   CAST(CASE WHEN 20 * len(list_filter(toks,
+                                 x -> x IN ('slow','dup','big'))) < len(toks)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+            FROM t
+        """,
+        "source_vocab_overlap": """
+            WITH v AS (
+                SELECT DISTINCT source, token
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM v GROUP BY 1
+            ), pairs AS (
+                SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+                FROM v a JOIN v b
+                  ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, c,
+                   CAST(floor(c / (sa.n + sb.n - c) * 1000000.0 + 0.5)
+                        / 1000000.0 AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON pairs.src_a = sa.source
+            JOIN sizes sb ON pairs.src_b = sb.source
+        """,
+        "user_path_trigrams": """
+            WITH s AS (
+                SELECT event_type || '>' || lead(event_type, 1) OVER w
+                       || '>' || lead(event_type, 2) OVER w AS path,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT path, count(*) AS n FROM s
+            WHERE t3 IS NOT NULL GROUP BY 1
         """,
         "hourly_anomaly_scores": """
             WITH hourly AS (

@@ -819,3 +819,71 @@ def neardup_pagerank(
             ).alias("pr"),
         )
     return r.select("doc_id", F.col("pr").alias("pagerank"))
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate 3-grams: shingles whose DOCUMENT
+    frequency reaches ``max(5, ceil(1% of corpus))`` — the
+    RefinedWeb/C4-style signal for navigation chrome, license headers,
+    and cookie banners that repeat across unrelated pages. The
+    threshold is RELATIVE to corpus size (with an absolute floor), so
+    the definition is stable from sf0.001 to 100 TB.
+
+    Scale shape: one count aggregate over the cached (doc, shingle)
+    relation — the same shuffle every other shingle consumer pays —
+    plus a broadcast one-row threshold join; no expansion, no
+    all-pairs anything. All-integer contract surface."""
+    sh = _doc_shingles(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    # ceil(n/100) in pure integer arithmetic: (n + 99) DIV 100 — both
+    # engines floor-divide integers, no double in the threshold.
+    thr = docs.agg(
+        F.greatest(F.lit(5).cast("long"), F.expr("(count(1) + 99) DIV 100"))
+        .alias("thr")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("df") >= F.col("thr"))
+        .select("shingle", "df")
+    )
+
+
+def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the fraction of a document's
+    distinct 3-gram shingles that are corpus-level boilerplate
+    (:func:`boilerplate_ngrams`). A high-coverage document is mostly
+    repeated chrome — the removal criterion that catches templated spam
+    exact/near dedup both miss (each copy differs, but every copy is
+    built from the same shared n-grams).
+
+    Scale shape: a semi join of the cached shingle relation against the
+    boilerplate set (selective by construction — AQE broadcasts it when
+    small, hash-shuffles when not) + the per-doc size aggregate the
+    containment query already shares. Documents shorter than 3 tokens
+    have no shingles and are excluded, mirrored in the oracle. The only
+    float is an integer-ratio double on the 1e-6 grid."""
+    sh = _doc_shingles(spark, sf_dir)
+    boiler = boilerplate_ngrams(spark, sf_dir).select("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+                "n_boiler"
+            ),
+            grid_round(
+                F.coalesce(F.col("n_boiler"), F.lit(0).cast("long"))
+                / F.col("n_shingles"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -523,3 +523,86 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_round(F.sum("is_short") / n, 6).alias("short_doc_frac"),
         grid_round(F.sum("ttr_micro") / n / F.lit(1e6), 6).alias("mean_ttr"),
     )
+
+
+# C4-style bad-word blocklist for the scrub op — three real corpus
+# tokens so the mechanism (hit counting, token removal, keep/drop
+# thresholding) is exercised on every scale, not a no-op.
+BLOCKLIST = ("slow", "dup", "big")
+
+
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrubbing (the C4 filter, Raffel et al. 2020 §2.2,
+    re-expressed as a scrub + threshold): per document, count blocklist
+    token hits, remove them, and keep the document only when hits stay
+    under 5% of tokens. Emits the scrubbed text as an md5 fingerprint so
+    the contract surface stays narrow.
+
+    Everything is a native array expression — ``filter`` lambdas over
+    the token array, no regex (regex dialects differ across engines; set
+    membership does not), no shuffle at all: a pure scan-speed map pass.
+    The keep rule is the integer comparison ``20 * n_hits < n_tokens``
+    (exactly "hit fraction < 5%") — no float anywhere."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    lst = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    toks = "split(text, ' ')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter({toks}, t -> t IN ({lst}))) AS BIGINT)"
+        ).alias("n_hits"),
+        F.expr(
+            f"md5(array_join(filter({toks}, t -> NOT t IN ({lst})), ' '))"
+        ).alias("scrub_md5"),
+        F.expr(
+            f"CAST(CASE WHEN 20 * size(filter({toks}, t -> t IN ({lst})))"
+            f" < size({toks}) THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep_flag"),
+    )
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic a pretraining run reads before weighting sources (two
+    crawls with ~identical vocabularies add less diversity than their
+    token counts suggest).
+
+    Scale shape: the per-source distinct vocabulary is one
+    explode+distinct (shuffle keyed on (source, token) — linear);
+    the pair expansion joins vocabularies on the TOKEN (posting-list
+    style, like the shingle pair generator) so cost is bounded by
+    per-token source lists, never |vocab_a| x |vocab_b|. Output is
+    O(sources^2) rows — a driver-scale report. Integer-ratio Jaccard
+    on the 1e-6 grid."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), "token")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "c",
+            grid_round(
+                F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+    )

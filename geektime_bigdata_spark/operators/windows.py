@@ -518,3 +518,31 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         grid_round(F.col("n_users") / F.col("top_n"), 6).alias("pct_of_top"),
     )
+
+
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over the event stream: global counts of
+    consecutive event-type trigrams within each user's time-ordered
+    history (``view>click>purchase`` etc.) — the journey-mining pass
+    behind funnel discovery, next to :func:`event_funnel` which checks
+    ONE known path.
+
+    Scale shape: one hash shuffle on user_id feeds two ``lead`` windows
+    over the same sort (single window spec, single sort), then the
+    trigram strings aggregate into at most |types|^3 groups — a
+    driver-scale output no matter the corpus. (ts, event_id) is a total
+    order, so both engines see identical successors. All-integer
+    contract surface."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t2 = F.lead("event_type", 1).over(w)
+    t3 = F.lead("event_type", 2).over(w)
+    return (
+        e.select(
+            F.concat_ws(">", F.col("event_type"), t2, t3).alias("path"),
+            t3.alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
