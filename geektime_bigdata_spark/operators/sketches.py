@@ -66,3 +66,68 @@ def order_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, PCT_ACCURACY).alias("p50"),
         F.percentile_approx("o_totalprice", 0.99, PCT_ACCURACY).alias("p99"),
     )
+
+
+MG_COUNTERS = 16  # Misra-Gries counters per partition
+
+
+def frequent_terms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus term frequencies — the ground truth the Misra-Gries
+    sketch is tested against (full key-stream shuffle)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def frequent_terms_mg(
+    spark: SparkSession, sf_dir: str, k: int = MG_COUNTERS
+) -> DataFrame:
+    """Misra-Gries heavy hitters over document tokens — the third classic
+    mergeable sketch next to HLL++ (distinct) and t-digest (quantiles):
+    frequent-items with O(k) memory per task regardless of vocabulary
+    size. Each partition streams its tokens through k counters (the MG
+    decrement step charges one unit to ALL counters when full); summing
+    per-term partials across partitions keeps the guarantee additive:
+
+        exact - N/k  <=  estimate  <=  exact
+
+    so every term with true frequency > N/k MUST survive — the contract
+    :mod:`tests.test_sketches` enforces against the exact twin. The
+    shuffle carries at most k rows per partition (vs the full token
+    stream for the exact count) — the only viable plan when the
+    vocabulary itself outgrows a shuffle. Python is acceptable here:
+    the sketch update is inherently imperative and Arrow-batched
+    (``mapInPandas``), the same tier as the multimodal decode path."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < k:
+                    counters[term] = 1
+                else:
+                    # decrement-all: charges one unit to every counter
+                    # and the incoming term; drops zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters), "n_est": list(counters.values())}
+            )
+
+    partials = toks.mapInPandas(mg, "term string, n_est long")
+    return partials.groupBy("term").agg(F.sum("n_est").alias("n_est"))

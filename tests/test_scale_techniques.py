@@ -202,3 +202,56 @@ def test_dynamic_partition_pruning_subquery(spark, sf_dir, tmp_path):
     )
     got = joined.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect)) and got
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """A selective filter on the dimension side of a shuffle join makes
+    Spark inject a RUNTIME bloom filter: the filtered orders keys build a
+    ``bloom_filter_agg`` (partial+merge — one sketch per task crosses the
+    wire) and the lineitem side applies ``might_contain`` BEFORE its
+    shuffle. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows that can possibly join — the
+    runtime-filter analogue of static partition pruning. Thresholds are
+    lowered because injection is size-gated (the real gates: creation
+    side under ~100MB, application side over ~10GB)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the runtime filter must not change the answer
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        expected = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, expected)
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -35,3 +35,29 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
             e, a = exact[k][col], approx[k][col]
             # rank error <= 1/accuracy; value tolerance 2% of the exact
             assert abs(a - e) <= max(1.0, 0.02 * abs(e)), (k, col, e, a)
+
+
+def test_misra_gries_guarantee(spark, sf_dir):
+    """Distributed Misra-Gries contract: estimates never overcount, the
+    summed undercount is bounded by N/k, and every term with true
+    frequency above N/k survives the sketch."""
+    from geektime_bigdata_spark.operators.sketches import (
+        MG_COUNTERS,
+        frequent_terms_exact,
+        frequent_terms_mg,
+    )
+
+    exact = {
+        r["term"]: r["n"] for r in frequent_terms_exact(spark, sf_dir).collect()
+    }
+    est = {
+        r["term"]: r["n_est"] for r in frequent_terms_mg(spark, sf_dir).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / MG_COUNTERS
+    assert set(est) <= set(exact)
+    for t, n in exact.items():
+        if n > bound:
+            assert t in est, (t, n, bound)
+        if t in est:
+            assert n - bound <= est[t] <= n, (t, n, est[t], bound)
