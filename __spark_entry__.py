@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_scrub": textstats.blocklist_scrub,
         "source_vocab_overlap": textstats.source_vocab_overlap,
         "user_path_trigrams": windows.user_path_trigrams,
+        "quality_weighted_sample": textstats.quality_weighted_sample,
+        "bpe_pair_counts": textstats.bpe_pair_counts,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1253,6 +1255,44 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN sizes sa ON pairs.src_a = sa.source
             JOIN sizes sb ON pairs.src_b = sb.source
+        """,
+        "quality_weighted_sample": """
+            WITH tok AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       floor((CAST(sum(CASE WHEN word IN ('the','a','is','what','it','and','of','to','in')
+                                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                       floor((count(DISTINCT word) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                GROUP BY doc_id
+            ), q AS (
+                SELECT doc_id,
+                       floor((least(n_tokens / 100.0, 1.0) * 0.4
+                             + distinct_ratio * 0.4
+                             + (1 - stopword_ratio) * 0.2) * 1000000.0 + 0.5)
+                           / 1000000.0 AS quality_score,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 1000000 AS u
+                FROM tok
+            )
+            SELECT doc_id, quality_score, u FROM q
+            WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "bpe_pair_counts": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), p AS (
+                SELECT toks[pos] || ' ' || toks[pos+1] AS pair
+                FROM (SELECT toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS pos
+                      FROM t WHERE len(toks) >= 2)
+            ), c AS (
+                SELECT pair, count(*) AS n FROM p GROUP BY 1
+            )
+            SELECT pair, n,
+                   row_number() OVER (ORDER BY n DESC, pair) AS rank
+            FROM c
         """,
         "user_path_trigrams": """
             WITH s AS (

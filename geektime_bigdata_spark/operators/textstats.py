@@ -606,3 +606,61 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling — the data-mixing step
+    that keeps each document with probability equal to its quality
+    score (the DoReMi/importance-mixing shape, with the model-learned
+    weight replaced by the heuristic score). Unlike
+    :func:`stratified_sample`'s fixed per-language rates, the keep
+    probability here varies per row.
+
+    Same reproducibility contract as every sampler in this module: the
+    uniform draw is md5(doc_id) — stable across runs, engines, and
+    cluster sizes — and the comparison is INTEGER (micro-grid units on
+    both sides), so the kept set is bit-identical everywhere. Map-only
+    pass over the quality projection; no shuffle."""
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    u = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    thr = F.floor(F.col("quality_score") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        q.select("doc_id", "quality_score", u.alias("u"))
+        .filter(F.col("u") < thr)
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair counts over the corpus — the statistic one
+    BPE/WordPiece merge step maximizes (count with MULTIPLICITY, unlike
+    the distinct shingle relation). Emits every pair with its count and
+    global rank (count desc, pair asc — a total order, so ranks are
+    engine-identical); rank 1 is the merge a tokenizer trainer would
+    apply next.
+
+    Scale shape: pairs are built per row with ``transform`` over index
+    sequences (no self-join, no explode before the aggregate's partial
+    phase) and aggregate into at most |vocab|^2 groups; the rank window
+    runs over that driver-scale aggregate, not the corpus."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    pairs = (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1)))"
+    )
+    counts = (
+        docs.filter(F.expr(f"size({toks}) >= 2"))
+        .select(F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return counts.select(
+        "pair", "n", F.row_number().over(w).cast("long").alias("rank")
+    )
