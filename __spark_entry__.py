@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_path_trigrams": windows.user_path_trigrams,
         "quality_weighted_sample": textstats.quality_weighted_sample,
         "bpe_pair_counts": textstats.bpe_pair_counts,
+        # digest surfaces driving the remaining two multimodal paths
+        "media_resize_digest": multimodal.media_resize_digest,
+        "frame_sample_digest": multimodal.frame_sample_digest,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1278,6 +1281,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "media_resize_digest": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS n FROM documents
+            ), resized AS (
+                SELECT doc_id, n, text AS r FROM base WHERE n <= 64
+                UNION ALL
+                -- stride sampler: byte int(i * n/64) for i in 0..63;
+                -- int() truncation == floor for non-negative doubles,
+                -- and i * (n / 64.0) mirrors Python's op order exactly
+                SELECT doc_id, n,
+                       string_agg(substring(text,
+                           CAST(floor(i * (n / CAST(64 AS DOUBLE)))
+                                AS INT) + 1, 1), '' ORDER BY i) AS r
+                FROM (SELECT doc_id, text, n,
+                             unnest(generate_series(0, 63)) AS i
+                      FROM base WHERE n > 64)
+                GROUP BY doc_id, n
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(n AS BIGINT) AS orig_bytes,
+                   CAST(length(r) AS BIGINT) AS n_bytes_resized,
+                   md5(r) AS resize_md5
+            FROM resized
+        """,
+        "frame_sample_digest": """
+            WITH frames AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0,
+                           CAST(ceil(length(text) / CAST(64 AS DOUBLE))
+                                AS INT) - 1)) AS frame_no
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(frame_no AS BIGINT) AS frame_no,
+                   CAST(length(substring(text, frame_no * 64 + 1, 64))
+                        AS BIGINT) AS chunk_bytes,
+                   md5(substring(text, frame_no * 64 + 1, 64)) AS chunk_md5
+            FROM frames
         """,
         "bpe_pair_counts": """
             WITH t AS (

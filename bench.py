@@ -59,6 +59,11 @@ HEADLINE = [
     "ngram_containment_pairs",
     "unigram_logprob_scores",
     "hourly_anomaly_scores",
+    # round-3 continuation: boilerplate/corpus-mix/sequence ops
+    "boilerplate_coverage",
+    "source_vocab_overlap",
+    "user_path_trigrams",
+    "bpe_pair_counts",
 ]
 
 

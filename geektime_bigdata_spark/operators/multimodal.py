@@ -251,3 +251,34 @@ def frame_sample(
             ).alias("chunk"),
         )
     )
+
+
+def media_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable surface for :func:`media_resize`: the resized
+    payload collapses to an md5 digest (binary columns don't hash-
+    compare across engines; digests do). Drives the REAL mapInPandas
+    resize path end-to-end — the oracle reconstructs the deterministic
+    stride sampler positionally (payloads are utf-8 text bytes, ASCII
+    in this corpus, so byte k == character k+1)."""
+    r = media_resize(spark, sf_dir)
+    return r.select(
+        "doc_id",
+        "media_type",
+        "orig_bytes",
+        "n_bytes_resized",
+        F.md5(F.col("payload")).alias("resize_md5"),
+    )
+
+
+def frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable surface for :func:`frame_sample`: per-chunk
+    length + md5 instead of the raw binary chunk. The explode and the
+    substring windows stay JVM-side; the digest is the only change."""
+    f = frame_sample(spark, sf_dir)
+    return f.select(
+        "doc_id",
+        "media_type",
+        "frame_no",
+        F.length(F.col("chunk")).cast("long").alias("chunk_bytes"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
