@@ -178,3 +178,58 @@ def test_cluster_balanced_sample_single_cell_shuffle(spark, sf_dir):
     )
     assert n_ex == 1, above_cache
     assert "Window" in text, text
+
+
+def test_blocklist_scrub_single_rebalance(spark, sf_dir):
+    """The scrub is a pure map pass: the ONLY exchange is
+    parallel_table's deliberate rebalance (the array lambdas never
+    leave the row — no aggregate, no join, no window)."""
+    from geektime_bigdata_spark.operators import textstats
+
+    s = plan_summary(textstats.blocklist_scrub(spark, sf_dir))
+    ops = s["operators"]
+    assert sum(v for k, v in ops.items() if "Exchange" in k) == 1, ops
+    assert not any(
+        "Aggregate" in k or "Join" in k or "Window" in k for k in ops
+    ), ops
+
+
+def test_boilerplate_coverage_broadcasts_threshold(spark, sf_dir):
+    """The one-row threshold relation must broadcast (never shuffle the
+    shingle relation against a scalar), and the whole query needs no
+    more than the shingle/doc aggregates' exchanges."""
+    from geektime_bigdata_spark.operators import dedup
+
+    text = explain_str(dedup.boilerplate_coverage(spark, sf_dir), "formatted")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, (
+        text
+    )
+
+
+def test_user_path_trigrams_single_sort_two_leads(spark, sf_dir):
+    """Both lead() columns must share ONE window sort (same spec), so the
+    plan has exactly one user_id exchange + one Window operator before
+    the aggregate."""
+    from geektime_bigdata_spark.operators import windows
+
+    s = plan_summary(windows.user_path_trigrams(spark, sf_dir))
+    ops = s["operators"]
+    assert sum(v for k, v in ops.items() if "Window" in k) == 1, ops
+    # one shuffle for the window partitioning, one for the aggregate
+    # (AQE may add a coalesce read, not an extra exchange)
+    assert ops.get("Exchange", 0) <= 2, ops
+
+
+def test_bpe_rank_window_after_aggregate(spark, sf_dir):
+    """The global rank window must run over the aggregated pair counts
+    (driver-scale), not the exploded pair stream: the Window operator
+    sits above the final HashAggregate in the plan tree."""
+    from geektime_bigdata_spark.operators import textstats
+
+    text = explain_str(textstats.bpe_pair_counts(spark, sf_dir), "formatted")
+    lines = text.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    # formatted explain lists operators leaves-last; the Window's line
+    # number must be smaller (closer to the root) than every aggregate
+    assert aggs and win < min(aggs), text
