@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # digest surfaces driving the remaining two multimodal paths
         "media_resize_digest": multimodal.media_resize_digest,
         "frame_sample_digest": multimodal.frame_sample_digest,
+        # time-series densification + growth analytics
+        "gap_filled_hourly": etl.gap_filled_hourly,
+        "cohort_retention": windows.cohort_retention,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1281,6 +1284,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "gap_filled_hourly": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n_events,
+                       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                           AS value_micros
+                FROM events GROUP BY 1
+            ), bounds AS (
+                SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi
+                FROM events
+            ), spine AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS hour
+                FROM bounds
+            )
+            SELECT s.hour,
+                   coalesce(h.n_events, 0) AS n_events,
+                   CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_gap,
+                   last_value(h.value_micros IGNORE NULLS)
+                       OVER (ORDER BY s.hour
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ff_value_micros
+            FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        """,
+        "cohort_retention": """
+            WITH cohorts AS (
+                -- DuckDB date_trunc('week') yields DATE; cast back to
+                -- TIMESTAMP to match Spark's timestamp truncation
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                           AS cohort_week
+                FROM events GROUP BY 1
+            ), active AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                FROM events
+            ), matrix AS (
+                SELECT c.cohort_week,
+                       date_diff('day', c.cohort_week, a.week) // 7
+                           AS week_offset,
+                       count(*) AS n_active
+                FROM active a JOIN cohorts c ON a.user_id = c.user_id
+                GROUP BY 1, 2
+            ), base AS (
+                SELECT cohort_week, count(*) AS cohort_size
+                FROM cohorts GROUP BY 1
+            )
+            SELECT m.cohort_week, m.week_offset, m.n_active, b.cohort_size,
+                   CAST(floor(m.n_active / b.cohort_size * 1000000.0 + 0.5)
+                        / 1000000.0 AS DOUBLE) AS retention
+            FROM matrix m JOIN base b ON m.cohort_week = b.cohort_week
         """,
         "media_resize_digest": """
             WITH base AS (

@@ -171,3 +171,59 @@ def continuous_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_value") / F.lit(1e6)).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the hourly event rollup joined onto a
+    COMPLETE hour spine (min..max observed hour), missing hours emitted
+    with n_events = 0 and the micro-unit value sum FORWARD-FILLED from
+    the last observed hour (``last(..., ignorenulls)`` over the hour
+    order) — the densification step every downstream window/anomaly
+    consumer assumes has already happened (a missing hour would
+    otherwise silently shrink a trailing window instead of reading as
+    zero traffic).
+
+    Scale shape: the rollup is the usual one-shuffle aggregate; the
+    spine is ``sequence(min, max, 1 hour)`` exploded from a one-row
+    aggregate — O(hours) rows regardless of corpus size — so the
+    unpartitioned forward-fill window is driver-scale like the anomaly
+    z-scores, not a skew risk. All-integer contract surface."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("value_micros"),
+    )
+    spine = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")
+            ).alias("hour")
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias(
+                "n_events"
+            ),
+            F.when(F.col("n_events").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_gap"),
+            F.last("value_micros", ignorenulls=True)
+            .over(w)
+            .alias("ff_value_micros"),
+        )
+    )

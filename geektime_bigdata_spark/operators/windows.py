@@ -546,3 +546,47 @@ def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the standard growth-analytics matrix:
+    users grouped by the week of their FIRST event; for each (cohort,
+    week-offset), how many distinct cohort members were active, and
+    the fraction of the cohort that retains.
+
+    Scale shape: first-event week is one per-user min-aggregate; the
+    activity relation reduces to distinct (user, week) BEFORE joining
+    the cohort assignment back (each shuffle keys on user_id, so AQE
+    can reuse the partitioning); the final matrix is O(weeks^2) rows —
+    driver-scale. Week arithmetic stays integer (day difference DIV 7
+    on Monday-aligned truncations); the retention fraction is an
+    integer-ratio double on the 1e-6 grid."""
+    e = table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    matrix = (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = (
+        cohorts.groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    return matrix.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        grid_round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
