@@ -101,3 +101,88 @@ def curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_avg_quality"
         ),
     )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL: how many documents survive each successive
+    filter stage — the one-page report that tells a pipeline owner
+    where the corpus is actually going. Stages (cumulative):
+
+        1_total      every document
+        2_blocklist  blocklist hit fraction under 5% (C4-style scrub)
+        3_quality    + composite quality score >= 0.5
+        4_exact      + exact-dedup representative (min doc_id per
+                       content fingerprint)
+        5_neardup    + not flagged as the higher-id member of any
+                       MinHash-LSH candidate pair (greedy min-id keep —
+                       the candidate-level approximation of the full
+                       cluster-representative rule; pairs are already
+                       linear via banding)
+
+    Scale shape: one pass computes every per-doc flag (the blocklist /
+    quality projections are scan-speed; the fingerprint min and the LSH
+    drop set are the same shuffles their standalone queries pay), a
+    single aggregate folds the conjunctions into 5 integer counts, and
+    ``stack`` unpivots the one-row result — no per-stage re-scan of the
+    corpus. Counts are integers; the fraction is an integer-ratio
+    double on the 1e-6 grid."""
+    from geektime_bigdata_spark.operators.dedup import minhash_lsh_pairs
+    from geektime_bigdata_spark.operators.textstats import blocklist_scrub
+
+    docs = table(spark, sf_dir, "documents")
+    bl = blocklist_scrub(spark, sf_dir).select("doc_id", "keep_flag")
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    reps = (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .select(F.col("rep_id").alias("doc_id"), F.lit(1).alias("is_rep"))
+    )
+    dropped = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(bl, "doc_id")
+        .join(quality, "doc_id")
+        .join(reps, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            (F.col("keep_flag") == 1).alias("s2"),
+            (F.col("quality_score") >= 0.5).alias("q"),
+            F.col("is_rep").isNotNull().alias("r"),
+            F.col("is_dup").isNull().alias("nd"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum((F.col("s2") & F.col("q")).cast("long")).alias("n3"),
+        F.sum((F.col("s2") & F.col("q") & F.col("r")).cast("long")).alias(
+            "n4"
+        ),
+        F.sum(
+            (F.col("s2") & F.col("q") & F.col("r") & F.col("nd")).cast(
+                "long"
+            )
+        ).alias("n5"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(5, '1_total', n1, '2_blocklist', n2, '3_quality', n3, "
+            "'4_exact', n4, '5_neardup', n5) AS (stage, n_docs)"
+        ),
+        F.col("n1").alias("total"),
+    )
+    return stages.select(
+        "stage",
+        "n_docs",
+        grid_round(F.col("n_docs") / F.col("total"), 6).alias(
+            "pct_of_total"
+        ),
+    )
