@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": windows.cohort_retention,
         # capstone: stage-by-stage curation funnel over the filter chain
         "curation_funnel": pipeline.curation_funnel,
+        # sliding distinct + graph-density diagnostics
+        "sliding_wau": windows.sliding_wau,
+        "neardup_triangles": dedup.neardup_triangles,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1286,6 +1289,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "sliding_wau": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events
+            ), bounds AS (
+                SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+                       CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+                FROM events
+            ), spine AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                           AS day
+                FROM bounds
+            ), contrib AS (
+                SELECT DISTINCT user_id,
+                       day + k * INTERVAL 1 DAY AS day
+                FROM ud, (SELECT unnest(generate_series(0, 6)) AS k)
+            ), wau AS (
+                SELECT day, count(*) AS wau FROM contrib GROUP BY 1
+            )
+            SELECT s.day, coalesce(w.wau, 0) AS wau
+            FROM spine s LEFT JOIN wau w ON s.day = w.day
+        """,
+        "neardup_triangles": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+            mh AS (
+                SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+            ), bands AS (
+                SELECT doc_id, seed // 3 AS band,
+                       md5(string_agg(mh, '' ORDER BY seed)) AS sig
+                FROM mh GROUP BY doc_id, seed // 3
+            ), edges AS (
+                SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id
+            ), tri AS (
+                SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.a = e1.b
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+                SELECT unnest([a, b, c]) AS doc_id FROM tri
+            ), pn AS (
+                SELECT doc_id, count(*) AS n_triangles
+                FROM corners GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(pn.n_triangles, 0) AS n_triangles
+            FROM documents d LEFT JOIN pn ON d.doc_id = pn.doc_id
         """,
         "curation_funnel": """
             WITH toksl AS (

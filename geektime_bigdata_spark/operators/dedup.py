@@ -887,3 +887,36 @@ def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the LSH near-dup graph — the
+    graph-density diagnostic next to connected components (breadth) and
+    PageRank (centrality): a document in many triangles sits in a
+    tightly-knit duplication clique (template spam), not a loose chain.
+
+    The standard distributed triangle formulation: with every edge
+    oriented low->high, a triangle {a<b<c} is counted exactly once as
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two equi-joins over the (tiny, banded)
+    candidate edge relation, no direction explosion. Per-node counts
+    credit all three corners via one explode; docs in no triangle emit
+    0 through the left join. All-integer surface."""
+    edges = minhash_lsh_pairs(spark, sf_dir).cache()
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per_node, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        ),
+    )

@@ -590,3 +590,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+def sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day — the sliding DISTINCT
+    aggregate (WAU) that plain window frames cannot express (count
+    distinct over a moving range needs the raw keys, not a running
+    partial).
+
+    Scale formulation: the corpus first reduces to the distinct
+    (user_id, day) relation — at 100 TB that is the small fact, bounded
+    by users x days, not events — then a RANGE join expands each
+    activity day into the ≤ 7 spine days it contributes to, and one
+    aggregate counts distinct users per spine day. The 7x expansion of
+    the REDUCED relation is the standard cost of exact sliding
+    distinct; the approximate alternative (merging 7 daily HLL
+    sketches) is the sketches-module pattern. Spine days with no
+    activity in their whole window emit 0 via the left join. All-
+    integer surface."""
+    e = table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    spine = (
+        e.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, INTERVAL 1 DAY)")).alias(
+                "day"
+            )
+        )
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+    ).distinct()
+    wau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        spine.join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("wau"), F.lit(0).cast("long")).alias("wau"),
+        )
+    )
