@@ -276,3 +276,120 @@ def test_neardup_pagerank_mass_and_baseline(spark, sf_dir):
             assert pr > base, (doc, pr, base)
         else:
             assert pr == base, (doc, pr, base)
+
+
+def test_gap_filled_hourly_with_real_gaps(spark, tmp_path):
+    """The driver data has NO missing hours (720/720 present), so the
+    sweep never exercises the gap path — this fixture does: hours 2-3
+    and the span after 4 up to 7 are silent. Asserts the spine is
+    complete, gaps are flagged with zero counts, the forward-fill
+    carries the last observed hour's micro-sum, and the whole surface
+    still matches the registered DuckDB oracle on the same fixture."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from geektime_bigdata_spark.operators.etl import gap_filled_hourly
+    from tests.oracle import assert_matches_oracle
+
+    base = dt.datetime(2024, 3, 1, 0, 15)
+
+    def ev(i, hour_off, value):
+        return (
+            i,
+            base + dt.timedelta(hours=hour_off, minutes=i % 17),
+            100 + i,
+            "click",
+            value,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 1.25),
+        ev(2, 0, 2.5),
+        ev(3, 1, 0.125),
+        # hours 2-3 silent
+        ev(4, 4, 7.75),
+        # hours 5-6 silent
+        ev(5, 7, 0.0625),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["hour"].hour: r
+        for r in gap_filled_hourly(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 6, 7]  # complete spine
+    assert [out[h]["is_gap"] for h in range(8)] == [0, 0, 1, 1, 0, 1, 1, 0]
+    assert out[0]["n_events"] == 2 and out[2]["n_events"] == 0
+    # forward fill: gap hours 2-3 carry hour 1's sum, 5-6 carry hour 4's
+    assert out[2]["ff_value_micros"] == out[1]["ff_value_micros"] == 125_000
+    assert out[5]["ff_value_micros"] == out[4]["ff_value_micros"] == 7_750_000
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    try:
+        assert_matches_oracle(
+            gap_filled_hourly(spark, str(tmp_path)),
+            con,
+            entrymod.oracle_sql()["gap_filled_hourly"],
+            "gap_filled_hourly[gappy]",
+        )
+    finally:
+        con.close()
+
+
+def test_sliding_wau_window_semantics(spark, tmp_path):
+    """WAU on a hand-built fixture where the windows are checkable by
+    eye: user A active days 0 and 10, user B day 3 — plus the oracle
+    cross-check on the same gappy fixture."""
+    import datetime as dt
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from geektime_bigdata_spark.operators.windows import sliding_wau
+    from tests.oracle import assert_matches_oracle
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(days=10), 1, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(days=3), 2, "view", 0.0, "{}"),
+        # same user twice in one day must count once
+        (4, base + dt.timedelta(days=3, hours=5), 2, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    wau = {
+        (r["day"] - base.replace(hour=0)).days: r["wau"]
+        for r in sliding_wau(spark, str(tmp_path)).collect()
+    }
+    # day d counts users active in [d-6, d]
+    expected = {
+        0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 2,  # A through day 6
+        7: 1, 8: 1, 9: 1,                           # only B's window
+        10: 1,                                      # A again
+    }
+    assert wau == expected, wau
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    try:
+        assert_matches_oracle(
+            sliding_wau(spark, str(tmp_path)),
+            con,
+            entrymod.oracle_sql()["sliding_wau"],
+            "sliding_wau[sparse]",
+        )
+    finally:
+        con.close()
