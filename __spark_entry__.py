@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding distinct + graph-density diagnostics
         "sliding_wau": windows.sliding_wau,
         "neardup_triangles": dedup.neardup_triangles,
+        # native unpivot: the wide->long inverse of event_type_pivot
+        "event_type_melt": windows.event_type_melt,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1289,6 +1291,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "event_type_melt": """
+            SELECT user_id, event_type,
+                   floor((CAST(sum(CAST(floor(value * 1000000.0 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 1000000.0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS total_value
+            FROM events
+            WHERE event_type IN ('click','view','purchase','signup','error')
+            GROUP BY user_id, event_type
         """,
         "sliding_wau": """
             WITH ud AS (

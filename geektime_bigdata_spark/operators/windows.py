@@ -639,3 +639,23 @@ def sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("wau"), F.lit(0).cast("long")).alias("wau"),
         )
     )
+
+
+def event_type_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``unpivot`` (melt): the wide per-user pivot folded back to
+    long (user_id, event_type, total_value) rows — the wide↔long
+    round-trip every feature pipeline needs in both directions. Spark
+    plans unpivot as an Expand (one output row per value column per
+    input row) — the exact inverse of the pivot's conditional
+    aggregation, with no shuffle beyond the pivot's own aggregate.
+    Users with no events of a type emit NULL in the wide form; the melt
+    drops them (mirrored in the oracle via the type filter), so the
+    output equals the plain (user, type) aggregate."""
+    wide = event_type_pivot(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        wide.unpivot(
+            "user_id", types, "event_type", "total_value"
+        )
+        .filter(F.col("total_value").isNotNull())
+    )
