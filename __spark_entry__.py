@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_triangles": dedup.neardup_triangles,
         # native unpivot: the wide->long inverse of event_type_pivot
         "event_type_melt": windows.event_type_melt,
+        # distributed X^T X via numpy partial Grams + integer merge
+        "embedding_gram_matrix": similarity.embedding_gram_matrix,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1291,6 +1293,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "embedding_gram_matrix": """
+            WITH comp AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   sum(CAST(floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT))
+                       AS gram_micros
+            FROM comp a JOIN comp b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         "event_type_melt": """
             SELECT user_id, event_type,

@@ -602,3 +602,58 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*_centroid_agg_cols())
         .orderBy("cell")
     )
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding corpus — the
+    d x d building block of PCA / whitening / linear probing, computed
+    the only way that works at 100 TB: PARTIAL Gram per Arrow batch in
+    numpy (a (b, d) slab contracts to d x d via one einsum — vectorized,
+    no Python loop over rows), quantized per-product to the 1e-6 grid
+    BEFORE any summation, then one d^2-row integer merge. The shuffle
+    carries d^2 longs per task — never the vectors.
+
+    Determinism contract: each addend is
+    ``floor(float64(x_i) * float64(x_j) * 1e6 + 0.5)`` — the float32
+    embeddings are widened to float64 FIRST (matching the oracle's
+    ``CAST(... AS DOUBLE)``), products are identical IEEE ops on both
+    engines, and the merged sum is an associative integer. The output
+    is the raw LONG micro-unit Gram entry (strongest contract form).
+    Only the upper triangle i <= j is emitted (the matrix is symmetric;
+    half the shuffle for free)."""
+    import numpy as np
+    import pandas as pd
+
+    e = parallel_table(spark, sf_dir, "embeddings")
+    d = N_DIMS
+    iu = np.triu_indices(d)
+
+    def partial_gram(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if x.size == 0:
+                continue
+            seen = True
+            # (b, d, d) per-row outer products, floored per product —
+            # quantize BEFORE the batch sum so merge order cannot matter
+            prods = np.einsum("bi,bj->bij", x, x)
+            acc += np.floor(prods * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "gram_micros": acc[iu],
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        partial_gram, "i long, j long, gram_micros long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("gram_micros").alias("gram_micros")
+    )
