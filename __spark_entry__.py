@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_melt": windows.event_type_melt,
         # distributed X^T X via numpy partial Grams + integer merge
         "embedding_gram_matrix": similarity.embedding_gram_matrix,
+        # mapInArrow twin of the pandas-UDF norms (same oracle)
+        "embedding_norms_arrow": similarity.embedding_norms_arrow,
         # native session_window under Structured Streaming (complete
         # mode; shares the batch twin's oracle)
         "streaming_session_windows": (
@@ -1293,6 +1295,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, quality_score, u FROM q
             WHERE u < CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)
+        """,
+        "embedding_norms_arrow": """
+            SELECT vec_id,
+                   floor((sqrt(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
+            FROM (SELECT vec_id, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+            GROUP BY vec_id
         """,
         "embedding_gram_matrix": """
             WITH comp AS (

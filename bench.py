@@ -64,6 +64,10 @@ HEADLINE = [
     "source_vocab_overlap",
     "user_path_trigrams",
     "bpe_pair_counts",
+    "curation_funnel",
+    "sliding_wau",
+    "neardup_triangles",
+    "embedding_gram_matrix",
 ]
 
 

@@ -657,3 +657,38 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         F.sum("gram_micros").alias("gram_micros")
     )
+
+
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via ``mapInArrow`` — the Arrow-NATIVE UDF tier below the
+    pandas one (no pandas conversion at all: the ListArray's flat values
+    buffer goes straight to numpy and per-row sums come from offset
+    differencing — zero Python per row, zero per-row allocation).
+    Differential twin of :func:`embedding_norms_pandas`: same output
+    schema, same oracle, so the two UDF tiers check each other.
+
+    Same determinism contract: float32 widened to float64 first, each
+    squared term micro-quantized, per-row integer sums via cumsum
+    differencing (associative — batch boundaries cannot matter)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            emb = batch.column("embedding")
+            offs = np.asarray(emb.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            micro = np.floor(flat * flat * 1e6 + 0.5).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(micro)))
+            sums = csum[offs[1:]] - csum[offs[:-1]]
+            l2 = np.sqrt(sums / 1e6)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(l2, type=pa.float64())],
+                ["vec_id", "l2_norm"],
+            )
+
+    out = e.mapInArrow(norms, "vec_id long, l2_norm double")
+    return out.select("vec_id", grid_round(F.col("l2_norm"), 6).alias("l2_norm"))
