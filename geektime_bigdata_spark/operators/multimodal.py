@@ -232,8 +232,13 @@ def frame_sample(
     frame extraction has, expressed with native substring/sequence ops so
     the explode happens JVM-side, not in Python."""
     media = attach_fake_payloads(spark, sf_dir)
+    # empty-payload guard: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+    # it is not empty — an empty payload must emit zero frames (the
+    # oracle's generate_series(0, -1) is empty)
     frames = F.expr(
-        f"sequence(0, cast(ceil(n_bytes / {every_n_bytes}) as int) - 1)"
+        f"CASE WHEN n_bytes > 0 THEN "
+        f"sequence(0, cast(ceil(n_bytes / {every_n_bytes}) as int) - 1) "
+        f"ELSE array() END"
     )
     return (
         media.select(

@@ -112,12 +112,21 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         2_blocklist  blocklist hit fraction under 5% (C4-style scrub)
         3_quality    + composite quality score >= 0.5
         4_exact      + exact-dedup representative (min doc_id per
-                       content fingerprint)
+                       content fingerprint — reuses
+                       :func:`...dedup.exact_dedup`'s keep rule)
         5_neardup    + not flagged as the higher-id member of any
                        MinHash-LSH candidate pair (greedy min-id keep —
                        the candidate-level approximation of the full
                        cluster-representative rule; pairs are already
-                       linear via banding)
+                       linear via banding). NOTE the drop set is
+                       computed against the FULL corpus, not the
+                       stage-4 survivors: a doc whose only lower-id
+                       partner was itself removed at stage 2-3 still
+                       drops here (dedup-against-corpus-then-filter
+                       semantics — the order most pipelines run,
+                       because the dup graph is built once on raw
+                       data; a survivor-scoped dedup would need the
+                       greedy chain re-run per filter configuration)
 
     Scale shape: one pass computes every per-doc flag (the blocklist /
     quality projections are scan-speed; the fingerprint min and the LSH
@@ -126,7 +135,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stack`` unpivots the one-row result — no per-stage re-scan of the
     corpus. Counts are integers; the fraction is an integer-ratio
     double on the 1e-6 grid."""
-    from geektime_bigdata_spark.operators.dedup import minhash_lsh_pairs
+    from geektime_bigdata_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
     from geektime_bigdata_spark.operators.textstats import blocklist_scrub
 
     docs = table(spark, sf_dir, "documents")
@@ -134,11 +146,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = doc_quality_scores(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    reps = (
-        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("rep_id"))
-        .select(F.col("rep_id").alias("doc_id"), F.lit(1).alias("is_rep"))
+    # the 4_exact stage IS exact_dedup's keep rule — reuse it so the
+    # funnel cannot drift from the standalone operator
+    reps = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_rep")
     )
     dropped = (
         minhash_lsh_pairs(spark, sf_dir)

@@ -631,6 +631,8 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial_gram(batches):
         acc = np.zeros((d, d), dtype=np.int64)
         seen = False
+        chunk = 512  # (512, d, d) float64 ≈ 16 MB transient; a whole
+        # 10k-row Arrow batch at once would peak near 1 GB per task
         for pdf in batches:
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
@@ -638,10 +640,16 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             if x.size == 0:
                 continue
             seen = True
-            # (b, d, d) per-row outer products, floored per product —
-            # quantize BEFORE the batch sum so merge order cannot matter
-            prods = np.einsum("bi,bj->bij", x, x)
-            acc += np.floor(prods * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+            # per-row outer products, floored per product — quantization
+            # happens BEFORE any sum, so neither the chunk split nor the
+            # merge order can change a single bit
+            for lo in range(0, x.shape[0], chunk):
+                prods = np.einsum(
+                    "bi,bj->bij", x[lo : lo + chunk], x[lo : lo + chunk]
+                )
+                acc += (
+                    np.floor(prods * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+                )
         if seen:
             yield pd.DataFrame(
                 {

@@ -71,12 +71,22 @@ def order_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 MG_COUNTERS = 16  # Misra-Gries counters per partition
 
 
+def _term_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per token occurrence, with the SAME empty-token filter as
+    text.py's ``_tokens`` — both corpus token-count definitions must
+    agree or the MG guarantee would be validated against a different N
+    than the headline word counts."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+
+
 def frequent_terms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus term frequencies — the ground truth the Misra-Gries
     sketch is tested against (full key-stream shuffle)."""
-    docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        _term_stream(spark, sf_dir)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -103,8 +113,7 @@ def frequent_terms_mg(
     (``mapInPandas``), the same tier as the multimodal decode path."""
     import pandas as pd
 
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    toks = _term_stream(spark, sf_dir)
 
     def mg(batches):
         counters: dict[str, int] = {}

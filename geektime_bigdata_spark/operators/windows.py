@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from geektime_bigdata_spark.functions import exact_sum, grid_round, sum_micros
 from geektime_bigdata_spark.registry import table
 
+# the pivot value list and its unpivot inverse MUST stay in sync —
+# one constant serves both (event_type_pivot / event_type_melt)
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
 
 def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price — ``row_number`` over
@@ -294,7 +298,7 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum column per type — no second pass to discover keys
     (the two-phase pivot is a scale anti-pattern)."""
     e = table(spark, sf_dir, "events")
-    types = ["click", "view", "purchase", "signup", "error"]
+    types = EVENT_TYPES
     return (
         e.groupBy("user_id")
         .pivot("event_type", types)
@@ -652,7 +656,7 @@ def event_type_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops them (mirrored in the oracle via the type filter), so the
     output equals the plain (user, type) aggregate."""
     wide = event_type_pivot(spark, sf_dir)
-    types = ["click", "view", "purchase", "signup", "error"]
+    types = EVENT_TYPES
     return (
         wide.unpivot(
             "user_id", types, "event_type", "total_value"
