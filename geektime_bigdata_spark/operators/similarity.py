@@ -700,3 +700,50 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = e.mapInArrow(norms, "vec_id long, l2_norm double")
     return out.select("vec_id", grid_round(F.col("l2_norm"), 6).alias("l2_norm"))
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> tuple[DataFrame, list[int]]:
+    """The full Lloyd LOOP around :func:`kmeans_step` — assignment and
+    re-estimation iterated ``iters`` times from the label-centroid
+    init, with the micro-unit INERTIA (sum of min squared distances,
+    LONG) recorded per iteration. Returns (final centroids, inertias).
+
+    Two things make iterative DataFrame training viable, both load-
+    bearing at scale: (1) each new centroid table is ``localCheckpoint``ed
+    — without severing, iteration t's plan embeds t-1's three times over
+    and analysis cost grows 3^t (the CC-loop lesson, SURVEY §7.5);
+    (2) the only driver-side data per iteration is k x d centroid
+    scalars and one inertia long — vectors never leave the cluster.
+    Pytest enforces Lloyd's contract: inertia is non-increasing across
+    iterations (up to the 1e-6 centroid quantization)."""
+    e = parallel_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cell"),
+        *[F.col(f"c{i}") for i in range(N_DIMS)],
+    )
+    best = F.expr(
+        "array_min(transform(cells, c -> named_struct("
+        f"'d2', {_D2_FOLD_SQL}, "
+        "'cell', c.cell)))"
+    )
+    inertias: list[int] = []
+    for _ in range(iters):
+        one = cent.select(
+            "cell",
+            F.array(*[F.col(f"c{i}") for i in range(N_DIMS)]).alias("cent"),
+        ).agg(F.collect_list(F.struct("cell", "cent")).alias("cells"))
+        assigned = e.crossJoin(F.broadcast(one)).select(
+            "vec_id", "embedding", best.alias("best")
+        )
+        inertias.append(
+            assigned.agg(F.sum("best.d2")).collect()[0][0]
+        )
+        cent = (
+            assigned.select(F.col("best.cell").alias("cell"), "embedding")
+            .groupBy("cell")
+            .agg(*_centroid_agg_cols())
+            .localCheckpoint()
+        )
+    return cent, inertias

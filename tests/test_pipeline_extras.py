@@ -393,3 +393,37 @@ def test_sliding_wau_window_semantics(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+def test_kmeans_train_inertia_non_increasing(spark, sf_dir):
+    """Lloyd's guarantee over the full training loop: each iteration's
+    inertia is <= the previous one (tolerance: the 1e-6 centroid
+    quantization can move a boundary by a hair), and the loop's
+    localCheckpoint keeps the plan flat enough to run in seconds."""
+    from geektime_bigdata_spark.operators.similarity import kmeans_train
+
+    cent, inertias = kmeans_train(spark, sf_dir, iters=3)
+    assert len(inertias) == 3
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a * 1.000001 + 10, inertias
+    # k cells survive (no cell ever empties on this corpus)
+    assert cent.count() == 10
+
+
+def test_curation_funnel_stages_monotone(spark, sf_dir):
+    """Cumulative filters can only shrink: stage counts must be
+    non-increasing and stage 1 must equal the corpus size."""
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in entrymod.queries()["curation_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    order = ["1_total", "2_blocklist", "3_quality", "4_exact", "5_neardup"]
+    counts = [rows[s] for s in order]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    from geektime_bigdata_spark.registry import table
+
+    assert counts[0] == table(spark, sf_dir, "documents").count()
