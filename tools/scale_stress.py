@@ -61,6 +61,9 @@ OPS = [
     "q1_pricing_summary",
     "sliding_wau",
     "boilerplate_coverage",
+    "embedding_gram_matrix",
+    "curation_funnel",
+    "bpe_pair_counts",
 ]
 
 
