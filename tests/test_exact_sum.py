@@ -59,3 +59,20 @@ def test_grid_round_at_exact_decimal_tie(spark):
         " / 1000000.0"
     ).fetchone()[0]
     assert got == duck
+
+
+def test_oracle_canon_distinguishes_one_ulp():
+    """The parity gate is only as strong as its canonicalizer: a 1-ulp
+    engine divergence must NOT survive _canon (round 2's sessionize
+    fail hid behind a 12-sig-digit canon; the full-repr canon is the
+    fix and this pins it)."""
+    import math
+
+    from tests.oracle import _canon
+
+    x = 0.1
+    y = math.nextafter(x, 1.0)
+    assert x != y and _canon(x) != _canon(y)
+    # and NaN/None/bool stay distinguishable from each other and floats
+    assert len({_canon(float("nan")), _canon(None), _canon(True),
+                _canon(1.0)}) == 4
