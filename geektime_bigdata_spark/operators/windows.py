@@ -204,7 +204,12 @@ def asof_last_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clicks AT-OR-BEFORE the purchase (<= semantics): count = number
         # of click timestamps <= p_ts; last = the count-1'th sorted click
         n_prior = np.searchsorted(c_us, p_us, side="right")
-        last = np.where(n_prior > 0, c_us[np.maximum(n_prior - 1, 0)], 0)
+        if c_us.size:
+            last = np.where(n_prior > 0, c_us[np.maximum(n_prior - 1, 0)], 0)
+        else:
+            # user purchased but never clicked: indexing an empty array
+            # would raise — every purchase row gets NaT below
+            last = np.zeros(len(p_us), dtype="int64")
         out = pd.DataFrame(
             {
                 "purchase_id": p_pdf["purchase_id"].to_numpy(),

@@ -273,3 +273,59 @@ def test_exact_sum_three_engine_equivalence(spark, vals, nparts):
     con.close()
 
     assert got_spark == expected == got_duck, (vals, nparts)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user_id (few users)
+            st.integers(min_value=0, max_value=20),  # second offset (ties!)
+            st.booleans(),                           # is purchase
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_asof_native_equals_cogroup(spark, tmp_path_factory, events):
+    """The native window as-of join and the cogroup-pandas merge-asof
+    must agree EXACTLY on arbitrary event layouts — including multiple
+    events on the same (user, second), the tie case the shared oracle's
+    fixture data rarely exercises (<= semantics: a click at exactly the
+    purchase instant counts; event_id breaks remaining ties)."""
+    import datetime as dt
+
+    from geektime_bigdata_spark.operators.windows import (
+        asof_last_click,
+        asof_last_click_cogroup,
+    )
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            u,
+            "purchase" if is_p else "click",
+            0.0,
+            "{}",
+        )
+        for i, (u, off, is_p) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("asof")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    native = sorted(
+        map(tuple, asof_last_click(spark, str(d)).collect())
+    )
+    cogroup = sorted(
+        map(tuple, asof_last_click_cogroup(spark, str(d)).collect())
+    )
+    assert native == cogroup, (native, cogroup)
