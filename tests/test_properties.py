@@ -329,3 +329,95 @@ def test_asof_native_equals_cogroup(spark, tmp_path_factory, events):
         map(tuple, asof_last_click_cogroup(spark, str(d)).collect())
     )
     assert native == cogroup, (native, cogroup)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),     # user_id
+            st.integers(min_value=0, max_value=7200),  # second offset
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_agrees_with_native_session_window(
+    spark, tmp_path_factory, events
+):
+    """The lag+cumsum sessionizer and Spark's native session_window are
+    two implementations of the same 30-minute-gap semantics — on ANY
+    event layout they must carve identical sessions: same per-user
+    session count, same per-session sizes, same micro-value sums.
+    Random offsets land events exactly ON the 1800s boundary too (gap
+    must be STRICTLY greater to split — `>` in the lag test, which
+    session_window mirrors by closing at last+gap exclusive)."""
+    import datetime as dt
+
+    from geektime_bigdata_spark.operators.windows import (
+        session_window_rollup,
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), u, "view", float(i % 7) / 4, "{}")
+        for i, (u, off) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("sess")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    ours = sorted(
+        (r["user_id"], r["n_events"], r["session_value_micros"])
+        for r in sessionize(spark, str(d)).collect()
+    )
+    native = sorted(
+        (
+            r["user_id"],
+            r["n_events"],
+            int(round(r["session_value"] * 1e6)),
+        )
+        for r in session_window_rollup(spark, str(d)).collect()
+    )
+    assert ours == native, (ours, native)
+
+
+def test_session_gap_boundary_inclusive(spark, tmp_path):
+    """Events exactly 1800s apart stay in ONE session on BOTH
+    implementations (the lag test splits only on STRICTLY greater than
+    the gap; native session_window merges an event landing exactly on
+    the window end) — pinned deterministically because random offsets
+    rarely hit the knife-edge."""
+    import datetime as dt
+
+    from geektime_bigdata_spark.operators.windows import (
+        session_window_rollup,
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=1800), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=3601), 7, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ours = sorted(
+        (r["n_events"],) for r in sessionize(spark, str(tmp_path)).collect()
+    )
+    native = sorted(
+        (r["n_events"],)
+        for r in session_window_rollup(spark, str(tmp_path)).collect()
+    )
+    # events 1+2 merge (gap == 1800 exactly); event 3 is 1801s later -> new
+    assert ours == native == [(1,), (2,)]
