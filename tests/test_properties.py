@@ -421,3 +421,47 @@ def test_session_gap_boundary_inclusive(spark, tmp_path):
     )
     # events 1+2 merge (gap == 1800 exactly); event 3 is 1801s later -> new
     assert ours == native == [(1,), (2,)]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray", "teal"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_cc_distributed_equals_driver_unionfind(
+    spark, tmp_path_factory, docs
+):
+    """The star-scheme distributed connected components and the driver
+    union-find fast path must label ANY near-dup graph identically —
+    the size gate may never change an answer. Tiny vocab forces dense
+    shingle overlap, so random corpora produce real multi-node
+    components (chains, cliques, singletons)."""
+    from geektime_bigdata_spark.operators.dedup import dedup_clusters
+
+    d = tmp_path_factory.mktemp("cc")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    driver = sorted(
+        map(tuple, dedup_clusters(spark, str(d)).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            dedup_clusters(spark, str(d), small_graph_edges=0).collect(),
+        )
+    )
+    assert driver == dist, (driver, dist)
