@@ -465,3 +465,93 @@ def test_cc_distributed_equals_driver_unionfind(
         )
     )
     assert driver == dist, (driver, dist)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray", "teal"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_pagerank_fast_path_equals_distributed(
+    spark, tmp_path_factory, docs
+):
+    """The PageRank size-gated driver fast path and the distributed
+    join+aggregate iteration must agree to the quantization grid on
+    ANY dup graph (same contract as the CC gate)."""
+    from geektime_bigdata_spark.operators.dedup import neardup_pagerank
+
+    d = tmp_path_factory.mktemp("pr")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    fast = sorted(map(tuple, neardup_pagerank(spark, str(d)).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            neardup_pagerank(spark, str(d), small_graph_edges=0).collect(),
+        )
+    )
+    assert fast == dist, (fast, dist)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_norms_three_way_agreement(spark, tmp_path_factory, vecs):
+    """The native expression fold (vec_norm), the pandas UDF, and the
+    mapInArrow implementation must produce bit-identical grid-rounded
+    L2 norms for ANY float32 vectors — three codepaths, one contract."""
+    from geektime_bigdata_spark.functions import grid_round, vec_norm
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_norms_arrow,
+        embedding_norms_pandas,
+    )
+
+    d = tmp_path_factory.mktemp("norms")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    def rows(df):
+        return sorted((r["vec_id"], repr(r["l2_norm"])) for r in df.collect())
+
+    native = rows(
+        spark.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", grid_round(vec_norm("embedding"), 6).alias("l2_norm")
+        )
+    )
+    pandas_ = rows(embedding_norms_pandas(spark, str(d)))
+    arrow = rows(embedding_norms_arrow(spark, str(d)))
+    assert native == pandas_ == arrow, (native, pandas_, arrow)
