@@ -920,3 +920,85 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles"
         ),
     )
+
+
+INCOMING_DOC_SOURCE = "src0"
+
+
+def incoming_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest document dedup — the production shape of
+    MinHash dedup: an INCOMING batch (source = src0) is probed against
+    the EXISTING corpus's band index, never corpus x corpus. Per
+    incoming doc: exact duplicate of the corpus (fingerprint join),
+    near-duplicate candidate (shared LSH band signature), or novel —
+    the admission verdict an ingest pipeline writes per batch.
+
+    Scale shape: the corpus band index is the already-cached signature
+    relation every other minhash consumer shares; the incoming side is
+    |batch| rows; both probes are equi-joins keyed on (band, sig) /
+    fingerprint, so cost is linear in the batch + collisions. A real
+    deployment persists the band index and THIS query is the only work
+    per batch. All-integer flags."""
+    docs = table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("source") == INCOMING_DOC_SOURCE)
+    corpus = docs.filter(F.col("source") != INCOMING_DOC_SOURCE)
+
+    exact_hit = (
+        incoming.select("doc_id", F.md5("text").alias("fp"))
+        .join(
+            corpus.select(F.md5("text").alias("fp")).distinct(),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact_dup", F.lit(1))
+    )
+    # band signatures from the shared cached wide-signature relation
+    wide = _minhash_wide(spark, sf_dir)
+    sig_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+        ).alias(f"band{b}")
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    bands = wide.select("doc_id", *sig_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("sig")
+                    )
+                    for b in range(N_HASHES // BAND_ROWS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    inc_ids = incoming.select("doc_id")
+    near_hit = (
+        bands.join(inc_ids, "doc_id", "left_semi")
+        .join(
+            bands.join(inc_ids, "doc_id", "left_anti")
+            .select("band", "sig")
+            .distinct(),
+            ["band", "sig"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(0)).cast("long").alias(
+                "is_exact_dup"
+            ),
+            F.coalesce("is_near_dup", F.lit(0)).cast("long").alias(
+                "is_near_dup"
+            ),
+        )
+    )
