@@ -1002,3 +1002,39 @@ def incoming_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many LSH candidate near-dup pairs connect them — the
+    "which crawls copied from each other" report a corpus-mixing
+    decision needs before weighting sources independently. Same-source
+    pairs are counted too (the diagonal = intra-source redundancy).
+
+    Scale shape: the candidate-pair relation (banded LSH — collision
+    buckets only, never all-pairs) joins the tiny (doc_id, source)
+    projection twice; the matrix aggregate is at most |sources|^2 rows —
+    driver-scale regardless of corpus size. least/greatest canonicalizes
+    the pair so (a,b) and (b,a) land in one cell. All-integer surface."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src).withColumnRenamed("source", "src_a"),
+            pairs.doc_a == src.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(src).withColumnRenamed("source", "src_b"),
+            F.col("doc_b") == F.col("doc_id"),
+        )
+        .drop("doc_id")
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

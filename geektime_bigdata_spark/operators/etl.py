@@ -227,3 +227,107 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ff_value_micros"),
         )
     )
+
+
+# snapshot-diff derivation constants: v2 of the corpus is DERIVED from v1
+# by pure integer rules so both engines build byte-identical versions —
+# removed/changed/added docs exist at every scale (moduli chosen under the
+# 500-doc sf0.001 corpus)
+DIFF_REMOVED_MOD = 37
+DIFF_CHANGED_MOD = 23
+DIFF_ADDED_MOD = 41
+DIFF_ADDED_OFFSET = 10_000_000
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC application: the event stream is an oplog keyed by
+    user_id — ``error`` events are DELETEs, every other type an UPSERT
+    carrying the row image (value). Applying the log in (ts, event_id)
+    order yields the final table state: the key survives iff its LAST op
+    is not a delete, with the last-written value.
+
+    This is the batch core of a lakehouse MERGE INTO / CDC-compaction
+    job (the streaming twin is the foreachBatch upsert sink, which keeps
+    the same last-writer-wins contract incrementally). One hash shuffle
+    on user_id; a single ``row_number`` window picks the terminal op and
+    a count over the same partition tallies the ops applied — no
+    self-join, no iteration. All-integer value surface (micro-units)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ops = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("value_micros"),
+    )
+    ranked = ops.select(
+        "user_id",
+        "event_type",
+        "value_micros",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_ops"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value_micros").alias("last_value_micros"),
+            F.col("ts").alias("last_ts"),
+            "n_ops",
+        )
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change report a
+    data-versioning layer (lakehouse table history, dataset releases)
+    computes: which documents were added, removed, or changed, by
+    fingerprint comparison. v2 is derived from v1 by deterministic
+    integer rules (see module constants): ``doc_id % 37 == 0`` rows are
+    dropped, ``% 23`` rows get revised text, and ``% 41`` rows spawn a
+    new doc at ``doc_id + 10M`` — so the diff exercises all three states
+    at every scale and the oracle rebuilds the identical v2.
+
+    Scale shape: one full-outer equi-join on doc_id of two fingerprint
+    projections (md5 computed scan-side, so only (id, 32-byte fp) ever
+    shuffles — never text); unchanged rows are filtered out, making the
+    output |changes|, not |corpus|. At 100 TB this is the standard
+    "diff two table snapshots by primary key" plan; file-level pruning
+    (Delta/Iceberg manifests) would skip unchanged files first."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("fp_old"))
+    kept = docs.filter(F.col("doc_id") % DIFF_REMOVED_MOD != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % DIFF_CHANGED_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % DIFF_ADDED_MOD == 0).select(
+            (F.col("doc_id") + F.lit(DIFF_ADDED_OFFSET)).alias("doc_id"),
+            F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("fp_new"),
+        )
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"), "fp_old", "fp_new")
+        .filter(F.col("status").isNotNull())
+    )

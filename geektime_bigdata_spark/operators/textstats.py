@@ -664,3 +664,95 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "pair", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+CAP_PER_SOURCE = 10
+
+
+def per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every web-scale
+    curation pipeline applies so one prolific host cannot dominate the
+    mix: keep the CAP_PER_SOURCE highest-quality documents per source
+    (quality desc, doc_id asc tiebreak so ranks are total-ordered on
+    both engines).
+
+    Scale shape: quality is the shuffle-free per-row projection from
+    :func:`doc_quality_scores`; the cap is ONE ``row_number`` window
+    over a hash shuffle on source. A skewed source (one domain = half
+    the crawl) would pre-aggregate with a per-partition top-K
+    (``rank <= K`` inside mapPartitions) before the global window —
+    the same two-phase trick as salted top-k — but the window itself
+    never materializes more than the scan. All comparisons integer or
+    grid-quantized."""
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        src.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= CAP_PER_SOURCE)
+    )
+
+
+def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: are near-duplicates concentrated in
+    low-quality documents? Documents are cut into ten fixed-width
+    quality bands (``floor(quality * 10)``, clamped to band 9) and each
+    band reports its near-dup rate — membership in any LSH candidate
+    pair. The standard sanity check before using quality as a
+    dedup-survivor tiebreak: if dup-rate is flat across bands the two
+    signals are independent and compose; if not, thresholding one
+    silently shifts the other.
+
+    Fixed-width bands, NOT ntile deciles, by design twice over: an
+    equal-population decile needs a global sort (ntile over an
+    unpartitioned window single-threads the corpus — a scale killer),
+    and percentile-boundary assignment puts an interpolated DOUBLE on
+    the hashed contract edge. The band index instead is a map-side
+    integer computed from the micro-grid quality (quality is already
+    1e-6-quantized, so ``floor(q_micros / 100000)`` is pure integer
+    arithmetic — no knife-edge, no shuffle before the 10-row
+    aggregate). The dup-doc id set comes from the banded LSH pair
+    relation (collision buckets only), unioned over both pair ends,
+    deduped, and broadcast."""
+    from geektime_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    # integer division — no double ever touches the band index
+    band = F.least(
+        F.expr(
+            "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+            " div 100000"
+        ),
+        F.lit(9).cast("long"),
+    ).cast("long")
+    banded = quality.join(F.broadcast(dup_ids), "doc_id", "left").select(
+        band.alias("band"),
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+        "quality_score",
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_neardup"),
+        grid_round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        grid_round(F.min("quality_score"), 6).alias("min_quality"),
+        grid_round(F.max("quality_score"), 6).alias("max_quality"),
+    )

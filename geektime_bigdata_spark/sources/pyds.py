@@ -1,0 +1,370 @@
+"""Custom Python Data Source (PySpark 4 ``pyspark.sql.datasource``).
+
+Re-expresses the reference's positional tab-separated text IO
+(homework-1 TextInputFormat at Main.java:30, ``key\\tv1\\tv2\\tv3``
+sink at MyReduce.java:30) as a first-class DataSource V2 implementation
+instead of the built-in csv reader in :mod:`textio` — completing the
+§2.1 source surface with the one PySpark-4 API the repo did not yet
+exercise.  What the built-in reader cannot show, this one does
+explicitly:
+
+- **Split planning** (``partitions``): each file is divided into
+  byte-range splits of ``split_size`` bytes, newline-aligned at read
+  time with the classic HDFS rule — a split owns every line that
+  STARTS inside ``[start, end)``; a reader seeks to ``start``, skips
+  the partial first line unless at offset 0, and reads one line past
+  ``end`` to finish the record it owns.  Parallelism therefore scales
+  with bytes, not file count — one 100 GB log fans out across the
+  cluster exactly like Spark's own FileScan.
+- **Filter pushdown** (``pushFilters``): EqualTo / In / IsNotNull on
+  any column are consumed and applied inside the scan (on the raw
+  string field, before type conversion), so filtered rows never cross
+  the Python->JVM boundary; every other filter is returned for Spark
+  to evaluate.
+- **Vectorized transfer**: ``read`` yields pyarrow RecordBatches
+  (~``BATCH_ROWS`` rows), not per-row tuples — the Arrow path the
+  datasource API shares with pandas UDFs.
+- **Transactional sink** (``GbsTsvWriter``): each task writes an
+  exclusive part file and returns a commit message; ``commit`` sees
+  all of them, ``abort`` removes partials — the two-phase commit
+  contract Spark's own FileCommitProtocol implements.
+
+Scale honesty: paths are opened with plain ``open()`` — on a real
+cluster this source points at a shared filesystem mount (NFS/fuse);
+an object-store deployment would swap in fsspec handles in
+``_open_at`` without touching the planning or pushdown logic.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    IsNotNull,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+BATCH_ROWS = 4096
+DEFAULT_SPLIT = 32 * 1024 * 1024  # 32 MiB splits, like a small HDFS block
+
+_NULL = ""  # empty field encodes NULL, mirroring the csv sink's default
+
+
+@dataclass
+class _Split(InputPartition):
+    path: str
+    start: int
+    end: int  # exclusive byte bound; lines STARTING in [start,end) are ours
+
+
+@dataclass
+class _TsvCommit(WriterCommitMessage):
+    part_file: str
+    n_rows: int
+
+
+def _list_files(path: str) -> list[str]:
+    """Driver-side recursive listing, smallest-lexicographic order so the
+    planning is deterministic. Directories of part files and single files
+    both work (the same contract as Spark's file index)."""
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.startswith(("_", ".")):  # commit markers / hidden
+                continue
+            out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def _convert(field_type: str, raw: str) -> Any:
+    if raw == _NULL:
+        return None
+    if field_type in ("bigint", "long", "int", "integer", "smallint"):
+        return int(raw)
+    if field_type in ("double", "float"):
+        return float(raw)
+    return raw
+
+
+class _GbsTsvReader(DataSourceReader):
+    """Byte-range-split TSV reader with Python-side filter pushdown."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("gbs_tsv requires a path")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT))
+        self._names = [f.name for f in schema.fields]
+        self._types = [f.dataType.simpleString() for f in schema.fields]
+        # filters consumed by pushFilters, as (column_index, allowed_set |
+        # None-for-isnotnull) — applied on raw string fields during scan
+        self._pushed: list[tuple[int, frozenset[str] | None]] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        # NOT a generator: the consumed/unconsumed split must be decided
+        # eagerly, before Spark inspects the returned remainder
+        rest: list[Filter] = []
+        for flt in filters:
+            idx: int | None = None
+            attr = getattr(flt, "attribute", None)
+            if attr and len(attr) == 1 and attr[0] in self._names:
+                idx = self._names.index(attr[0])
+            # EqualTo/In compare against the RAW string field, which is
+            # only value-faithful for string columns ("1.50" vs "1.5"
+            # would false-negative a double); numeric equality filters
+            # are therefore left to Spark. IsNotNull is type-agnostic:
+            # NULL is the empty field for every type.
+            if idx is None or (
+                self._types[idx] != "string"
+                and not isinstance(flt, IsNotNull)
+            ):
+                rest.append(flt)
+            elif isinstance(flt, EqualTo):
+                self._pushed.append((idx, frozenset({str(flt.value)})))
+            elif isinstance(flt, In):
+                self._pushed.append(
+                    (idx, frozenset(str(v) for v in flt.value))
+                )
+            elif isinstance(flt, IsNotNull):
+                self._pushed.append((idx, None))
+            else:
+                rest.append(flt)  # unsupported shape: Spark evaluates it
+        return rest
+
+    def partitions(self) -> list[InputPartition]:
+        splits: list[InputPartition] = []
+        for f in _list_files(self._path):
+            size = os.path.getsize(f)
+            if size == 0:
+                continue
+            start = 0
+            while start < size:
+                end = min(start + self._split_size, size)
+                splits.append(_Split(f, start, end))
+                start = end
+        # zero input files is a valid empty relation
+        return splits or [_Split("", 0, 0)]
+
+    def _keep(self, fields: list[str]) -> bool:
+        for idx, allowed in self._pushed:
+            raw = fields[idx] if idx < len(fields) else _NULL
+            if allowed is None:
+                if raw == _NULL:
+                    return False
+            elif raw not in allowed:
+                return False
+        return True
+
+    def read(self, partition: _Split) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        if not partition.path:
+            return
+        cols: list[list[Any]] = [[] for _ in self._names]
+        arrow_schema = pa.schema(
+            [
+                (n, _arrow_type(t))
+                for n, t in zip(self._names, self._types)
+            ]
+        )
+
+        def flush() -> "pa.RecordBatch":
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c, type=arrow_schema.field(i).type)
+                    for i, c in enumerate(cols)
+                ],
+                schema=arrow_schema,
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
+        with open(partition.path, "rb") as fh:
+            # Hadoop LineRecordReader alignment: seek to start-1 and
+            # consume one line. If byte start-1 is '\n' that consumes
+            # exactly the newline and we sit on a clean line start; if
+            # it's mid-line, the broken tail (owned by the previous
+            # split) is skipped. Seeking to `start` and skipping
+            # unconditionally would LOSE a line whenever a split
+            # boundary lands exactly on a line start.
+            if partition.start > 0:
+                fh.seek(partition.start - 1)
+                fh.readline()
+            else:
+                fh.seek(0)
+            while fh.tell() < partition.end:
+                line = fh.readline()
+                if not line:
+                    break
+                fields = line.decode("utf-8").rstrip("\r\n").split("\t")
+                if not self._keep(fields):
+                    continue
+                for i, t in enumerate(self._types):
+                    raw = fields[i] if i < len(fields) else _NULL
+                    cols[i].append(_convert(t, raw))
+                if len(cols[0]) >= BATCH_ROWS:
+                    yield flush()
+        if cols and cols[0]:
+            yield flush()
+
+
+def _arrow_type(simple: str) -> Any:
+    """Spark simpleString -> pyarrow type. A pure function (NOT a
+    module-level cache): the reader is re-pickled into worker processes
+    where module globals start empty."""
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+    }[simple]
+
+
+class GbsTsvWriter(DataSourceWriter):
+    """Two-phase-commit TSV sink: one exclusive part file per task."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("gbs_tsv requires a path")
+        self._overwrite = overwrite
+        self._run_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator: Iterator) -> _TsvCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        part = os.path.join(
+            self._path, f"part-{pid:05d}-{self._run_id}.tsv"
+        )
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    "\t".join(_NULL if v is None else str(v) for v in row)
+                )
+                fh.write("\n")
+                n += 1
+        return _TsvCommit(part, n)
+
+    def commit(self, messages: list[_TsvCommit]) -> None:
+        keep = {m.part_file for m in messages if m is not None}
+        if self._overwrite:
+            for f in _list_files(self._path):
+                if f not in keep:
+                    os.remove(f)
+        marker = os.path.join(self._path, "_SUCCESS")
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(f"{sum(m.n_rows for m in messages if m)}\n")
+
+    def abort(self, messages: list[_TsvCommit]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_file):
+                os.remove(m.part_file)
+
+
+class GbsTsvDataSource(DataSource):
+    """``spark.read.format("gbs_tsv")`` / ``df.write.format("gbs_tsv")``.
+
+    User-supplied schema is required for reads (positional TSV carries
+    none), exactly like the reference's positional ``words[i]`` access —
+    except typed and planned."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gbs_tsv"
+
+    def schema(self) -> str:
+        # reads must supply .schema(); this default only serves
+        # schema-less smoke reads
+        return "value string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _GbsTsvReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return GbsTsvWriter(schema, self.options, overwrite)
+
+
+def tsv_roundtrip_stats(spark, sf_dir: str):
+    """Driver surface proving the datasource end-to-end: events project
+    to an all-integer TSV (``floor(value*1e6+0.5)`` micro-units — the
+    repo's hashed-contract rule), write through :class:`GbsTsvWriter`,
+    read back through the split-planned pushdown reader with an ``IN``
+    filter that the scan consumes Python-side, and aggregate. The oracle
+    computes the same aggregate straight off the parquet — so a bug in
+    split alignment (dropped/duplicated boundary lines), filter
+    pushdown, NULL encoding, or type conversion flips the row counts or
+    the integer sums.
+
+    The result is materialized and re-created as a local DataFrame
+    before the scratch directory is removed (same lifecycle rule as the
+    streaming upsert sink's state dir — ADVICE r2)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.registry import table
+
+    register(spark)
+    scratch = tempfile.mkdtemp(prefix="gbs_pyds_")
+    try:
+        e = table(spark, sf_dir, "events")
+        proj = e.select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        proj.write.format("gbs_tsv").mode("overwrite").save(scratch)
+        back = (
+            spark.read.format("gbs_tsv")
+            .schema("user_id long, event_type string, value_micros long")
+            .option("split_size", str(256 * 1024))  # force multi-split
+            .load(scratch)
+            .filter(F.col("event_type").isin("click", "purchase"))
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_micros").alias("sum_value_micros"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the datasource under ``gbs_tsv``.
+
+    Python-datasource filter pushdown ships behind a flag (readers
+    implementing ``pushFilters`` refuse to plan without it); it is a
+    runtime-settable SQL conf, enabled here so registration is the one
+    call a session needs."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GbsTsvDataSource)
