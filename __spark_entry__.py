@@ -249,6 +249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spark, sf_dir
             )
         ),
+        # streaming quadrants of the Python datasource (readStream ->
+        # availableNow -> per-batch-committed stream sink); pytest-green,
+        # queued behind the batch roundtrip's driver row
+        "pyds_stream_roundtrip": pyds.stream_roundtrip_stats,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -1041,6 +1045,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
+        """,
+        "pyds_stream_roundtrip": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                       AS sum_value_micros
+            FROM events
             GROUP BY event_type
         """,
         "cdc_apply": """

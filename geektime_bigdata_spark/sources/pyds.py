@@ -45,6 +45,8 @@ from typing import TYPE_CHECKING, Any, Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -286,6 +288,97 @@ class GbsTsvWriter(DataSourceWriter):
                 os.remove(m.part_file)
 
 
+class _GbsTsvStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader over an append-only TSV directory —
+    the FileStreamSource discipline re-expressed through the Python
+    datasource API: an offset is the SET of files already admitted
+    (files are immutable once visible; appends arrive as new part
+    files, exactly what :class:`GbsTsvWriter` and Spark's own sinks
+    produce). ``partitions(start, end)`` plans the delta file set into
+    the same byte-range splits as the batch reader, so per-batch
+    parallelism scales with new bytes, not new-file count.
+
+    Offsets are JSON dicts (``{"seen": [names...]}``) — replayable: a
+    restarted query re-plans exactly the files between the checkpointed
+    start and end offsets, Structured Streaming's exactly-once source
+    contract."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._inner = _GbsTsvReader(schema, options)
+        self._path = self._inner._path
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": [os.path.relpath(f, self._path) for f in _list_files(self._path)]}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        new = sorted(set(end.get("seen", ())) - set(start.get("seen", ())))
+        splits: list[InputPartition] = []
+        for rel in new:
+            f = os.path.join(self._path, rel)
+            if not os.path.isfile(f):
+                continue  # checkpointed file vanished: skip, don't fail
+            size = os.path.getsize(f)
+            pos = 0
+            while pos < size:
+                endb = min(pos + self._inner._split_size, size)
+                splits.append(_Split(f, pos, endb))
+                pos = endb
+        return splits or [_Split("", 0, 0)]
+
+    def read(self, partition: _Split) -> Iterator["pa.RecordBatch"]:
+        return self._inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to release
+
+
+class GbsTsvStreamWriter(DataSourceStreamWriter):
+    """Streaming TSV sink: per-(batch, task) exclusive part files with
+    the same two-phase commit as the batch writer — ``commit(batch_id)``
+    publishes a per-batch ``_SUCCESS.<id>`` marker; ``abort`` removes
+    that batch's partials. Exactly-once at the file level comes from the
+    deterministic (batch_id, partition_id) part naming: a replayed batch
+    overwrites its own files instead of duplicating them."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("gbs_tsv requires a path")
+
+    def write(self, iterator: Iterator) -> _TsvCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId") or "0"
+        os.makedirs(self._path, exist_ok=True)
+        part = os.path.join(
+            self._path, f"batch-{int(batch_id):06d}-part-{pid:05d}.tsv"
+        )
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    "\t".join(_NULL if v is None else str(v) for v in row)
+                )
+                fh.write("\n")
+                n += 1
+        return _TsvCommit(part, n)
+
+    def commit(self, messages: list[_TsvCommit], batchId: int) -> None:
+        marker = os.path.join(self._path, f"_SUCCESS.{batchId}")
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(f"{sum(m.n_rows for m in messages if m)}\n")
+
+    def abort(self, messages: list[_TsvCommit], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_file):
+                os.remove(m.part_file)
+
+
 class GbsTsvDataSource(DataSource):
     """``spark.read.format("gbs_tsv")`` / ``df.write.format("gbs_tsv")``.
 
@@ -307,6 +400,12 @@ class GbsTsvDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return GbsTsvWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _GbsTsvStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return GbsTsvStreamWriter(schema, self.options)
 
 
 def tsv_roundtrip_stats(spark, sf_dir: str):
@@ -357,6 +456,60 @@ def tsv_roundtrip_stats(spark, sf_dir: str):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_roundtrip_stats(spark, sf_dir: str):
+    """Driver surface for the STREAMING quadrants of the datasource:
+    events project to integer-micro TSV, a ``readStream`` over the
+    directory drains via ``availableNow`` through the per-batch
+    committed stream sink, and the sink directory is batch-read back
+    and aggregated. The oracle aggregates the same projection straight
+    off the parquet — any dropped/duplicated batch, split, or row
+    breaks the integer sums. Scratch dirs removed after
+    materialization."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.registry import table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="gbs_pyds_stream_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    ddl = "user_id long, event_type string, value_micros long"
+    try:
+        e = table(spark, sf_dir, "events")
+        proj = e.select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("value_micros"),
+        )
+        proj.write.format("gbs_tsv").mode("overwrite").save(src)
+        stream = (
+            spark.readStream.format("gbs_tsv")
+            .schema(ddl)
+            .option("split_size", str(256 * 1024))
+            .load(src)
+        )
+        q = (
+            stream.writeStream.format("gbs_tsv")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        back = spark.read.format("gbs_tsv").schema(ddl).load(out)
+        res = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_micros").alias("sum_value_micros"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def register(spark) -> None:

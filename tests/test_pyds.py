@@ -177,3 +177,70 @@ def test_empty_directory_is_empty_relation(spark, tmp_path):
 def test_missing_path_raises(missing):
     with pytest.raises(Exception):
         pyds._GbsTsvReader(SCHEMA, {}).partitions()
+
+
+def test_stream_reader_incremental_offsets(tmp_path):
+    """Offsets are file sets; partitions(start, end) plans exactly the
+    delta files, split into byte ranges."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    _write_tsv(str(d / "a.tsv"), ROWS[:2])
+    r = pyds._GbsTsvStreamReader(SCHEMA, {"path": str(d)})
+    assert r.initialOffset() == {"seen": []}
+    off1 = r.latestOffset()
+    assert off1 == {"seen": ["a.tsv"]}
+    parts = r.partitions({"seen": []}, off1)
+    got = []
+    for p in parts:
+        for b in r.read(p):
+            got.extend(
+                tuple(b.column(i)[j].as_py() for i in range(b.num_columns))
+                for j in range(b.num_rows)
+            )
+    assert sorted(got, key=str) == sorted(ROWS[:2], key=str)
+    # no new files -> empty (sentinel) plan between equal offsets
+    parts2 = r.partitions(off1, off1)
+    assert all(not p.path for p in parts2)
+    # a new file is the only thing the next delta plans
+    _write_tsv(str(d / "b.tsv"), ROWS[2:3])
+    off2 = r.latestOffset()
+    parts3 = r.partitions(off1, off2)
+    assert [os.path.basename(p.path) for p in parts3] == ["b.tsv"]
+
+
+def test_streaming_roundtrip_exactly_once(spark, tmp_path):
+    """availableNow drain -> stream sink -> batch read equals the input;
+    a second run from the same checkpoint appends ONLY new files."""
+    src, out, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    pyds.register(spark)
+    _write_tsv(os.path.join(src, "a.tsv"), ROWS[:2])
+    ddl_schema = SCHEMA
+
+    def drain():
+        q = (
+            spark.readStream.format("gbs_tsv")
+            .schema(ddl_schema)
+            .load(src)
+            .writeStream.format("gbs_tsv")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    back = spark.read.format("gbs_tsv").schema(ddl_schema).load(out)
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        ROWS[:2], key=str
+    )
+    _write_tsv(os.path.join(src, "b.tsv"), ROWS[2:])
+    drain()
+    back2 = spark.read.format("gbs_tsv").schema(ddl_schema).load(out)
+    assert sorted(map(tuple, back2.collect()), key=str) == sorted(
+        ROWS, key=str
+    )
+    # per-batch success markers, one per committed micro-batch
+    markers = sorted(f for f in os.listdir(out) if f.startswith("_SUCCESS."))
+    assert len(markers) >= 2
