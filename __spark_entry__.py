@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # availableNow -> per-batch-committed stream sink); pytest-green,
         # queued behind the batch roundtrip's driver row
         "pyds_stream_roundtrip": pyds.stream_roundtrip_stats,
+        # third-session batch 2 (past-prefix, pytest-parity-covered,
+        # r4 queue): candidate-pair feature join, temperature mixing,
+        # lexical entropy
+        "neardup_pair_features": dedup.neardup_pair_features,
+        "source_mix_weights": textstats.source_mix_weights,
+        "token_entropy_scores": textstats.token_entropy_scores,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -1204,6 +1210,108 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sb ON sb.doc_id = p.doc_b
             GROUP BY 1, 2
         """,
+        "neardup_pair_features": """
+        WITH     toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS pos
+              FROM toks)
+    ), seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+    mh AS (
+        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               md5(string_agg(mh, '' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 3
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS c
+            FROM pairs p
+            JOIN sh s1 ON s1.doc_id = p.doc_a
+            JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        ), stf AS (
+            SELECT doc_id, word, count(*) AS tf,
+                   ('0x' || substr(md5(word), 1, 4))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY doc_id, word
+        ), votes AS (
+            SELECT doc_id, j, sum(tf * (2 * ((h >> j) & 1) - 1)) AS s
+            FROM stf CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) bits
+            GROUP BY doc_id, j
+        ), fps AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(coalesce(i.c, 0) AS BIGINT) AS n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               floor((coalesce(i.c, 0) * 1.0 / (sa.n + sb.n - coalesce(i.c, 0)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+               floor((coalesce(i.c, 0) * 1.0 / least(sa.n, sb.n))
+                     * 1000000.0 + 0.5) / 1000000.0 AS containment,
+               CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT)
+                   AS simhash_hamming,
+               floor((least(sa.n, sb.n) * 1.0 / greatest(sa.n, sb.n))
+                     * 1000000.0 + 0.5) / 1000000.0 AS len_ratio
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        JOIN fps fa ON fa.doc_id = p.doc_a
+        JOIN fps fb ON fb.doc_id = p.doc_b
+    """,
+        "source_mix_weights": """
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), m AS (
+            SELECT source, n_docs, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0
+                              + 0.5) AS BIGINT) AS mass
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               floor((CAST(mass AS DOUBLE)
+                      / CAST((SELECT sum(mass) FROM m) AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
+        FROM m
+    """,
+        "token_entropy_scores": """
+        WITH tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2
+        ), n AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY 1
+        ), t AS (
+            SELECT tf.doc_id, n.n_tokens,
+                   CAST(floor((CAST(tf.tf AS DOUBLE) / n.n_tokens)
+                              * ln(CAST(tf.tf AS DOUBLE) / n.n_tokens)
+                              * 1000000.0 + 0.5) AS BIGINT) AS tm
+            FROM tf JOIN n ON tf.doc_id = n.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               floor((-(CAST(sum(tm) AS DOUBLE) / 1000000.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS entropy
+        FROM t GROUP BY doc_id, n_tokens
+    """,
         "exact_dedup": """
             SELECT md5(text) AS fingerprint,
                    min(doc_id) AS keep_doc_id,

@@ -68,6 +68,14 @@ HEADLINE = [
     "sliding_wau",
     "neardup_triangles",
     "embedding_gram_matrix",
+    # round-3 third session: CDC/versioning, source-mix governance,
+    # cross-signal calibration, and the Python-datasource IO path
+    "cdc_apply",
+    "corpus_snapshot_diff",
+    "per_source_caps",
+    "quality_dup_calibration",
+    "source_overlap_matrix",
+    "pyds_tsv_roundtrip",
 ]
 
 

@@ -1038,3 +1038,59 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def neardup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature table for LSH candidate pairs — the input a learned
+    dedup-verification model (or a hand-tuned keep/drop rule) consumes:
+    per candidate pair, exact 3-gram Jaccard, max containment, SimHash
+    Hamming distance, and shingle-length ratio. One row per candidate,
+    combining the three signals the suite computes separately; at scale
+    this is the feature-join a curation stack persists next to the pair
+    list.
+
+    Scale shape: every input is an already-shared relation (banded LSH
+    pairs, the cached shingle-intersection counts, shingle sizes, and
+    simhash fingerprints); the joins key on doc ids. Pairs that share a
+    band but no shingle (possible only under hash collision) surface
+    with c = 0 rather than dropping. Ratios are integer-ratio doubles
+    on the 1e-6 grid; Hamming is pure integer (``bit_count(xor)``)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    inter = _shingle_pair_intersections(spark, sf_dir)
+    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    fps = simhash_fingerprints(spark, sf_dir)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    fa = fps.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    feat = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+    )
+    jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    containment = F.col("c") / F.least("n_a", "n_b")
+    return feat.select(
+        "doc_a",
+        "doc_b",
+        F.col("c").alias("n_common"),
+        "n_a",
+        "n_b",
+        grid_round(jaccard, 6).alias("jaccard"),
+        grid_round(containment, 6).alias("containment"),
+        F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias(
+            "simhash_hamming"
+        ),
+        grid_round(
+            F.least("n_a", "n_b") / F.greatest("n_a", "n_b"), 6
+        ).alias("len_ratio"),
+    )

@@ -756,3 +756,89 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_round(F.min("quality_score"), 6).alias("min_quality"),
         grid_round(F.max("quality_score"), 6).alias("max_quality"),
     )
+
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture weights — the multinomial
+    sampling computation multilingual/multi-source LM training uses to
+    keep big sources from drowning small ones: weight_i proportional to
+    p_i^alpha with alpha = 0.5. The exponent is realized as ``sqrt``
+    DELIBERATELY: IEEE 754 requires sqrt to be correctly rounded, so
+    both engines produce bit-identical smoothed masses, whereas a
+    general ``pow(p, 0.7)`` is libm-dependent — at scale any alpha
+    works, but the checkable contract ships the exact one.
+
+    Determinism: each source's smoothed mass is micro-quantized to LONG
+    before the normalizing total (a double sum over sources would be
+    accumulation-order-dependent); the weight is one LONG/LONG divide
+    on the 1e-6 grid. The aggregate is |sources| rows — driver-scale;
+    the only corpus-scale work is the per-source token count (one
+    shuffle)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tokens()).alias("n_tokens"),
+    )
+    mass = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    massed = per_src.withColumn("mass_micros", mass)
+    total = massed.agg(
+        F.sum("mass_micros").alias("total_micros")
+    )
+    return massed.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        grid_round(F.col("mass_micros") / F.col("total_micros"), 6).alias(
+            "mix_weight"
+        ),
+    )
+
+
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical entropy: H = -sum over types of p ln p with
+    p = tf / n_tokens — the information-density quality signal
+    (templated/repetitive text scores low, diverse text high) next to
+    the ratio-based :func:`doc_quality_scores` and the corpus-relative
+    :func:`unigram_logprob_scores`.
+
+    Determinism follows the unigram-logprob precedent: p is an
+    integer-ratio double, each type's ``p * ln p`` term is
+    micro-quantized to LONG before the per-doc sum (associative), and
+    the final negation/division is one grid round. ``ln`` relies on
+    both engines' libm agreeing — empirically exact across three driver
+    rounds of tfidf/bm25/logprob. One (doc, word) shuffle, output is
+    one row per doc."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+    p = F.col("tf") / F.col("n_tokens")
+    term_micros = F.floor(
+        p * F.log(p) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            term_micros.alias("tm"),
+        )
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("tm").alias("neg_entropy_micros"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            grid_round(
+                -(F.col("neg_entropy_micros") / F.lit(1e6)).cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
