@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pair_features": dedup.neardup_pair_features,
         "source_mix_weights": textstats.source_mix_weights,
         "token_entropy_scores": textstats.token_entropy_scores,
+        "neardup_kcore": dedup.neardup_kcore,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -416,6 +417,26 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1) s ON s.dst = d0.doc_id
             )"""
         for k in range(1, 6)
+    )
+    # unrolled k-core peels (dedup.neardup_kcore, k=2, max_rounds=8):
+    # each round drops edges touching a node of degree < 2; idempotent
+    # once converged, and the Spark side RAISES if 8 rounds don't
+    # converge, so a fixed unrolling is exact. MATERIALIZED is load-
+    # bearing: each round references the previous one 3x, and DuckDB
+    # inlines plain CTEs per reference — an un-materialized chain
+    # plans 3^8 copies of the base scan (observed as an fd-exhaustion
+    # "Too many open files", not just slowness)
+    kcore_rounds = "".join(
+        f""", deg{i} AS MATERIALIZED (
+                SELECT doc_a, count(*) AS d FROM und{i - 1} GROUP BY doc_a
+            ), alive{i} AS MATERIALIZED (
+                SELECT doc_a FROM deg{i} WHERE d >= 2
+            ), und{i} AS MATERIALIZED (
+                SELECT u.doc_a, u.doc_b FROM und{i - 1} u
+                JOIN alive{i} x ON u.doc_a = x.doc_a
+                JOIN alive{i} y ON u.doc_b = y.doc_a
+            )"""
+        for i in range(1, 9)
     )
     oracles = {
         "media_type_stats": f"""
@@ -2097,6 +2118,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "neardup_kcore": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), ed AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5)
+                      / 1000000.0 >= 0.1
+            ), und0 AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM ed
+                UNION ALL
+                SELECT doc_b AS doc_a, doc_a AS doc_b FROM ed
+            ){kcore_rounds}
+            SELECT doc_a AS doc_id,
+                   CAST(count(*) AS BIGINT) AS core_degree
+            FROM und8 GROUP BY doc_a
         """,
         "neardup_pagerank": f"""
             WITH toks AS (

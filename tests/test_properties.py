@@ -555,3 +555,116 @@ def test_norms_three_way_agreement(spark, tmp_path_factory, vecs):
     pandas_ = rows(embedding_norms_pandas(spark, str(d)))
     arrow = rows(embedding_norms_arrow(spark, str(d)))
     assert native == pandas_ == arrow, (native, pandas_, arrow)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray", "teal"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_kcore_distributed_equals_driver_peel(spark, tmp_path_factory, docs):
+    """The distributed k-core peel, the driver fast path, and an
+    independent reference peel over the collected edge set must agree on
+    ANY near-dup graph — the size gate may never change an answer, and
+    every survivor must have within-core degree >= k."""
+    from geektime_bigdata_spark.operators.dedup import (
+        KCORE_K,
+        neardup_kcore,
+        ngram_jaccard_pairs,
+    )
+
+    d = tmp_path_factory.mktemp("kcore")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    driver = sorted(map(tuple, neardup_kcore(spark, str(d)).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            neardup_kcore(spark, str(d), small_graph_edges=0).collect(),
+        )
+    )
+    assert driver == dist, (driver, dist)
+
+    # reference peel over the same edge relation
+    adj: dict[int, set[int]] = {}
+    for r in ngram_jaccard_pairs(spark, str(d)).collect():
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if n in adj and len(adj[n]) < KCORE_K:
+                for o in adj.pop(n):
+                    if o in adj:
+                        adj[o].discard(n)
+                changed = True
+    ref = sorted((n, len(nb)) for n, nb in adj.items())
+    assert driver == ref, (driver, ref)
+    assert all(deg >= KCORE_K for _, deg in driver)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user_id
+            st.integers(min_value=0, max_value=10),  # second offset (ties!)
+            st.sampled_from(["click", "view", "purchase", "error", "signup"]),
+            st.floats(min_value=0, max_value=9, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cdc_apply_equals_reference_fold(spark, tmp_path_factory, events):
+    """cdc_apply (window formulation) must equal a literal per-key fold
+    of the oplog in (ts, event_id) order — including timestamp ties
+    (event_id breaks them) and keys whose last op is a delete (absent
+    from the output)."""
+    import datetime as dt
+    import math
+
+    from geektime_bigdata_spark.operators.etl import cdc_apply
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), u, et, v, "{}")
+        for i, (u, off, et, v) in enumerate(events)
+    ]
+    d = tmp_path_factory.mktemp("cdc")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = sorted(map(tuple, cdc_apply(spark, str(d)).collect()))
+
+    by_user: dict[int, list] = {}
+    for eid, ts, u, et, v, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, et, v))
+    ref = []
+    for u, ops in by_user.items():
+        ops.sort()
+        ts, eid, et, v = ops[-1]
+        if et != "error":
+            ref.append((u, et, math.floor(v * 1e6 + 0.5), ts, len(ops)))
+    assert got == sorted(ref), (got, sorted(ref))
