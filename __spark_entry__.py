@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_weights": textstats.source_mix_weights,
         "token_entropy_scores": textstats.token_entropy_scores,
         "neardup_kcore": dedup.neardup_kcore,
+        # Spark-4 VARIANT twin of json_props_extract + the
+        # arrow-optimized scalar UDF tier (4th twin of the norm oracle)
+        "json_props_variant": windows.json_props_variant,
+        "embedding_norms_arrow_udf": similarity.embedding_norms_arrow_udf,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -3140,6 +3144,24 @@ def oracle_sql() -> dict[str, str]:
     oracles["streaming_session_windows"] = oracles["session_window_rollup"]
     # the cogroup-pandas as-of twin shares the native as-of oracle
     oracles["asof_last_click_cogroup"] = oracles["asof_last_click"]
+    # arrow-optimized scalar UDF norms: 4th twin of the one norm oracle
+    oracles["embedding_norms_arrow_udf"] = oracles["embedding_norms_pandas"]
+    # VARIANT twin of the JSON-path extraction, plus the try-path count
+    # (always-present $.k, never-present $.missing)
+    oracles["json_props_variant"] = """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS max_k,
+               count(*) AS n,
+               CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                               IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_missing_present
+        FROM events GROUP BY event_type
+    """
     # representative pick = the pagerank oracle's CTE chain, made
     # RECURSIVE, extended with the connected-components walk and a
     # per-cluster ranking window — composed by string surgery so the

@@ -331,3 +331,40 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("doc_id", status.alias("status"), "fp_old", "fp_new")
         .filter(F.col("status").isNotNull())
     )
+
+
+def orders_with_audit_observation(spark: SparkSession, sf_dir: str):
+    """Side-band metrics via ``DataFrame.observe`` — the production way
+    to run :func:`orders_audit`-style invariants WITHOUT a second scan:
+    the audit aggregates ride along on the main query's single pass and
+    surface through the Observation handle after any action, instead of
+    a separate gate job reading the table twice. At 100 TB the saved
+    scan IS the feature; the metrics are also what a streaming query
+    exposes per micro-batch through the listener.
+
+    Returns ``(df, observation)``: the df is the real workload (order
+    totals by priority); the observation carries row count, key nulls,
+    and the micro-unit price sum (same integer contract as the audit
+    oracle). Test-verified against a direct aggregate; not in the
+    registry because the driver contract captures DataFrames, not
+    side-band metric handles."""
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "null_custkeys"
+        ),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e4) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("price_sum_e4"),
+    )
+    out = observed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return out, obs

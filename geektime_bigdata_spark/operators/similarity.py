@@ -747,3 +747,35 @@ def kmeans_train(
             .localCheckpoint()
         )
     return cent, inertias
+
+
+def embedding_norms_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms through the ARROW-OPTIMIZED scalar Python UDF
+    (``F.udf(..., useArrow=True)``) — the remaining §2.8 UDF tier: the
+    row-at-a-time Python UDF API with Arrow (not pickle) transport.
+    Third differential twin of the same contract — native ``vec_norm``
+    expression, vectorized ``pandas_udf``, ``mapInArrow``, and now the
+    arrow-optimized scalar UDF all share one oracle, so every Python
+    execution tier cross-checks the others. Per-element micro-unit
+    quantization before the integer sum keeps the result independent of
+    summation order, exactly like the pandas twin. The pandas/native
+    tiers remain the production paths; this documents (and tests) the
+    migration default (``spark.sql.execution.pythonUDF.arrow.enabled``)
+    applied to legacy per-row UDFs."""
+    import math
+
+    from pyspark.sql import functions as FN
+
+    @FN.udf("double", useArrow=True)
+    def l2_norm_rowwise(emb) -> float:
+        total = 0
+        for x in emb:
+            xd = float(x)
+            total += math.floor(xd * xd * 1e6 + 0.5)
+        return math.sqrt(total / 1e6)
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        grid_round(l2_norm_rowwise("embedding"), 6).alias("l2_norm"),
+    )

@@ -668,3 +668,30 @@ def event_type_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_value").isNotNull())
     )
+
+
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 via Spark 4's VARIANT type: ``parse_json`` ingests the props
+    payload ONCE into the binary semi-structured encoding, then typed
+    ``variant_get`` paths extract fields — the open-schema columnar
+    pattern (shredded, binary, no per-access JSON re-parse) that
+    replaces repeated ``get_json_object`` string scans at scale.
+    Differential twin of :func:`json_props_extract` (same aggregate
+    surface, same oracle class): the two formulations checking each
+    other is exactly how the VARIANT migration is validated on a real
+    pipeline. ``try_variant_get`` on a missing path exercises the
+    NULL-not-error contract; the count confirms no row was dropped."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    row = e.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+    )
+    return row.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("missing").alias("n_missing_present"),
+    )

@@ -427,3 +427,34 @@ def test_curation_funnel_stages_monotone(spark, sf_dir):
     from geektime_bigdata_spark.registry import table
 
     assert counts[0] == table(spark, sf_dir, "documents").count()
+
+
+def test_observe_metrics_match_direct_aggregate(spark, sf_dir):
+    """df.observe must report the same invariants a separate audit scan
+    computes — one pass instead of two."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.etl import (
+        orders_with_audit_observation,
+    )
+    from geektime_bigdata_spark.registry import table
+
+    out, obs = orders_with_audit_observation(spark, sf_dir)
+    n_out = out.count()  # action materializes the observation
+    assert n_out > 0
+    got = obs.get
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "null_custkeys"
+        ),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e4) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("price_sum_e4"),
+    ).collect()[0]
+    assert got["n_rows"] == ref["n_rows"]
+    assert got["null_custkeys"] == ref["null_custkeys"]
+    assert got["price_sum_e4"] == ref["price_sum_e4"]
