@@ -1110,7 +1110,7 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE text END) AS fp_new
                 FROM documents WHERE doc_id % 37 <> 0
                 UNION ALL
-                SELECT doc_id + 10000000 AS doc_id,
+                SELECT doc_id + 1000000000 AS doc_id,
                        md5(text || ' [new]') AS fp_new
                 FROM documents WHERE doc_id % 41 = 0
             ), j AS (

@@ -236,7 +236,7 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 DIFF_REMOVED_MOD = 37
 DIFF_CHANGED_MOD = 23
 DIFF_ADDED_MOD = 41
-DIFF_ADDED_OFFSET = 10_000_000
+DIFF_ADDED_OFFSET = 1_000_000_000
 
 
 def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +295,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint comparison. v2 is derived from v1 by deterministic
     integer rules (see module constants): ``doc_id % 37 == 0`` rows are
     dropped, ``% 23`` rows get revised text, and ``% 41`` rows spawn a
-    new doc at ``doc_id + 10M`` — so the diff exercises all three states
+    new doc at ``doc_id + 1e9`` (past any scaled-replica key range) — so the diff exercises all three states
     at every scale and the oracle rebuilds the identical v2.
 
     Scale shape: one full-outer equi-join on doc_id of two fingerprint

@@ -668,3 +668,52 @@ def test_cdc_apply_equals_reference_fold(spark, tmp_path_factory, events):
         if et != "error":
             ref.append((u, et, math.floor(v * 1e6 + 0.5), ts, len(ops)))
     assert got == sorted(ref), (got, sorted(ref))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=400),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_snapshot_diff_statuses_partition_correctly(
+    spark, tmp_path_factory, ids
+):
+    """corpus_snapshot_diff's statuses must be exactly the set algebra
+    of its derivation rules on ANY doc_id population: removed iff
+    %37==0, changed iff %23==0 and kept, added iff %41==0 (at id+1e9),
+    everything else absent from the diff."""
+    from geektime_bigdata_spark.operators.etl import (
+        DIFF_ADDED_MOD,
+        DIFF_ADDED_OFFSET,
+        DIFF_CHANGED_MOD,
+        DIFF_REMOVED_MOD,
+        corpus_snapshot_diff,
+    )
+
+    d = tmp_path_factory.mktemp("diff")
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_snapshot_diff(spark, str(d)).collect()
+    }
+    expect = {}
+    for i in ids:
+        if i % DIFF_REMOVED_MOD == 0:
+            expect[i] = "removed"
+        elif i % DIFF_CHANGED_MOD == 0:
+            expect[i] = "changed"
+        if i % DIFF_ADDED_MOD == 0:
+            expect[i + DIFF_ADDED_OFFSET] = "added"
+    assert got == expect, (got, expect)

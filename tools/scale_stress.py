@@ -64,6 +64,13 @@ OPS = [
     "embedding_gram_matrix",
     "curation_funnel",
     "bpe_pair_counts",
+    # round-3 third session
+    "cdc_apply",
+    "corpus_snapshot_diff",
+    "per_source_caps",
+    "source_mix_weights",
+    "token_entropy_scores",
+    "neardup_pair_features",
 ]
 
 
