@@ -2,6 +2,7 @@
 reference has zero streaming code; the `events` table is stream-shaped)."""
 
 from geektime_bigdata_spark.streaming.windows import (
+    inspect_streaming_state,
     read_events_stream,
     run_streaming_attribution,
     run_streaming_attribution_full_outer,
@@ -17,6 +18,7 @@ from geektime_bigdata_spark.streaming.windows import (
 )
 
 __all__ = [
+    "inspect_streaming_state",
     "read_events_stream",
     "run_streaming_attribution",
     "run_streaming_attribution_full_outer",

@@ -754,3 +754,19 @@ def run_streaming_sessionization(
             F.col("s.duration_us").alias("duration_us"),
         )
     )
+
+
+def inspect_streaming_state(spark: SparkSession, checkpoint: str):
+    """Read a streaming query's STATE STORE back as DataFrames via the
+    Spark-4 state data source — the observability surface an operator
+    uses to debug watermark/eviction behavior on a production checkpoint
+    without replaying the stream: ``state-metadata`` lists each stateful
+    operator (id, store name, partition count, batch range) and
+    ``statestore`` yields the raw (key, value, partition_id) rows of the
+    default store. Note the value struct carries the AGGREGATION
+    BUFFER's field names (``count``, ``sum`` — not the query's output
+    aliases): state is physical, one row per grouping key per partition.
+    Returns ``(metadata_df, state_df)``."""
+    meta = spark.read.format("state-metadata").load(checkpoint)
+    state = spark.read.format("statestore").load(checkpoint)
+    return meta, state

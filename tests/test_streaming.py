@@ -333,3 +333,52 @@ def test_streaming_outer_attribution_sound_vs_batch(spark, sf_dir):
     assert got_matched == inner and inner
     assert set(got_null) <= anti
     assert len(got_null) == len(set(got_null))
+
+
+def test_state_source_reads_aggregation_state(spark, tmp_path):
+    """The state data source must expose exactly the per-key aggregation
+    buffers a drained streaming agg holds — equal to the batch
+    aggregate of the same input. Value fields are the physical buffer
+    names (count, sum), not output aliases."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.streaming import inspect_streaming_state
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "event_id long, user_id long, value double",
+    )
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .parquet(src)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta, state = inspect_streaming_state(spark, ckpt)
+    ops = meta.collect()
+    assert len(ops) == 1 and ops[0]["operatorName"] == "stateStoreSave"
+
+    got = sorted(
+        (r["key"]["user_id"], r["count"], r["sum"])
+        for r in state.select(
+            "key", "value.count", "value.sum"
+        ).collect()
+    )
+    ref = sorted(
+        (r["user_id"], r["n"], r["s"])
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert got == ref, (got, ref)
