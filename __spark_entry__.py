@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arrow-optimized scalar UDF tier (4th twin of the norm oracle)
         "json_props_variant": windows.json_props_variant,
         "embedding_norms_arrow_udf": similarity.embedding_norms_arrow_udf,
+        # Spark-4.1 WITH RECURSIVE over the oriented candidate DAG
+        "neardup_reach_rcte": dedup.neardup_reach_rcte,
+        # Spark-4.1 catalog SQL UDF (declarative body, Catalyst-inlined)
+        "sql_udf_lang_stats": relational.sql_udf_lang_stats,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2122,6 +2126,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "sql_udf_lang_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   floor((CAST(sum(n_chars) AS DOUBLE) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_chars,
+                   floor((CAST(sum(length(text)) AS DOUBLE) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_text_len
+            FROM documents
+            GROUP BY lang
+        """,
+        "neardup_reach_rcte": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), ed AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5)
+                      / 1000000.0 >= 0.1
+            ), walk(src, dst, depth) AS (
+                SELECT doc_a, doc_b, 1 FROM ed
+                UNION ALL
+                SELECT w.src, e.doc_b, w.depth + 1
+                FROM walk w JOIN ed e ON w.dst = e.doc_a
+                WHERE w.depth < 10
+            )
+            SELECT src AS doc_id,
+                   CAST(count(DISTINCT dst) AS BIGINT) AS n_reachable,
+                   CAST(max(depth) AS BIGINT) AS max_chain
+            FROM walk GROUP BY src
         """,
         "neardup_kcore": f"""
             WITH toks AS (

@@ -1184,3 +1184,41 @@ def neardup_kcore(
         und.groupBy(F.col("doc_a").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+RCTE_MAX_DEPTH = 10
+
+
+def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-closure via Spark 4.1's RECURSIVE CTE: per doc,
+    the distinct near-dups reachable through CHAINS of candidate pairs
+    (A~B, B~C => C in A's closure even when A~C itself missed the
+    Jaccard bar) and the longest such chain — the transitive-quality
+    signal the pairwise relations can't see, expressed DECLARATIVELY
+    instead of the driver-looped star rounds of :func:`dedup_clusters`.
+
+    Spark's recursive CTEs are UNION ALL-only (UNION-dedup recursion is
+    not yet supported), so termination comes from structure: the walk
+    runs over the low->high ORIENTED pair DAG (doc_a < doc_b by
+    construction — acyclic), with a ``depth < 10`` belt-and-braces
+    bound mirrored in the oracle; distinct-counting happens once in the
+    outer aggregate. On a sparse candidate graph path counts stay near
+    edge counts; a dense clique would explode combinatorially, which
+    is why the CLUSTER operators remain the production path — this op
+    is the declarative cross-check and the §2.6 surface for the
+    recursion feature itself. DuckDB runs the identical statement."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges.createOrReplaceTempView("gbs_rcte_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(src, dst, depth) AS (
+            SELECT doc_a, doc_b, 1 FROM gbs_rcte_edges
+            UNION ALL
+            SELECT w.src, e.doc_b, w.depth + 1
+            FROM walk w JOIN gbs_rcte_edges e ON w.dst = e.doc_a
+            WHERE w.depth < {RCTE_MAX_DEPTH}
+        )
+        SELECT src AS doc_id,
+               CAST(count(DISTINCT dst) AS BIGINT) AS n_reachable,
+               CAST(max(depth) AS BIGINT) AS max_chain
+        FROM walk GROUP BY src
+    """)

@@ -280,3 +280,29 @@ def versioned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("version") <= 3)
         .select("user_id", "event_type", "version", "ts", "value", "event_id")
     )
+
+
+def sql_udf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog SQL UDF (Spark 4.1 ``CREATE FUNCTION ... RETURN expr``):
+    the micro-grid rounding contract registered ONCE as a named
+    catalog function and applied in plain SQL — the governance story
+    for the determinism rules (a shared UDF every team query calls,
+    instead of each query hand-expanding the floor/scale idiom).
+    Declarative body = Catalyst inlines it like a macro: no Python, no
+    serialization, full codegen — unlike ``spark.udf.register``. The
+    DuckDB oracle expands the same expression inline."""
+    load_tables(spark, sf_dir)  # register the temp views for SQL
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gbs_grid6(x DOUBLE) "
+        "RETURNS DOUBLE RETURN floor(x * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return spark.sql(
+        """
+        SELECT lang,
+               count(*) AS n_docs,
+               gbs_grid6(sum(n_chars) / count(*)) AS avg_chars,
+               gbs_grid6(sum(length(text)) / count(*)) AS avg_text_len
+        FROM documents
+        GROUP BY lang
+        """
+    )

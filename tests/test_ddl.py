@@ -38,3 +38,24 @@ def test_create_insert_select_roundtrip(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS gbs_ns.student")
         spark.sql("DROP DATABASE IF EXISTS gbs_ns")
+
+
+def test_sql_scripting_block(spark):
+    """Spark 4.1 SQL scripting: BEGIN/DECLARE/WHILE runs multi-statement
+    procedural SQL in the engine; the block's final statement is the
+    result. Control flow that previously needed driver-side Python
+    (loops over thresholds, retry-until logic) can ship as one script."""
+    rows = spark.sql(
+        """
+        BEGIN
+          DECLARE total INT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 100 DO
+            SET total = total + i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS s;
+        END
+        """
+    ).collect()
+    assert rows[0]["s"] == 5050
