@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_reach_rcte": dedup.neardup_reach_rcte,
         # Spark-4.1 catalog SQL UDF (declarative body, Catalyst-inlined)
         "sql_udf_lang_stats": relational.sql_udf_lang_stats,
+        # ANSI LISTAGG ... WITHIN GROUP (Spark 4.1)
+        "lang_source_listagg": textstats.lang_source_listagg,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2126,6 +2128,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "lang_source_listagg": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   string_agg(DISTINCT source, ',' ORDER BY source)
+                       AS sources
+            FROM documents
+            GROUP BY lang
         """,
         "sql_udf_lang_stats": """
             SELECT lang,

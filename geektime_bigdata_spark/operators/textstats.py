@@ -842,3 +842,27 @@ def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def lang_source_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG`` (new in Spark 4.1): per language, the ordered
+    distinct source list as one delimited string — the A3
+    set-collect-to-string surface in its standard-SQL spelling
+    (``WITHIN GROUP (ORDER BY ...)`` makes the concatenation order part
+    of the QUERY, where ``concat_ws(sort_array(collect_set(...)))``
+    buries it in expression nesting). DuckDB mirrors with
+    ``string_agg(DISTINCT ... ORDER BY ...)``. One hash shuffle; the
+    per-group string is bounded by |sources|."""
+    from geektime_bigdata_spark.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang,
+               count(*) AS n_docs,
+               listagg(DISTINCT source, ',')
+                   WITHIN GROUP (ORDER BY source) AS sources
+        FROM documents
+        GROUP BY lang
+        """
+    )

@@ -458,3 +458,55 @@ def test_observe_metrics_match_direct_aggregate(spark, sf_dir):
     assert got["n_rows"] == ref["n_rows"]
     assert got["null_custkeys"] == ref["null_custkeys"]
     assert got["price_sum_e4"] == ref["price_sum_e4"]
+
+
+def test_declarative_pipelines_api_registers_graph():
+    """Spark 4.1 Declarative Pipelines (pyspark.pipelines): the
+    decorator API must capture a dataflow graph — materialized views,
+    streaming tables, and append flows with their query functions —
+    into the active GraphElementRegistry. EXECUTION of the graph needs
+    the spark-pipelines runner (a Spark Connect backend this container
+    does not ship), so this pins the API contract the way the
+    transformWithState test pins its gated runner: the definitions a
+    pipeline spec file would register are exactly what the registry
+    receives."""
+    from pyspark import pipelines as sdp
+    from pyspark.pipelines.graph_element_registry import (
+        GraphElementRegistry,
+        graph_element_registration_context,
+    )
+
+    class CapturingRegistry(GraphElementRegistry):
+        def __init__(self):
+            self.outputs = []
+            self.flows = []
+            self.sql = []
+
+        def register_output(self, output):
+            self.outputs.append(output)
+
+        def register_flow(self, flow):
+            self.flows.append(flow)
+
+        def register_sql(self, sql_text, file_path):
+            self.sql.append(sql_text)
+
+    reg = CapturingRegistry()
+    with graph_element_registration_context(reg):
+
+        @sdp.materialized_view(comment="hourly rollup")
+        def hourly_counts():  # pragma: no cover - runner-executed
+            raise AssertionError("query fn must be captured, not called")
+
+        sdp.create_streaming_table("events_bronze")
+
+        @sdp.append_flow(target="events_bronze")
+        def ingest():  # pragma: no cover - runner-executed
+            raise AssertionError("flow fn must be captured, not called")
+
+    out_names = {o.name for o in reg.outputs}
+    assert {"hourly_counts", "events_bronze"} <= out_names
+    flow_targets = {f.target for f in reg.flows}
+    assert "events_bronze" in flow_targets
+    # the MV's implicit self-flow is registered too
+    assert any(f.name == "hourly_counts" for f in reg.flows)
