@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_lang_stats": relational.sql_udf_lang_stats,
         # ANSI LISTAGG ... WITHIN GROUP (Spark 4.1)
         "lang_source_listagg": textstats.lang_source_listagg,
+        # exponentially time-decayed per-user activity (recency weight)
+        "user_recency_scores": windows.user_recency_scores,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2128,6 +2130,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "user_recency_scores": """
+            WITH a AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id,
+                   count(*) AS n_events,
+                   sum(CAST(floor(exp(-(CAST(epoch_us(a.m) - epoch_us(ts)
+                                             AS DOUBLE) / 86400000000.0))
+                                  * 1000000.0 + 0.5) AS BIGINT))
+                       AS recency_micros
+            FROM events CROSS JOIN a
+            GROUP BY user_id
         """,
         "lang_source_listagg": """
             SELECT lang,

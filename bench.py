@@ -76,6 +76,10 @@ HEADLINE = [
     "quality_dup_calibration",
     "source_overlap_matrix",
     "pyds_tsv_roundtrip",
+    "neardup_pair_features",
+    "token_entropy_scores",
+    "neardup_kcore",
+    "neardup_reach_rcte",
 ]
 
 

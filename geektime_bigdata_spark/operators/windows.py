@@ -695,3 +695,40 @@ def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("missing").alias("n_missing_present"),
     )
+
+
+DECAY_HALF_HOURS = 24.0  # e-folding age for recency weighting
+
+
+def user_recency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user — the
+    recency weighting a curation/ranking pipeline applies so stale
+    activity stops dominating (score = sum of exp(-age_hours / 24)
+    over the user's events, measured against the corpus's newest
+    event). Events NOW contribute 1, day-old events ~0.37, week-old
+    ~0.002.
+
+    Scale/determinism shape: the anchor is one driver scalar (global
+    max ts — the same bounded-collect class as tf-idf's N); the decay
+    term is map-side; each term is micro-quantized to LONG before the
+    per-user sum (associative — partitioning cannot reorder it) and
+    the score ships as the raw integer micro-unit sum. Age is an exact
+    integer microsecond difference; ``exp`` matches across engines'
+    libm — the ln/tfidf precedent, green three driver rounds. One
+    hash shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    age_us = F.unix_micros(F.lit(anchor)) - F.unix_micros(F.col("ts"))
+    # exact integer microseconds -> hours as ONE double division
+    decay = F.exp(
+        -(age_us.cast("double") / F.lit(3600.0 * 1e6 * DECAY_HALF_HOURS))
+    )
+    term_micros = F.floor(decay * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        e.select("user_id", term_micros.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("t").alias("recency_micros"),
+        )
+    )
