@@ -145,3 +145,21 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["doc_id"]: r for r in df.collect()}
     assert set(df.columns) >= {"doc_id", "text", "lang"}
     assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet writes: an added column must
+    surface via mergeSchema with NULLs for the old files — the
+    lakehouse append pattern (new ingest adds a field; historical
+    files stay valid)."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(d + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

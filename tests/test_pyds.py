@@ -244,3 +244,17 @@ def test_streaming_roundtrip_exactly_once(spark, tmp_path):
     # per-batch success markers, one per committed micro-batch
     markers = sorted(f for f in os.listdir(out) if f.startswith("_SUCCESS."))
     assert len(markers) >= 2
+
+
+def test_no_trailing_newline_last_line_owned(tmp_path):
+    """A final line without a trailing newline must still be read
+    exactly once at every split size — readline() returns it without
+    the terminator and the split loop must not drop it."""
+    f = tmp_path / "data.tsv"
+    with open(f, "w", encoding="utf-8") as fh:
+        fh.write("1\tclick\t100\n2\tview\t200")  # no final \n
+    for split in (1, 4, 9, 1 << 20):
+        r = pyds._GbsTsvReader(
+            SCHEMA, {"path": str(f), "split_size": str(split)}
+        )
+        assert _read_all(r) == [(1, "click", 100), (2, "view", 200)], split
