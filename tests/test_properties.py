@@ -717,3 +717,106 @@ def test_snapshot_diff_statuses_partition_correctly(
         if i % DIFF_ADDED_MOD == 0:
             expect[i + DIFF_ADDED_OFFSET] = "added"
     assert got == expect, (got, expect)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["red", "blue", "lime", "the", "a"]),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_per_source_caps_reference(spark, tmp_path_factory, docs):
+    """per_source_caps must keep exactly the CAP highest-quality docs
+    per source with (quality desc, doc_id) total order — checked
+    against a literal Python re-ranking, including quality TIES (small
+    vocab makes identical texts common)."""
+    from geektime_bigdata_spark.operators.textstats import (
+        CAP_PER_SOURCE,
+        doc_quality_scores,
+        per_source_caps,
+    )
+
+    d = tmp_path_factory.mktemp("caps")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = sorted(
+        (r["source"], r["rank"], r["doc_id"])
+        for r in per_source_caps(spark, str(d)).collect()
+    )
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in doc_quality_scores(spark, str(d)).collect()
+    }
+    ref = []
+    by_src: dict[str, list] = {}
+    for i, (s, _t) in enumerate(docs):
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        ranked = sorted(ids, key=lambda i: (-quality[i], i))
+        for rank, i in enumerate(ranked[:CAP_PER_SOURCE], 1):
+            ref.append((s, rank, i))
+    assert got == sorted(ref), (got, sorted(ref))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray"]),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_token_entropy_reference(spark, tmp_path_factory, docs):
+    """token_entropy_scores must equal a literal Python computation of
+    the micro-quantized -sum(p ln p) on arbitrary corpora — including
+    single-type docs (entropy exactly 0, never -0.0 on the hashed
+    surface)."""
+    import math
+
+    from geektime_bigdata_spark.operators.textstats import (
+        token_entropy_scores,
+    )
+
+    d = tmp_path_factory.mktemp("ent")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in token_entropy_scores(spark, str(d)).collect()
+    }
+    for i, t in enumerate(docs):
+        words = [w for w in t.split(" ") if w]
+        n = len(words)
+        tm = 0
+        for w in set(words):
+            p = words.count(w) / n
+            tm += math.floor(p * math.log(p) * 1e6 + 0.5)
+        ent = math.floor(-(tm / 1e6) * 1e6 + 0.5) / 1e6
+        assert got[i] == (n, ent), (i, got[i], (n, ent))
