@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_listagg": textstats.lang_source_listagg,
         # exponentially time-decayed per-user activity (recency weight)
         "user_recency_scores": windows.user_recency_scores,
+        # SQL pipe syntax |> with typed named-parameter binding
+        "event_type_stats_pipe": relational.event_type_stats_pipe,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2130,6 +2132,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "event_type_stats_pipe": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                       AS sum_value_micros
+            FROM events
+            WHERE value > 50.0
+            GROUP BY event_type
         """,
         "user_recency_scores": """
             WITH a AS (SELECT max(ts) AS m FROM events)

@@ -306,3 +306,28 @@ def sql_udf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+PIPE_VALUE_THRESHOLD = 50.0
+
+
+def event_type_stats_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x ``|>``) + named parameter markers:
+    the linear FROM -> WHERE -> AGGREGATE chain that reads in
+    execution order, with the filter threshold bound as a typed named
+    argument (``:thr``) instead of string interpolation — the
+    injection-safe form a query service uses. Same plan as the
+    equivalent SELECT (pipe syntax is pure surface syntax); the micro-
+    unit sum keeps the hashed edge integer."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE value > :thr
+        |> AGGREGATE count(*) AS n,
+                     sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                         AS sum_value_micros
+           GROUP BY event_type
+        """,
+        args={"thr": PIPE_VALUE_THRESHOLD},
+    )

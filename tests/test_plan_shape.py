@@ -233,3 +233,58 @@ def test_bpe_rank_window_after_aggregate(spark, sf_dir):
     # formatted explain lists operators leaves-last; the Window's line
     # number must be smaller (closer to the root) than every aggregate
     assert aggs and win < min(aggs), text
+
+
+def test_cdc_apply_single_exchange(spark, sf_dir):
+    """Both windows of the CDC apply (terminal-op pick + op count) must
+    share ONE hash shuffle on user_id — a second exchange would mean
+    the two window specs stopped aligning."""
+    from geektime_bigdata_spark.operators.etl import cdc_apply
+
+    s = plan_summary(cdc_apply(spark, sf_dir))
+    assert s["operators"].get("Exchange", 0) == 1, s["operators"]
+
+
+def test_per_source_caps_prunes_text(spark, sf_dir):
+    """The source projection side must scan only (doc_id, source) —
+    quality's text scan is separate; a text column leaking into the
+    id/source read means the join pruned nothing."""
+    from geektime_bigdata_spark.operators.textstats import per_source_caps
+
+    text = explain_str(per_source_caps(spark, sf_dir), "formatted")
+    reads = [l for l in text.splitlines() if "ReadSchema" in l]
+    assert any(
+        "source" in r and "text" not in r for r in reads
+    ), reads
+
+
+def test_variant_extraction_single_exchange(spark, sf_dir):
+    """VARIANT parse + typed gets stay a projection; the aggregate is
+    the only shuffle (parse_json must not force a second pass)."""
+    from geektime_bigdata_spark.operators.windows import json_props_variant
+
+    s = plan_summary(json_props_variant(spark, sf_dir))
+    assert s["operators"].get("Exchange", 0) == 1, s["operators"]
+
+
+def test_pipe_syntax_plans_like_select(spark, sf_dir):
+    """|> chains are pure surface syntax: the pipe aggregate must plan
+    with the same single exchange as the equivalent SELECT, with the
+    value predicate pushed to the scan."""
+    from geektime_bigdata_spark.operators.relational import (
+        event_type_stats_pipe,
+    )
+
+    df = event_type_stats_pipe(spark, sf_dir)
+    s = plan_summary(df)
+    assert s["operators"].get("Exchange", 0) == 1, s["operators"]
+    assert s["has_pushed_filters"], s["text"]
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_dir):
+    """The recursive walk must plan Spark's UnionLoop recursion operator
+    (not an unrolled join chain)."""
+    from geektime_bigdata_spark.operators.dedup import neardup_reach_rcte
+
+    text = explain_str(neardup_reach_rcte(spark, sf_dir), "formatted")
+    assert "UnionLoop" in text, text[:500]
