@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_recency_scores": windows.user_recency_scores,
         # SQL pipe syntax |> with typed named-parameter binding
         "event_type_stats_pipe": relational.event_type_stats_pipe,
+        # iterative BPE merge training (2 greedy steps, corpus-wide)
+        "bpe_train_merges": textstats.bpe_train_merges,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -451,6 +453,58 @@ def oracle_sql() -> dict[str, str]:
                 JOIN alive{i} y ON u.doc_b = y.doc_a
             )"""
         for i in range(1, 9)
+    )
+    # unrolled BPE training steps (textstats.bpe_train_merges): learn
+    # top adjacent pair, merge non-overlapping occurrences (parity
+    # within consecutive-match runs = greedy left-to-right), renumber.
+    # MATERIALIZED per the k-core lesson: each step reads its
+    # predecessor several times.
+    bpe_steps = "".join(
+        f""", pr{k} AS MATERIALIZED (
+                SELECT doc_id, pos, tok,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS nxt
+                FROM s{k - 1}
+            ), cnt{k} AS (
+                SELECT tok || ' ' || nxt AS pair, count(*) AS pair_count
+                FROM pr{k} WHERE nxt IS NOT NULL GROUP BY 1
+            ), top{k} AS MATERIALIZED (
+                SELECT pair, pair_count FROM cnt{k}
+                ORDER BY pair_count DESC, pair LIMIT 1
+            ), mt{k} AS MATERIALIZED (
+                SELECT p.doc_id, p.pos FROM pr{k} p, top{k} t
+                WHERE p.tok || ' ' || p.nxt = t.pair
+            ), run{k} AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev = pos - 1 THEN 0 ELSE 1 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS run_id
+                FROM (SELECT doc_id, pos,
+                             lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM mt{k})
+            ), st{k} AS MATERIALIZED (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           min(pos) OVER (PARTITION BY doc_id, run_id)
+                               AS rs
+                    FROM run{k})
+                WHERE (pos - rs) % 2 = 0
+            ), s{k} AS MATERIALIZED (
+                SELECT p.doc_id,
+                       row_number() OVER (PARTITION BY p.doc_id
+                                          ORDER BY p.pos) AS pos,
+                       CASE WHEN st.pos IS NOT NULL
+                            THEN p.tok || '_' || p.nxt
+                            ELSE p.tok END AS tok
+                FROM pr{k} p
+                LEFT JOIN st{k} st
+                  ON st.doc_id = p.doc_id AND st.pos = p.pos
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM st{k} c
+                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos - 1)
+            )"""
+        for k in (1, 2)
     )
     oracles = {
         "media_type_stats": f"""
@@ -2133,6 +2187,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
         """,
+        "bpe_train_merges": """
+            WITH raw0 AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       unnest(generate_series(1,
+                           len(string_split(text, ' ')))) AS p
+                FROM documents
+            ), s0 AS MATERIALIZED (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                           AS pos,
+                       tok
+                FROM raw0 WHERE tok <> ''
+            )__BPE_STEPS__
+            SELECT CAST(1 AS BIGINT) AS step, pair, pair_count,
+                   (SELECT count(*) FROM s1) AS n_tokens_after
+            FROM top1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS step, pair, pair_count,
+                   (SELECT count(*) FROM s2) AS n_tokens_after
+            FROM top2
+        """.replace("__BPE_STEPS__", bpe_steps),
         "event_type_stats_pipe": """
             SELECT event_type, count(*) AS n,
                    sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))

@@ -866,3 +866,144 @@ def lang_source_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+BPE_TRAIN_STEPS = 2
+
+
+def _bpe_merge_once(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE training step over a (doc_id, pos, tok) stream: find the
+    most frequent adjacent pair (count desc, pair asc tiebreak) and
+    merge its non-overlapping left-to-right occurrences. Returns
+    (new_stream, one-row summary df with pair/pair_count).
+
+    The greedy left-to-right rule is made order-free: occurrences of a
+    pair can only overlap when both symbols are equal, in which case
+    matched positions form CONSECUTIVE runs — and left-to-right
+    merging keeps exactly the even offsets within each run. Runs and
+    parities are window expressions, so the step is two window passes
+    + one join, no Python and no sequential scan."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("nxt", F.lead("tok").over(w))
+    pair_col = F.concat_ws(" ", F.col("tok"), F.col("nxt"))
+    counts = (
+        pairs.filter(F.col("nxt").isNotNull())
+        .groupBy(pair_col.alias("pair"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    top = (
+        counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(1)
+    )
+    # matched positions of the top pair (broadcast 1-row top)
+    m = (
+        pairs.crossJoin(F.broadcast(top))
+        .withColumn("is_m", pair_col == F.col("pair"))
+    )
+    matched = m.filter(F.col("is_m")).select("doc_id", "pos")
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    runs = matched.withColumn(
+        "new_run",
+        F.when(
+            F.lag("pos").over(w2) == F.col("pos") - 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    starts = (
+        runs.withColumn(
+            "run_start",
+            F.min("pos").over(Window.partitionBy("doc_id", "run_id")),
+        )
+        .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
+        # renamed keys: joining back on same-named columns would leave
+        # the NULL side of the left join shadowing doc_id
+        .select(F.col("doc_id").alias("sdoc"), F.col("pos").alias("mpos"))
+    )
+    merged = (
+        m.join(
+            starts,
+            (m.doc_id == F.col("sdoc")) & (m.pos == F.col("mpos")),
+            "left",
+        )
+        .withColumn("is_start", F.col("mpos").isNotNull())
+        .drop("sdoc", "mpos")
+    )
+    consumed = starts.select(
+        F.col("sdoc").alias("cdoc"), (F.col("mpos") + 1).alias("cpos")
+    )
+    nxt_stream = (
+        merged.join(
+            consumed,
+            (merged.doc_id == F.col("cdoc"))
+            & (merged.pos == F.col("cpos")),
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("is_start"),
+                F.concat_ws("_", F.col("tok"), F.col("nxt")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        )
+    )
+    return nxt_stream, top
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING loop (BPE_TRAIN_STEPS greedy merges over
+    the corpus token stream) — the iterative control flow a tokenizer
+    build runs, next to the static :func:`bpe_pair_counts` snapshot.
+    Per step: learn the top adjacent pair (count desc, lexicographic
+    tiebreak) and merge its non-overlapping occurrences corpus-wide;
+    emit (step, pair, pair_count, n_tokens_after). The token-count
+    trail validates the MERGE APPLICATION, not just pair selection —
+    n_tokens_after must drop by exactly the merged-occurrence count.
+
+    Scale shape: each step is two window passes + two joins, all hash
+    on doc_id, with the 1-row learned pair broadcast (no driver
+    scalar); the loop materializes localCheckpoint per step so the
+    plan does not grow multiplicatively. The DuckDB oracle unrolls
+    the same two steps with MATERIALIZED CTEs."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    # posexplode keeps the original token order explicitly
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+        )
+        .select("doc_id", "pos", "tok")
+    )
+    out = None
+    stream = toks.localCheckpoint()
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        stream, top = _bpe_merge_once(stream)
+        stream = stream.localCheckpoint()
+        n_after = stream.groupBy().agg(
+            F.count(F.lit(1)).alias("n_tokens_after")
+        )
+        row = (
+            top.crossJoin(F.broadcast(n_after))
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                "pair",
+                "pair_count",
+                "n_tokens_after",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

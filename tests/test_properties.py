@@ -820,3 +820,71 @@ def test_token_entropy_reference(spark, tmp_path_factory, docs):
             tm += math.floor(p * math.log(p) * 1e6 + 0.5)
         ent = math.floor(-(tm / 1e6) * 1e6 + 0.5) / 1e6
         assert got[i] == (n, ent), (i, got[i], (n, ent))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=2,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_train_equals_greedy_reference(spark, tmp_path_factory, docs):
+    """The window-based BPE merge (parity within consecutive-match
+    runs) must equal literal greedy left-to-right merging on arbitrary
+    streams — the 3-letter alphabet forces overlapping same-symbol
+    runs ('a a a a'), the case the parity rule exists for."""
+    from collections import Counter
+
+    from geektime_bigdata_spark.operators.textstats import (
+        BPE_TRAIN_STEPS,
+        bpe_train_merges,
+    )
+
+    def ref(streams, steps):
+        out = []
+        for step in range(1, steps + 1):
+            c: Counter = Counter()
+            for s in streams:
+                for x, y in zip(s, s[1:]):
+                    c[(x, y)] += 1
+            if not c:
+                break
+            (x, y), cnt = sorted(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )[0]
+            nxt = []
+            for s in streams:
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                        r.append(x + "_" + y)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                nxt.append(r)
+            streams = nxt
+            out.append(
+                (step, f"{x} {y}", cnt, sum(len(s) for s in streams))
+            )
+        return out
+
+    d = tmp_path_factory.mktemp("bpe")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    expect = ref([t.split(" ") for t in docs], BPE_TRAIN_STEPS)
+    got = sorted(map(tuple, bpe_train_merges(spark, str(d)).collect()))
+    assert got == sorted(expect), (got, expect)
