@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_stats_pipe": relational.event_type_stats_pipe,
         # iterative BPE merge training (2 greedy steps, corpus-wide)
         "bpe_train_merges": textstats.bpe_train_merges,
+        # one-scan multi-column catalog profiler (stack unpivot)
+        "orders_column_profile": etl.orders_column_profile,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2186,6 +2188,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "orders_column_profile": """
+            SELECT 'o_orderstatus' AS column_name,
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT o_orderstatus) AS n_distinct,
+                   min(CAST(o_orderstatus AS VARCHAR)) AS min_value,
+                   max(CAST(o_orderstatus AS VARCHAR)) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderpriority),
+                   min(CAST(o_orderpriority AS VARCHAR)),
+                   max(CAST(o_orderpriority AS VARCHAR))
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_custkey),
+                   min(CAST(o_custkey AS VARCHAR)),
+                   max(CAST(o_custkey AS VARCHAR))
+            FROM orders
         """,
         "bpe_train_merges": """
             WITH raw0 AS (

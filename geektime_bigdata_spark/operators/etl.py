@@ -368,3 +368,37 @@ def orders_with_audit_observation(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_orders")
     )
     return out, obs
+
+
+PROFILE_COLUMNS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler — the data-catalog stats pass (one row
+    per profiled column: nulls, distincts, min/max as strings) that
+    feeds freshness/quality dashboards and CBO-style size estimates.
+    ALL columns profile in ONE scan: each statistic is a parallel
+    aggregate expression, and the per-column rows come from a
+    ``stack`` unpivot of the single aggregate row — not one job per
+    column (the naive profiler's scale killer). Min/max stringify so
+    heterogeneous column types share one schema."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

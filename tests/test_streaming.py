@@ -382,3 +382,63 @@ def test_state_source_reads_aggregation_state(spark, tmp_path):
         .collect()
     )
     assert got == ref, (got, ref)
+
+
+def test_state_source_reads_join_sides(spark, tmp_path):
+    """A stream-stream join checkpoint exposes four symmetricHashJoin
+    stores (keyToNumValues / keyWithIndexToValue per side); the
+    joinSide option reads each side's buffered rows — here nothing is
+    watermark-evicted, so each side's state holds exactly its filtered
+    input."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3,
+         "click" if i % 2 else "purchase", float(i), "{}")
+        for i in range(40)
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+    spark.createDataFrame(rows, ddl).write.parquet(src)
+    s = spark.readStream.schema(ddl).parquet(src)
+    clicks = (
+        s.filter("event_type='click'")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purch = (
+        s.filter("event_type='purchase'")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = clicks.join(
+        purch,
+        (clicks.user_id == purch.p_user)
+        & purch.p_ts.between(
+            clicks.c_ts, clicks.c_ts + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    q = (
+        j.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    stores = {r["stateStoreName"] for r in meta.collect()}
+    assert stores == {
+        "left-keyToNumValues", "left-keyWithIndexToValue",
+        "right-keyToNumValues", "right-keyWithIndexToValue",
+    }
+    n_clicks = sum(1 for r in rows if r[3] == "click")
+    n_purch = len(rows) - n_clicks
+    left = spark.read.format("statestore").option("joinSide", "left").load(ckpt)
+    right = spark.read.format("statestore").option("joinSide", "right").load(ckpt)
+    assert left.count() == n_clicks
+    assert right.count() == n_purch
