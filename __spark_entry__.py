@@ -127,9 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     six third-session additions); (3) the queries that have never
     received a driver row (streaming x8, multimodal x3, pipeline x2,
     windows/time-series x6); (4) past-prefix: six displaced twins whose
-    oracles are shared with an in-prefix or already-green sibling, then
-    everything already green in CORRECTNESS_r01/r02. A prefix of any
-    length always maximizes newly-verified coverage."""
+    oracles are shared with an in-prefix or already-green sibling, the
+    later third-session additions (pair features, mix weights, entropy,
+    k-core, VARIANT, arrow-UDF, recursive closure, SQL UDF, LISTAGG,
+    recency decay, pipe syntax, BPE trainer, column profiler — all
+    pytest-parity-green at 3 scales, queued for the round-4 sweep),
+    then everything already green in CORRECTNESS_r01/r02. A prefix of
+    any length always maximizes newly-verified coverage."""
     return {
         # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,

@@ -80,6 +80,7 @@ HEADLINE = [
     "token_entropy_scores",
     "neardup_kcore",
     "neardup_reach_rcte",
+    "bpe_train_merges",
 ]
 
 
