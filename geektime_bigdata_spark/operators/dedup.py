@@ -1222,3 +1222,81 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(depth) AS BIGINT) AS max_chain
         FROM walk GROUP BY src
     """)
+
+
+PREFIX_JACCARD_T = 0.5  # similarity threshold; prefix shrinks as t grows
+
+
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall set-similarity join via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate principle): under one consistent global
+    token order (corpus frequency asc, shingle asc — rare first), two
+    shingle sets with Jaccard >= t MUST share a token within each
+    side's first ``|X| - ceil(t*|X|) + 1`` tokens, so candidates come
+    from joining PREFIX posting lists only. Unlike MinHash/LSH banding
+    (probabilistic recall), this misses NOTHING at the threshold —
+    the verifier of choice when a dedup decision must be exact; the
+    cost tradeoff is that prefix length (and so candidate volume)
+    grows as t drops. t = 0.5: half-overlap near-dups, prefix ~|X|/2.
+
+    Scale shape: frequencies are one aggregate; the per-doc frequency
+    sort happens INSIDE the row (sort_array over (count, shingle)
+    structs — no global rank relation, no unpartitioned window);
+    candidates are prefix-posting expansions (collision-bounded like
+    the LSH path); verification counts intersections CANDIDATE-SCOPED
+    (each candidate pair joins its own shingle lists), never the
+    all-co-occurring-pairs relation. Output: (doc_a, doc_b, jaccard)
+    at jaccard >= t, doc_a < doc_b — bit-equal to the brute-force
+    posting-expansion oracle thresholded at t."""
+    sh = _doc_shingles(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id", "shingle", "df"
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("df", "shingle"))
+        ).alias("ordered"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    k = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(PREFIX_JACCARD_T)).cast("long")
+        + F.lit(1)
+    )
+    prefixes = per_doc.withColumn("k", k).select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("slice(ordered, 1, CAST(k AS INT))")).alias("p"),
+    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        "shingle",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        "shingle",
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        inter.select(
+            "doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )

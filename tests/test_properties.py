@@ -888,3 +888,47 @@ def test_bpe_train_equals_greedy_reference(spark, tmp_path_factory, docs):
     expect = ref([t.split(" ") for t in docs], BPE_TRAIN_STEPS)
     got = sorted(map(tuple, bpe_train_merges(spark, str(d)).collect()))
     assert got == sorted(expect), (got, expect)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray", "teal"]),
+            min_size=3,
+            max_size=9,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_recall_is_exact(spark, tmp_path_factory, docs):
+    """Prefix filtering must find EVERY pair at jaccard >= t — the
+    exact-recall guarantee LSH lacks. Compared against brute-force
+    posting expansion thresholded at t on random dense-overlap
+    corpora."""
+    from geektime_bigdata_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    d = tmp_path_factory.mktemp("pfx")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(spark, str(d)).collect())
+    )
+    brute = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(spark, str(d)).collect()
+        if r["jaccard"] >= PREFIX_JACCARD_T
+    )
+    assert got == brute, (got, brute)
