@@ -1282,6 +1282,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # PPJoin length filter: J(A,B) >= t forces
+        # t*|A| <= |B| <= |A|/t, so wildly different sizes can never
+        # qualify — dropped BEFORE the distinct/verify, shrinking the
+        # candidate set with zero recall loss (output is oracle-pinned)
+        .filter(
+            (F.col("n_b") >= F.col("n_a") * F.lit(PREFIX_JACCARD_T))
+            & (F.col("n_b") <= F.col("n_a") / F.lit(PREFIX_JACCARD_T))
+            & (F.col("n_a") >= F.col("n_b") * F.lit(PREFIX_JACCARD_T))
+        )
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
