@@ -81,6 +81,7 @@ HEADLINE = [
     "neardup_kcore",
     "neardup_reach_rcte",
     "bpe_train_merges",
+    "prefix_filter_jaccard_pairs",
 ]
 
 
