@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_column_profile": etl.orders_column_profile,
         # exact-recall prefix-filtering similarity join (AllPairs)
         "prefix_filter_jaccard_pairs": dedup.prefix_filter_jaccard_pairs,
+        # winsorized stats + drift histogram (feature-prep profiling)
+        "clipped_value_stats": etl.clipped_value_stats,
+        "value_histogram": etl.value_histogram,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2194,6 +2197,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "clipped_value_stats": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.01) AS p_lo,
+                       quantile_cont(value, 0.99) AS p_hi
+                FROM events GROUP BY event_type
+            ), c AS (
+                SELECT e.event_type, b.p_lo, b.p_hi,
+                       CASE WHEN e.value < b.p_lo THEN 1 ELSE 0 END AS is_lo,
+                       CASE WHEN e.value > b.p_hi THEN 1 ELSE 0 END AS is_hi,
+                       CAST(floor(greatest(least(e.value, b.p_hi), b.p_lo)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS cv
+                FROM events e JOIN b ON e.event_type = b.event_type
+            )
+            SELECT event_type,
+                   floor(min(p_lo) * 1000000.0 + 0.5) / 1000000.0 AS p01,
+                   floor(min(p_hi) * 1000000.0 + 0.5) / 1000000.0 AS p99,
+                   CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+                   CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+                   count(*) AS n,
+                   floor(((CAST(sum(cv) AS DOUBLE) / 1000000.0) / count(*))
+                         * 1000000.0 + 0.5) / 1000000.0 AS clipped_mean
+            FROM c GROUP BY event_type
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)
+                       AS bin,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1, 2
         """,
         "prefix_filter_jaccard_pairs": """
             WITH toks AS (

@@ -402,3 +402,74 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+CLIP_LO, CLIP_HI = 0.01, 0.99  # winsorization percentiles
+
+
+def clipped_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) value statistics per event type — the
+    outlier-robust normalization pass feature pipelines run before
+    training: exact p1/p99 bounds, how many rows clip at each end, and
+    the post-clip mean. Exact ``percentile`` matches DuckDB's
+    ``quantile_cont`` linear interpolation (the order_price_quantiles
+    precedent); at 100 TB the bounds would come from
+    ``percentile_approx``'s mergeable sketch with a tolerance contract
+    instead. The clipped mean divides a micro-unit LONG sum by an
+    integer count — one hashed double, on the grid."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {CLIP_LO})").alias("p_lo"),
+        F.expr(f"percentile(value, {CLIP_HI})").alias("p_hi"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        (F.col("value") < F.col("p_lo")).cast("long").alias("is_lo"),
+        (F.col("value") > F.col("p_hi")).cast("long").alias("is_hi"),
+        F.floor(
+            F.greatest(F.least(F.col("value"), F.col("p_hi")), F.col("p_lo"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cv_micros"),
+    )
+    return clipped.groupBy("event_type").agg(
+        grid_round(F.first("p_lo"), 6).alias("p01"),
+        grid_round(F.first("p_hi"), 6).alias("p99"),
+        F.sum("is_lo").alias("n_clipped_lo"),
+        F.sum("is_hi").alias("n_clipped_hi"),
+        F.count(F.lit(1)).alias("n"),
+        grid_round(
+            (F.sum("cv_micros") / F.lit(1e6)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("clipped_mean"),
+    )
+
+
+HIST_BIN_WIDTH = 10.0  # events.value lives in [0, 100)
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of the event value distribution per type —
+    the profiling surface a drift monitor compares release-to-release.
+    Bin index is pure integer arithmetic on the micro-grid value
+    (``floor`` of an exact division — no float bin edge can straddle),
+    clamped into [0, 9]; empty bins are absent (the reader joins a
+    spine if it needs zeros). Map-side projection + one aggregate."""
+    e = table(spark, sf_dir, "events")
+    bin_idx = F.least(
+        F.greatest(
+            F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(9).cast("long"),
+    )
+    return (
+        e.select("event_type", bin_idx.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
