@@ -287,6 +287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,
+        # mixture planning: budget allocation + truncation audit
+        "mixture_allocation": textstats.mixture_allocation,
+        "truncation_report": textstats.truncation_report,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -2197,6 +2200,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
+        """,
+        "mixture_allocation": """
+            WITH per_src AS (
+                SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source
+            ), m AS (
+                SELECT source, n_tokens,
+                       CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS mass
+                FROM per_src
+            ), a AS (
+                SELECT source, n_tokens,
+                       CAST(1000000 AS BIGINT) * mass
+                           // (SELECT sum(mass) FROM m) AS target_tokens
+                FROM m
+            )
+            SELECT source, n_tokens, target_tokens,
+                   floor((CAST(target_tokens AS DOUBLE) / n_tokens)
+                         * 1000000.0 + 0.5) / 1000000.0 AS epoch_factor
+            FROM a
+        """,
+        "truncation_report": """
+            WITH d AS (
+                SELECT lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens,
+                       greatest(CAST(len(string_split(text, ' ')) AS BIGINT)
+                                - 128, 0) AS lost
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_truncated,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(lost) AS BIGINT) AS tokens_lost,
+                   floor((CAST(sum(lost) AS DOUBLE) / sum(n_tokens))
+                         * 1000000.0 + 0.5) / 1000000.0 AS lost_frac
+            FROM d GROUP BY lang
         """,
         "clipped_value_stats": """
             WITH b AS (

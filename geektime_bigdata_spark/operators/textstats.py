@@ -1007,3 +1007,72 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+MIX_TOKEN_BUDGET = 1_000_000  # target training tokens to allocate
+TRUNC_MAX_TOKENS = 128  # sequence length cap for the truncation report
+
+
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources — the planning arithmetic
+    behind an LM data mixture: each source's temperature-smoothed
+    weight (:func:`source_mix_weights`' sqrt contract) times the total
+    budget gives its target tokens, and target/available yields the
+    EPOCH factor (>1 = the source repeats, <1 = it is subsampled) —
+    the number every mixture spec ultimately ships.
+
+    Determinism: weights stay in integer micro-units; target_tokens =
+    ``budget * mass DIV total`` is pure integer arithmetic, and the
+    epoch factor is one LONG/LONG divide on the grid. Driver-scale
+    output (|sources| rows); the only corpus-scale work is the token
+    count already shared with the weights query."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tokens()).alias("n_tokens"),
+    )
+    mass = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    massed = per_src.withColumn("mass_micros", mass)
+    total = massed.agg(F.sum("mass_micros").alias("total_micros"))
+    alloc = massed.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"CAST({MIX_TOKEN_BUDGET} AS BIGINT) * mass_micros"
+            " div total_micros"
+        ).alias("target_tokens"),
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        grid_round(F.col("target_tokens") / F.col("n_tokens"), 6).alias(
+            "epoch_factor"
+        ),
+    )
+
+
+def truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length truncation audit: with a TRUNC_MAX_TOKENS cap,
+    how many documents lose tokens per language and how much — the
+    check run before fixing a training context length (a cap that
+    silently discards 30% of a language's tokens is a data bug). One
+    shuffle-free projection + one aggregate; all-integer surface plus
+    one integer-ratio grid double."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    n = _n_tokens().cast("long")
+    lost = F.greatest(n - F.lit(TRUNC_MAX_TOKENS), F.lit(0).cast("long"))
+    per_doc = docs.select(
+        "lang", n.alias("n_tokens"), lost.alias("lost")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lost") > 0).cast("long")).alias("n_truncated"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("lost").alias("tokens_lost"),
+        grid_round(F.sum("lost") / F.sum("n_tokens"), 6).alias(
+            "lost_frac"
+        ),
+    )
