@@ -1245,7 +1245,17 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are prefix-posting expansions (collision-bounded like
     the LSH path); verification counts intersections CANDIDATE-SCOPED
     (each candidate pair joins its own shingle lists), never the
-    all-co-occurring-pairs relation. Output: (doc_a, doc_b, jaccard)
+    all-co-occurring-pairs relation.
+
+    Measured honesty (bench sf0.1): on THIS synthetic corpus (31-word
+    vocabulary, heavy shingle sharing) the brute-force sibling is ~5x
+    faster — prefix postings stay long when even "rare" shingles
+    appear in many docs. The crossover favoring prefix filtering is a
+    large, skewed vocabulary with sparse true pairs (the web-scale
+    case); the operator exists for that regime and for the exactness
+    guarantee, not to win this benchmark.
+
+    Output: (doc_a, doc_b, jaccard)
     at jaccard >= t, doc_a < doc_b — bit-equal to the brute-force
     posting-expansion oracle thresholded at t."""
     sh = _doc_shingles(spark, sf_dir)
