@@ -290,6 +290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixture planning: budget allocation + truncation audit
         "mixture_allocation": textstats.mixture_allocation,
         "truncation_report": textstats.truncation_report,
+        # reproducible DeepWalk-style sampler over the dup graph
+        "neardup_random_walks": dedup.neardup_random_walks,
         # ---- (4a) driver-green but CONTRACT SURFACE CHANGED in round 3
         #      (the grid-round sweep replaced every scale-2/4 round() —
         #      the empirically knife-edged class — so these earn fresh
@@ -519,6 +521,26 @@ def oracle_sql() -> dict[str, str]:
                     WHERE c.doc_id = p.doc_id AND c.pos = p.pos - 1)
             )"""
         for k in (1, 2)
+    )
+    # unrolled deterministic random-walk steps (dedup.neardup_random_walks):
+    # successor = sorted-neighbors[md5(walk:step:cur) mod degree];
+    # DuckDB lists are 1-based where Spark SQL arrays are 0-based,
+    # hence the 1 + idx. MATERIALIZED per the k-core lesson.
+    walk_steps = "".join(
+        f""", w{k} AS MATERIALIZED (
+                SELECT w.node, w.walk,
+                       a.nbrs[1 + CAST(
+                           ('0x' || substr(md5(w.walk || ':' || {k}
+                                               || ':' || w.cur), 1, 8)
+                           )::BIGINT % len(a.nbrs) AS INT)] AS cur,
+                       list_append(w.path,
+                           a.nbrs[1 + CAST(
+                               ('0x' || substr(md5(w.walk || ':' || {k}
+                                                   || ':' || w.cur), 1, 8)
+                               )::BIGINT % len(a.nbrs) AS INT)]) AS path
+                FROM w{k - 1} w JOIN adj a ON a.node = w.cur
+            )"""
+        for k in (1, 2, 3)
     )
     oracles = {
         "media_type_stats": f"""
@@ -2201,6 +2223,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY doc
         """,
+        "neardup_random_walks": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2)) AS pos
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), ed AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sizes x ON doc_a = x.doc_id
+                JOIN sizes y ON doc_b = y.doc_id
+                WHERE floor((c * 1.0 / (x.n + y.n - c)) * 1000000.0 + 0.5)
+                      / 1000000.0 >= 0.1
+            ), und AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM ed
+                UNION ALL
+                SELECT doc_b AS doc_a, doc_a AS doc_b FROM ed
+            ), adj AS MATERIALIZED (
+                SELECT doc_a AS node,
+                       list_sort(list(DISTINCT doc_b)) AS nbrs
+                FROM und GROUP BY doc_a
+            ), w0 AS MATERIALIZED (
+                SELECT node, walk, node AS cur, [node] AS path
+                FROM adj CROSS JOIN
+                     (SELECT unnest(generate_series(0, 1)) AS walk)
+            )__WALK_STEPS__
+            SELECT node AS start_node, CAST(walk AS BIGINT) AS walk,
+                   array_to_string(path, '>') AS path,
+                   cur AS end_node
+            FROM w3
+        """.replace("__WALK_STEPS__", walk_steps),
         "mixture_allocation": """
             WITH per_src AS (
                 SELECT source,

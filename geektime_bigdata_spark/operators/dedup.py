@@ -1319,3 +1319,81 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
     )
+
+
+WALK_STEPS = 3
+WALKS_PER_NODE = 2
+
+
+def neardup_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the near-dup graph — the
+    node-sequence sampler graph-embedding training data comes from
+    (DeepWalk-style), made REPRODUCIBLE: at each step the walk picks
+    ``neighbors[md5(walk_id:step:node) mod degree]`` from the node's
+    SORTED neighbor list, so every engine and every cluster layout
+    draws the identical "random" successor (the rand()-free discipline
+    of the sampling suite applied to graphs). WALKS_PER_NODE walks of
+    WALK_STEPS hops start at every node with at least one edge; walks
+    that reach any node keep extending (the graph is symmetric, so
+    degree >= 1 everywhere reachable). Output: one row per walk with
+    the visited path and its endpoint.
+
+    Scale shape: the adjacency (node -> sorted neighbor array) builds
+    with one groupBy; each hop is ONE broadcast-free equi-join of the
+    walk frontier against the adjacency, keyed on the current node —
+    at 100 TB the frontier shuffles with the walks, the standard
+    iterative-join sampler. The hash pick is md5 hex -> integer mod
+    degree — identical arithmetic in the unrolled-CTE oracle."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    adj = und.groupBy(F.col("doc_a").alias("node")).agg(
+        F.sort_array(F.collect_set("doc_b")).alias("nbrs")
+    )
+    starts = adj.select("node").crossJoin(
+        spark.range(WALKS_PER_NODE).select(
+            F.col("id").cast("long").alias("walk")
+        )
+    )
+    frontier = starts.select(
+        "node",
+        "walk",
+        F.col("node").alias("cur"),
+        F.array(F.col("node")).alias("path"),
+    )
+    for step in range(1, WALK_STEPS + 1):
+        picked = (
+            frontier.join(
+                adj.select(
+                    F.col("node").alias("cur"), "nbrs"
+                ),
+                "cur",
+            )
+            .withColumn(
+                "pick",
+                F.expr(
+                    f"nbrs[CAST(conv(substr(md5(concat_ws(':', walk, "
+                    f"CAST({step} AS STRING), cur)), 1, 8), 16, 10) AS BIGINT)"
+                    " % size(nbrs)]"
+                ),
+            )
+            .select(
+                "node",
+                "walk",
+                F.col("pick").alias("cur"),
+                F.concat(F.col("path"), F.array(F.col("pick"))).alias(
+                    "path"
+                ),
+            )
+        )
+        frontier = picked
+    return frontier.select(
+        F.col("node").alias("start_node"),
+        "walk",
+        F.concat_ws(">", F.transform("path", lambda x: x.cast("string")))
+        .alias("path"),
+        F.col("cur").alias("end_node"),
+    )
