@@ -932,3 +932,103 @@ def test_prefix_filter_recall_is_exact(spark, tmp_path_factory, docs):
         if r["jaccard"] >= PREFIX_JACCARD_T
     )
     assert got == brute, (got, brute)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-20, max_value=150, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_value_histogram_reference(spark, tmp_path_factory, vals):
+    """Histogram bins must equal literal clamped integer binning on
+    arbitrary values — including negatives (clamped to bin 0) and
+    values past the last edge (clamped to bin 9)."""
+    import datetime as dt
+    import math
+
+    from geektime_bigdata_spark.operators.etl import (
+        HIST_BIN_WIDTH,
+        value_histogram,
+    )
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = tmp_path_factory.mktemp("hist")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in value_histogram(spark, str(d)).collect()
+    }
+    ref: dict = {}
+    for v in vals:
+        b = min(max(math.floor(v / HIST_BIN_WIDTH), 0), 9)
+        ref[("click", b)] = ref.get(("click", b), 0) + 1
+    assert got == ref, (got, ref)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mixture_allocation_reference(spark, tmp_path_factory, docs):
+    """Budget allocation must equal the literal integer arithmetic:
+    mass = floor(sqrt(tokens)*1e6+0.5), target = budget*mass div
+    total — on arbitrary source mixes."""
+    import math
+
+    from geektime_bigdata_spark.operators.textstats import (
+        MIX_TOKEN_BUDGET,
+        mixture_allocation,
+    )
+
+    d = tmp_path_factory.mktemp("mix")
+    rows = [
+        (i, " ".join(["w"] * ntok), "en", s, ntok)
+        for i, (s, ntok) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["source"]: (r["n_tokens"], r["target_tokens"])
+        for r in mixture_allocation(spark, str(d)).collect()
+    }
+    tokens: dict = {}
+    for s, ntok in docs:
+        tokens[s] = tokens.get(s, 0) + ntok
+    masses = {
+        s: math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in tokens.items()
+    }
+    total = sum(masses.values())
+    ref = {
+        s: (tokens[s], MIX_TOKEN_BUDGET * masses[s] // total)
+        for s in tokens
+    }
+    assert got == ref, (got, ref)
