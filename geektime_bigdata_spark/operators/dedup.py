@@ -1397,3 +1397,33 @@ def neardup_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("path"),
         F.col("cur").alias("end_node"),
     )
+
+
+def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walks — the
+    (center, context) co-occurrence table a graph-embedding trainer
+    (DeepWalk/node2vec) consumes: every adjacent pair along each walk
+    path, BOTH directions (window = 1), aggregated to counts. The walk
+    sampler's reproducibility carries through: identical pairs on any
+    engine or cluster layout.
+
+    Scale shape: pair extraction is an array expression over the walk
+    paths (no join — paths already hold the sequence), one explode, one
+    aggregate keyed on the pair. Output is bounded by edges x walks,
+    not nodes^2."""
+    walks = neardup_random_walks(spark, sf_dir)
+    nodes = F.split(F.col("path"), ">")
+    pairs = F.expr(
+        "flatten(transform(slice(nodes, 1, size(nodes) - 1), (x, i) -> "
+        "array(struct(CAST(x AS BIGINT) AS center,"
+        "             CAST(nodes[i + 1] AS BIGINT) AS context),"
+        "      struct(CAST(nodes[i + 1] AS BIGINT) AS center,"
+        "             CAST(x AS BIGINT) AS context))))"
+    )
+    return (
+        walks.select(nodes.alias("nodes"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"),
+                 F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
