@@ -1137,16 +1137,27 @@ def neardup_kcore(
         for r in edge_rows:
             adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
             adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
-        changed = True
-        while changed:
-            changed = False
-            for node in [n for n, nb in adj.items() if len(nb) < k]:
+        # Bounded peel mirroring the distributed path AND the oracle:
+        # the DuckDB oracle unrolls exactly ``max_rounds`` peels, so an
+        # unbounded driver fixpoint here would silently out-converge it
+        # on a graph needing more rounds (e.g. a ~17-doc near-dup
+        # chain) and report a spurious mismatch.  Converge-or-raise,
+        # identical contract to the distributed loop below.
+        for _ in range(max_rounds):
+            below = [n for n, nb in adj.items() if len(nb) < k]
+            if not below:
+                break
+            for node in below:
                 if node not in adj:  # removed as a neighbor this pass
                     continue
                 for other in adj.pop(node):
                     if other in adj:
                         adj[other].discard(node)
-                changed = True
+        else:
+            if any(len(nb) < k for nb in adj.values()):
+                raise RuntimeError(
+                    f"k-core did not converge in {max_rounds} rounds"
+                )
         rows = sorted((n, len(nb)) for n, nb in adj.items())
         if not rows:
             return spark.createDataFrame(
@@ -1187,6 +1198,7 @@ def neardup_kcore(
 
 
 RCTE_MAX_DEPTH = 10
+RCTE_PATH_BUDGET = 50_000_000  # abort the recursion past ~50M worst-case paths
 
 
 def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1208,6 +1220,37 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the declarative cross-check and the §2.6 surface for the
     recursion feature itself. DuckDB runs the identical statement."""
     edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Dense-component pre-gate (converge-or-raise, like the k-core and
+    # star loops): the UNION ALL recursion enumerates PATHS, and on a
+    # dense near-dup clique the path count under the depth bound is
+    # combinatorial.  Before materializing a single path, count them
+    # EXACTLY with the node-indexed DP cnt_{d+1}(v) = sum over edges
+    # (u,v) of cnt_d(u) — the same joins the recursion performs but on
+    # <= |nodes| rows per round instead of one row per path, so the
+    # gate is strictly cheaper than the query it protects and never
+    # false-positives on a sparse graph the recursion could handle.
+    total_paths = 0
+    cnt = edges.groupBy(F.col("doc_b").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
+    for _ in range(RCTE_MAX_DEPTH):  # path lengths 1..RCTE_MAX_DEPTH
+        round_paths = (cnt.agg(F.sum("cnt")).collect()[0][0]) or 0
+        total_paths += round_paths
+        if total_paths > RCTE_PATH_BUDGET:
+            raise RuntimeError(
+                f"neardup_reach_rcte: dense candidate graph — "
+                f">{RCTE_PATH_BUDGET:.0e} chains under depth "
+                f"{RCTE_MAX_DEPTH}; use dedup_clusters for the "
+                "transitive closure on graphs this dense"
+            )
+        if round_paths == 0:
+            break
+        cnt = (
+            cnt.join(edges, cnt["node"] == edges["doc_a"])
+            .groupBy(F.col("doc_b").alias("node"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
     edges.createOrReplaceTempView("gbs_rcte_edges")
     return spark.sql(f"""
         WITH RECURSIVE walk(src, dst, depth) AS (

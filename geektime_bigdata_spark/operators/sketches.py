@@ -140,3 +140,136 @@ def frequent_terms_mg(
 
     partials = toks.mapInPandas(mg, "term string, n_est long")
     return partials.groupBy("term").agg(F.sum("n_est").alias("n_est"))
+
+BOUND_HLL_REL = 0.10  # 5x the 2% rsd — deterministic per dataset
+BOUND_RANK_SLACK = 1  # extra ranks beyond the 1/accuracy guarantee
+
+
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable surface for the sketch family: one long-format
+    row per (metric, key) carrying the EXACT value (hashable — both
+    engines compute it identically) and a ``within_bound`` boolean
+    asserting the sketch's error contract held:
+
+    - ``distinct_users``: HLL++ (rsd 2%) within ``BOUND_HLL_REL`` of
+      the exact distinct count per event type.  HLL++ is deterministic
+      given the data (no RNG), so the boolean is stable.
+    - ``p50_price`` / ``p99_price``: ``percentile_approx`` (accuracy
+      10000) must land between the order-statistic values at ranks
+      ``target ± (ceil(n/accuracy) + BOUND_RANK_SLACK)`` — the sketch's
+      rank-error guarantee evaluated against exact order statistics.
+      The exact value is the DISCRETE order statistic at rank
+      ``floor((n-1)*q) + 1`` (pure rank selection, no interpolation
+      arithmetic to diverge between engines).
+    - ``heavy_hitter``: every term with exact frequency > N/k must
+      survive the merged Misra-Gries sketch with an estimate in
+      ``[exact - N/k, exact]``.  The bound is partition-independent
+      (each partition undercounts by at most N_p/k and the partials
+      sum), so the boolean holds under ANY data layout.
+
+    The DuckDB oracle computes the same exact values and emits literal
+    TRUE for every bound — a sketch that breaks its contract turns up
+    as a value-hash mismatch on exactly the violated row.  This is the
+    strongest differential check a non-deterministic-by-nature sketch
+    admits, and it makes the sketch family a first-class driver row
+    instead of pytest-only coverage."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+
+    # --- HLL++ distinct users per event type ---
+    hll = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_value"),
+            F.approx_count_distinct("user_id", rsd=HLL_RSD)
+            .cast("long")
+            .alias("est"),
+        )
+        .select(
+            F.lit("distinct_users").alias("metric"),
+            F.col("event_type").alias("key"),
+            "exact_value",
+            (
+                F.abs(F.col("est") - F.col("exact_value"))
+                <= F.col("exact_value") * F.lit(BOUND_HLL_REL)
+            ).alias("within_bound"),
+        )
+    )
+
+    # --- percentile_approx vs exact order statistics per priority ---
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, PCT_ACCURACY).alias("a50"),
+        F.percentile_approx("o_totalprice", 0.99, PCT_ACCURACY).alias("a99"),
+    )
+    qrows = []
+    for metric, q in (("p50_price", 0.5), ("p99_price", 0.99)):
+        target = F.floor((F.col("n") - 1) * F.lit(q)) + 1
+        margin = F.ceil(F.col("n") / F.lit(PCT_ACCURACY)) + F.lit(
+            BOUND_RANK_SLACK
+        )
+        lo_rank = F.greatest(target - margin, F.lit(1))
+        hi_rank = F.least(target + margin, F.col("n"))
+        per_prio = ranked.groupBy("o_orderpriority").agg(
+            F.max(
+                F.when(F.col("rn") == target, F.col("o_totalprice"))
+            ).alias("exact_v"),
+            F.max(
+                F.when(F.col("rn") == lo_rank, F.col("o_totalprice"))
+            ).alias("lo_v"),
+            F.max(
+                F.when(F.col("rn") == hi_rank, F.col("o_totalprice"))
+            ).alias("hi_v"),
+        )
+        a = F.col("a50") if q == 0.5 else F.col("a99")
+        qrows.append(
+            per_prio.join(approx, "o_orderpriority").select(
+                F.lit(metric).alias("metric"),
+                F.col("o_orderpriority").alias("key"),
+                F.floor(F.col("exact_v") * 1000000.0 + F.lit(0.5))
+                .cast("long")
+                .alias("exact_value"),
+                ((a >= F.col("lo_v")) & (a <= F.col("hi_v"))).alias(
+                    "within_bound"
+                ),
+            )
+        )
+
+    # --- Misra-Gries heavy-hitter survival ---
+    exact_terms = frequent_terms_exact(spark, sf_dir)
+    mg = frequent_terms_mg(spark, sf_dir)
+    total = exact_terms.agg(F.sum("n").alias("big_n"))
+    hh = (
+        exact_terms.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("big_n") / F.lit(MG_COUNTERS))
+        .join(mg, "term", "left")
+        .select(
+            F.lit("heavy_hitter").alias("metric"),
+            F.col("term").alias("key"),
+            F.col("n").cast("long").alias("exact_value"),
+            (
+                F.col("n_est").isNotNull()
+                & (F.col("n_est") <= F.col("n"))
+                & (
+                    F.col("n_est")
+                    >= F.col("n") - F.col("big_n") / F.lit(MG_COUNTERS)
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+    out = hll
+    for df in qrows:
+        out = out.unionByName(df)
+    return out.unionByName(hh)

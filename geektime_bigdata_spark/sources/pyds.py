@@ -37,6 +37,7 @@ an object-store deployment would swap in fsspec handles in
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 from dataclasses import dataclass
@@ -139,11 +140,25 @@ class _GbsTsvReader(DataSourceReader):
             ):
                 rest.append(flt)
             elif isinstance(flt, EqualTo):
-                self._pushed.append((idx, frozenset({str(flt.value)})))
+                # '' is this format's NULL encoding and None has no raw
+                # representation: SQL says col = NULL / col = '' must
+                # never match a NULL row, but the raw-string compare
+                # can't tell '' apart from NULL — leave those to Spark
+                # (a consumed filter is never re-checked).
+                if flt.value is None or flt.value == "":
+                    rest.append(flt)
+                else:
+                    self._pushed.append((idx, frozenset({str(flt.value)})))
             elif isinstance(flt, In):
-                self._pushed.append(
-                    (idx, frozenset(str(v) for v in flt.value))
-                )
+                # None would stringify to 'None' and wrongly match rows
+                # whose value is the literal string 'None'; '' would
+                # match NULL-encoded rows. Either poisons the whole set.
+                if any(v is None or v == "" for v in flt.value):
+                    rest.append(flt)
+                else:
+                    self._pushed.append(
+                        (idx, frozenset(str(v) for v in flt.value))
+                    )
             elif isinstance(flt, IsNotNull):
                 self._pushed.append((idx, None))
             else:
@@ -369,6 +384,19 @@ class GbsTsvStreamWriter(DataSourceStreamWriter):
         return _TsvCommit(part, n)
 
     def commit(self, messages: list[_TsvCommit], batchId: int) -> None:
+        # A crashed prior attempt of this batch (no abort() ran) may
+        # have left part files from partitions this replay doesn't
+        # have (fewer partitions on retry). Deterministic names make
+        # the batch's file set enumerable: remove any batch-{id}-part-*
+        # not in this attempt's commit messages BEFORE publishing the
+        # marker, or readers would double-count the strays.
+        committed = {
+            os.path.basename(m.part_file) for m in messages if m is not None
+        }
+        prefix = os.path.join(self._path, f"batch-{batchId:06d}-part-*.tsv")
+        for stray in glob.glob(prefix):
+            if os.path.basename(stray) not in committed:
+                os.remove(stray)
         marker = os.path.join(self._path, f"_SUCCESS.{batchId}")
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write(f"{sum(m.n_rows for m in messages if m)}\n")

@@ -1,0 +1,8 @@
+SELECT user_id, event_type, ts, value, event_id FROM (
+    SELECT user_id, event_type, ts, value, event_id,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) WHERE rn = 1

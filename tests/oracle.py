@@ -7,6 +7,7 @@ row count, column names, and an order-insensitive value comparison
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -38,6 +39,15 @@ def _canon(v):
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # NEVER canonicalize Decimal to its int/float string.  DuckDB
+        # HUGEINT / DECIMAL reach the driver's fetch path as
+        # decimal128 and hash differently from Spark's LongType even
+        # when numerically identical (round 3: 8 red rows).  Keeping
+        # the Decimal marker makes the local harness fail the same
+        # way the driver does; the type-allowlist test in
+        # test_oracle_types.py is the structural fix.
+        return f"Decimal({v})"
     return str(v)
 
 
@@ -49,9 +59,14 @@ def _rowset(rows, colnames):
 def assert_matches_oracle(spark_df, con, sql: str, name: str = "?"):
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = spark_df.columns
-    res = con.execute(sql)
-    oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
+    # Fetch through Arrow, not DBAPI fetchall(): fetchall() returns
+    # plain Python int for both BIGINT and HUGEINT, masking the
+    # widening that hash-fails on the driver.  Arrow preserves the
+    # distinction (HUGEINT -> decimal128 -> decimal.Decimal).
+    tbl = con.execute(sql).arrow()
+    oracle_cols = list(tbl.column_names)
+    pyrows = tbl.to_pylist()
+    oracle_rows = [tuple(d[c] for c in oracle_cols) for d in pyrows]
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} "

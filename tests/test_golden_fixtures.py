@@ -469,3 +469,58 @@ def test_dedup_clusters_long_chain_beats_diameter(spark, monkeypatch):
         ).collect()
     )
     assert got == [(i, 0) for i in range(n)]
+
+def test_kcore_driver_peel_bounded_like_oracle(spark, monkeypatch):
+    """The driver fast path must mirror the oracle's bounded unroll:
+    a 20-node path with k=2 fully peels only after 10 rounds, so at
+    max_rounds=8 BOTH execution paths raise instead of silently
+    out-converging the 8-peel DuckDB oracle (ADVICE r3)."""
+    import pytest as _pytest
+
+    from geektime_bigdata_spark.operators import dedup
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.ngram_jaccard_pairs",
+        lambda *a, **k: edges,
+    )
+    for kwargs in ({}, {"small_graph_edges": 0}):
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            dedup.neardup_kcore(spark, "x", k=2, max_rounds=8, **kwargs)
+    # with enough rounds the same graph converges (to the empty core)
+    assert (
+        dedup.neardup_kcore(spark, "x", k=2, max_rounds=12).count() == 0
+    )
+
+
+def test_rcte_dense_component_guard(spark, monkeypatch):
+    """neardup_reach_rcte pre-counts chains with a node-indexed DP and
+    converge-or-raises on dense components (VERDICT r3 #4): a 20-node
+    clique (190 oriented edges, ~785k chains under depth 10) completes
+    under the default budget, and raises cleanly — before materializing
+    any path — once the budget is below the exact chain count."""
+    import pytest as _pytest
+
+    from geektime_bigdata_spark.operators import dedup
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.ngram_jaccard_pairs",
+        lambda *a, **k: edges,
+    )
+    out = dedup.neardup_reach_rcte(spark, "x")
+    # every non-terminal node reaches all higher-numbered nodes
+    rows = {r["doc_id"]: r["n_reachable"] for r in out.collect()}
+    assert rows[0] == n - 1 and rows[n - 2] == 1
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.RCTE_PATH_BUDGET", 1000
+    )
+    with _pytest.raises(RuntimeError, match="dense candidate graph"):
+        dedup.neardup_reach_rcte(spark, "x")

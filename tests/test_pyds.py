@@ -258,3 +258,56 @@ def test_no_trailing_newline_last_line_owned(tmp_path):
             SCHEMA, {"path": str(f), "split_size": str(split)}
         )
         assert _read_all(r) == [(1, "click", 100), (2, "view", 200)], split
+
+def test_push_filter_null_poison_returned_to_spark(tmp_path):
+    """'' encodes NULL in this format and None stringifies to 'None':
+    EqualTo/In carrying either value must be RETURNED to Spark (a
+    consumed filter is never re-checked), or NULL rows would wrongly
+    match col = '' and string-'None' rows would match In(..., None)."""
+    f = tmp_path / "data.tsv"
+    _write_tsv(
+        str(f),
+        [(1, "click", 100), (2, None, 200), (3, "None", 300)],
+    )
+    r = pyds._GbsTsvReader(SCHEMA, {"path": str(f)})
+    flt_empty = EqualTo(("event_type",), "")
+    flt_none_in = In(("event_type",), ("click", None))
+    flt_empty_in = In(("event_type",), ("click", ""))
+    rest = list(r.pushFilters([flt_empty, flt_none_in, flt_empty_in]))
+    assert rest == [flt_empty, flt_none_in, flt_empty_in]
+    # nothing consumed: the scan returns every row for Spark to filter
+    assert [t[0] for t in _read_all(r)] == [1, 2, 3]
+    # and a clean consumed filter still drops the NULL row (SQL: a
+    # NULL never satisfies equality)
+    r2 = pyds._GbsTsvReader(SCHEMA, {"path": str(f)})
+    assert list(r2.pushFilters([In(("event_type",), ("click", "None"))])) == []
+    assert [t[0] for t in _read_all(r2)] == [1, 3]
+
+
+def test_stream_commit_removes_stale_replay_parts(tmp_path):
+    """A crashed attempt may strand part files from partitions the
+    replay doesn't have; commit() must sweep any batch-{id}-part-* not
+    in its commit messages before publishing _SUCCESS (ADVICE r3)."""
+    d = tmp_path / "sink"
+    os.makedirs(d)
+    # stale files from a crashed 4-partition attempt of batch 7
+    for pid in range(4):
+        (d / f"batch-{7:06d}-part-{pid:05d}.tsv").write_text("stale\n")
+    # a different batch's file must survive the sweep
+    (d / f"batch-{6:06d}-part-{0:05d}.tsv").write_text("keep\n")
+    w = pyds.GbsTsvStreamWriter(SCHEMA, {"path": str(d)})
+    # replay of batch 7 ran with TWO partitions and rewrote 0 and 1
+    kept = [
+        pyds._TsvCommit(str(d / f"batch-{7:06d}-part-{pid:05d}.tsv"), 1)
+        for pid in range(2)
+    ]
+    for m in kept:
+        open(m.part_file, "w").write("fresh\n")
+    w.commit(kept, 7)
+    names = sorted(os.listdir(d))
+    assert names == [
+        "_SUCCESS.7",
+        "batch-000006-part-00000.tsv",
+        "batch-000007-part-00000.tsv",
+        "batch-000007-part-00001.tsv",
+    ]
