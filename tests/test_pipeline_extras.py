@@ -541,3 +541,56 @@ def test_ann_index_persist_and_reload(spark, sf_dir, tmp_path):
     r1 = sorted(map(tuple, ann_topk_ivf(spark, sf_dir).collect()))
     r2 = sorted(map(tuple, ann_topk_ivf(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_bpe_batched_conflict_rule(spark, monkeypatch):
+    """Batched BPE selection: within a round's top-k window a candidate
+    sharing a symbol with ANY higher-ranked candidate is dropped, so
+    the kept set is pairwise disjoint and simultaneous application is
+    exact. Corpus: 'a b' x10, 'b c' x9, 'd e' x8 — 'b c' must lose to
+    'a b' (shares b) while 'd e' survives as merge_rank 2."""
+    from geektime_bigdata_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    rows = (
+        [(i, "a b") for i in range(10)]
+        + [(100 + i, "b c") for i in range(9)]
+        + [(200 + i, "d e") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.textstats.parallel_table",
+        lambda *a: docs,
+    )
+    out = {
+        (r["step"], r["merge_rank"]): r
+        for r in bpe_train_merges_batched(spark, "x", rounds=1).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2)}
+    assert out[(1, 1)]["pair"] == "a b" and out[(1, 1)]["pair_count"] == 10
+    assert out[(1, 2)]["pair"] == "d e" and out[(1, 2)]["pair_count"] == 8
+    # 54 tokens, 18 merged occurrences applied simultaneously
+    assert out[(1, 1)]["n_tokens_after"] == 54 - 18
+
+
+def test_bpe_batched_overlap_parity(spark, monkeypatch):
+    """Self-overlapping runs ('a a a a a' -> even-offset merges) resolve
+    with the same run/parity rule as the serial trainer."""
+    from geektime_bigdata_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.textstats.parallel_table",
+        lambda *a: docs,
+    )
+    out = bpe_train_merges_batched(spark, "x", rounds=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 4 adjacent occurrences, left-to-right keeps offsets 0 and 2
+    assert r["pair"] == "a a" and r["pair_count"] == 4
+    assert r["n_tokens_after"] == 5 - 2
