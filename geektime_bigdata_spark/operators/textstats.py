@@ -40,16 +40,25 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, regex (BPE-ish) piece count, distinct-type
     count, and chars-per-token — the basic curation statistics."""
     docs = parallel_table(spark, sf_dir, "documents")
+    # staged split (HOFs/array ops defeat codegen CSE — see
+    # doc_quality_scores)
     return docs.select(
         "doc_id",
-        _n_tokens().cast("long").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.split(F.col("text"), " ").alias("toks"),
         F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_PATTERN}', 0)"))
         .cast("long")
         .alias("n_pieces"),
-        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        "n_pieces",
+        F.size(F.array_distinct(F.col("toks")))
         .cast("long")
         .alias("n_types"),
-        grid_round(F.length("text") / _n_tokens(), 6).alias("chars_per_token"),
+        grid_round(F.col("n_chars") / F.size("toks"), 6).alias(
+            "chars_per_token"
+        ),
     )
 
 
@@ -66,10 +75,15 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hits(markers: tuple[str, ...]) -> Column:
         arr = ", ".join("'" + m + "'" for m in markers)
         return F.expr(
-            f"size(filter(split(text, ' '), w -> w IN ({arr})))"
+            f"size(filter(toks, w -> w IN ({arr})))"
         ).cast("long")
 
+    # stage the split once: one filter lambda per language would
+    # otherwise re-split the text per language (no CSE across
+    # higher-order-function subtrees)
     scores = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
         *[
             hits(markers).alias(f"score_{lang}")
@@ -103,16 +117,25 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in doubles)."""
     docs = parallel_table(spark, sf_dir, "documents")
     stop_arr = ", ".join("'" + w + "'" for w in STOPWORDS)
-    toks = "split(text, ' ')"
-    n_tokens = F.expr(f"size({toks})").cast("long")
-    sum_word_len = F.expr(
-        f"aggregate({toks}, 0L, (a, w) -> a + length(w))"
-    )
-    n_stop = F.expr(f"size(filter({toks}, w -> w IN ({stop_arr})))")
-    n_types = F.expr(f"size(array_distinct({toks}))")
-    stats = docs.select(
+    # token array staged in its own projection: higher-order-function
+    # subtrees are exempt from codegen subexpression elimination, so an
+    # inlined form re-splits the text for every statistic (measured on
+    # doc_repetition_scores: 2.9x); CollapseProject keeps the stages
+    # apart because merging would duplicate the non-cheap split
+    staged = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_text"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    n_tokens = F.expr("size(toks)").cast("long")
+    sum_word_len = F.expr(
+        "aggregate(toks, 0L, (a, w) -> a + length(w))"
+    )
+    n_stop = F.expr(f"size(filter(toks, w -> w IN ({stop_arr})))")
+    n_types = F.expr("size(array_distinct(toks))")
+    stats = staged.select(
+        "doc_id",
+        "n_chars_text",
         n_tokens.alias("n_tokens"),
         grid_round(sum_word_len / n_tokens, 6).alias("avg_word_len"),
         grid_round(n_stop / n_tokens, 6).alias("stopword_ratio"),
@@ -489,12 +512,15 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE doubles at these magnitudes (log2 of 2^k is exactly k; between
     powers the floor is unambiguous)."""
     docs = parallel_table(spark, sf_dir, "documents")
-    b = docs.filter(_n_tokens() >= 1).select(
-        F.expr(
-            "CAST(floor(log2(CAST(size(split(text, ' ')) AS DOUBLE)))"
-            " AS BIGINT)"
-        ).alias("bucket"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    b = (
+        docs.filter(_n_tokens() >= 1)
+        .select(F.size(F.split(F.col("text"), " ")).alias("nt"))
+        .select(
+            F.expr(
+                "CAST(floor(log2(CAST(nt AS DOUBLE))) AS BIGINT)"
+            ).alias("bucket"),
+            F.col("nt").cast("long").alias("n_tokens"),
+        )
     )
     return (
         b.groupBy("bucket")
@@ -522,17 +548,19 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count division — order-independent and engine-identical; token
     counts are already integers."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    # staged split (see doc_quality_scores: HOFs defeat codegen CSE)
     base = docs.select(
+        "lang", "source", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "lang",
         "source",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
         F.expr(
-            f"CAST(floor(CAST(size(array_distinct({toks})) AS DOUBLE)"
-            f" / size({toks}) * 1000000.0D + 0.5D) AS BIGINT)"
+            "CAST(floor(CAST(size(array_distinct(toks)) AS DOUBLE)"
+            " / size(toks) * 1000000.0D + 0.5D) AS BIGINT)"
         ).alias("ttr_micro"),
         F.expr(
-            f"CASE WHEN size({toks}) < 8 THEN 1L ELSE 0L END"
+            "CASE WHEN size(toks) < 8 THEN 1L ELSE 0L END"
         ).alias("is_short"),
     )
     n = F.count(F.lit(1))
@@ -564,19 +592,25 @@ def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly "hit fraction < 5%") — no float anywhere."""
     docs = parallel_table(spark, sf_dir, "documents")
     lst = ", ".join(f"'{w}'" for w in BLOCKLIST)
-    toks = "split(text, ' ')"
-    return docs.select(
+    # stage split AND the hit filter once (HOFs defeat codegen CSE; the
+    # inlined form ran the blocklist filter three times per row)
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "doc_id",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        "toks",
+        F.expr(f"filter(toks, t -> t IN ({lst}))").alias("hits"),
+    )
+    return staged.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(hits) AS BIGINT)").alias("n_hits"),
         F.expr(
-            f"CAST(size(filter({toks}, t -> t IN ({lst}))) AS BIGINT)"
-        ).alias("n_hits"),
-        F.expr(
-            f"md5(array_join(filter({toks}, t -> NOT t IN ({lst})), ' '))"
+            f"md5(array_join(filter(toks, t -> NOT t IN ({lst})), ' '))"
         ).alias("scrub_md5"),
         F.expr(
-            f"CAST(CASE WHEN 20 * size(filter({toks}, t -> t IN ({lst})))"
-            f" < size({toks}) THEN 1 ELSE 0 END AS BIGINT)"
+            "CAST(CASE WHEN 20 * size(hits)"
+            " < size(toks) THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("keep_flag"),
     )
 
@@ -667,14 +701,17 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase) and aggregate into at most |vocab|^2 groups; the rank window
     runs over that driver-scale aggregate, not the corpus."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    # stage the split: element_at(split(text), i) inside the transform
+    # lambda re-evaluates the split PER ELEMENT (lambda bodies are not
+    # hoisted), turning an O(len) pass into O(len^2) splits per row
     pairs = (
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
-        f"element_at({toks}, i + 1)))"
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), "
+        "element_at(toks, i + 1)))"
     )
     counts = (
-        docs.filter(F.expr(f"size({toks}) >= 2"))
+        docs.select(F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
         .select(F.explode(F.expr(pairs)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
