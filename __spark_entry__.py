@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batched BPE: k symbol-disjoint merges per corpus pass — the
         # pass-count reduction a 10k-merge tokenizer build needs
         "bpe_train_merges_batched": textstats.bpe_train_merges_batched,
+        # substring-level near-dup pairs from the winnowing fingerprints
+        "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
+        # top principal direction via power iteration on the Gram matrix
+        "embedding_pca_power": similarity.embedding_pca_power,
         # reproducible DeepWalk-style sampler over the dup graph
         "neardup_random_walks": dedup.neardup_random_walks,
         # skip-gram (center, context) pairs from the walks
@@ -462,6 +466,8 @@ _SWEEP_PRIORITY = [
     # (3) new round-4 surfaces
     "sketch_error_bounds",
     "bpe_train_merges_batched",
+    "winnow_neardup_pairs",
+    "embedding_pca_power",
 ]
 
 

@@ -85,6 +85,8 @@ HEADLINE = [
     # round-4 additions
     "sketch_error_bounds",
     "bpe_train_merges_batched",
+    "winnow_neardup_pairs",
+    "embedding_pca_power",
 ]
 
 

@@ -779,3 +779,79 @@ def embedding_norms_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         grid_round(l2_norm_rowwise("embedding"), 6).alias("l2_norm"),
     )
+
+PCA_POWER_STEPS = 3
+
+
+def embedding_pca_power(
+    spark: SparkSession, sf_dir: str, steps: int = PCA_POWER_STEPS
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION on the distributed Gram matrix — the step after
+    :func:`embedding_gram_matrix` in a PCA/whitening pipeline: at
+    100 TB the corpus-scale work is the one Gram pass (X^T X partials,
+    d^2 longs per task); the iteration itself runs on the d x d
+    relation (driver-scale rows, but expressed as DataFrame joins so
+    the same code serves d in the thousands).
+
+    Determinism contract (every hashed value identical IEEE ops in
+    both engines): the Gram stays in micro-unit LONGs; each
+    matrix-vector term is ``floor((g/1e6) * (v/1e6) * 1e6 + 0.5)``
+    summed as integers; the norm accumulates squared micro-terms the
+    same way; and the normalized vector re-quantizes through the
+    correctly-rounded ``sqrt`` (IEEE 754 exact-rounded, so
+    libm-agnostic). v0 = 1/8 exactly (1/sqrt(64) is a power of two).
+    Output: (component, v_micros, lambda_micros) — the unit
+    eigenvector estimate after ``steps`` iterations and the Rayleigh
+    estimate ||G v|| from the final multiply."""
+    tri = embedding_gram_matrix(spark, sf_dir)
+    full = tri.unionByName(
+        tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"
+        )
+    ).localCheckpoint()
+    v = spark.range(1, N_DIMS + 1).select(
+        F.col("id").alias("j"),
+        F.lit(125000).cast("long").alias("v_micros"),
+    )
+    n2 = None
+    for _ in range(steps):
+        w = (
+            full.join(F.broadcast(v), "j")
+            .select(
+                "i",
+                F.expr(
+                    "CAST(floor((gram_micros / 1e6) * (v_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w_micros"))
+        )
+        n2 = w.agg(
+            F.sum(
+                F.expr(
+                    "CAST(floor((w_micros / 1e6) * (w_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                )
+            ).alias("n2_micros")
+        )
+        v = (
+            w.crossJoin(F.broadcast(n2))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    "CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                ).alias("v_micros"),
+            )
+            .localCheckpoint()
+        )
+    lam = n2.select(
+        F.expr(
+            "CAST(floor(sqrt(n2_micros / 1e6) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lambda_micros")
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").alias("component"), "v_micros", "lambda_micros"
+    )

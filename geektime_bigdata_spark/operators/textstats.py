@@ -198,6 +198,47 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MIN_SHARED = 3  # shared fingerprints to call a pair near-dup
+WINNOW_MAX_DF = 64  # drop fingerprints present in more docs (hub guard)
+
+
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs from the winnowing fingerprints —
+    the PAIR JOIN that completes :func:`rolling_fingerprints`: two
+    documents sharing >= ``WINNOW_MIN_SHARED`` distinct window
+    fingerprints share (with winnowing's guarantee) correspondingly
+    long verbatim character runs, the signal that catches COPIED
+    PASSAGES inside otherwise-different documents — which whole-doc
+    hashing (:func:`doc_fingerprints`) and word-shingle Jaccard both
+    dilute away.
+
+    Scale shape: the standard postings discipline — one distinct
+    (doc_id, fp) relation, ultra-common fingerprints dropped first
+    (df > ``WINNOW_MAX_DF``: boilerplate windows that would expand
+    quadratically, the same hub guard the LSH band join applies), then
+    a self-join keyed on the fingerprint so cost is bounded by
+    per-fingerprint doc lists, never |docs|^2. Output:
+    (doc_a, doc_b, n_shared) with doc_a < doc_b."""
+    fps = (
+        rolling_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(
+        df_counts.filter(F.col("df") <= WINNOW_MAX_DF).select("fp"), "fp"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: md5 over normalized text (lowercase,
     trimmed, whitespace collapsed) — the key an exact-dedup or incremental

@@ -594,3 +594,45 @@ def test_bpe_batched_overlap_parity(spark, monkeypatch):
     # 4 adjacent occurrences, left-to-right keeps offsets 0 and 2
     assert r["pair"] == "a a" and r["pair_count"] == 4
     assert r["n_tokens_after"] == 5 - 2
+
+
+def test_winnow_pairs_catch_copied_passage(spark, monkeypatch):
+    """Two documents sharing a long verbatim passage must pair via
+    shared winnowing fingerprints; an unrelated doc must not."""
+    from geektime_bigdata_spark.operators import textstats
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + passage + " closing remarks"),
+            (2, "completely different opening " + passage),
+            (3, "zebras yawn under violet xylophones quietly humming"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.textstats.parallel_table",
+        lambda *a: docs,
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in textstats.winnow_neardup_pairs(spark, "x").collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_pca_power_unit_norm_and_determinism(spark, sf_dir):
+    """The power-iteration output is a unit vector on the micro grid
+    (norm within rounding of 1), carries a positive Rayleigh estimate,
+    and is bit-stable across invocations."""
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+
+    r1 = sorted(map(tuple, embedding_pca_power(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, embedding_pca_power(spark, sf_dir).collect()))
+    assert r1 == r2 and len(r1) == 64
+    norm2 = sum((v / 1e6) ** 2 for _, v, _ in r1)
+    assert abs(norm2 - 1.0) < 1e-3
+    assert r1[0][2] > 0  # lambda_micros positive on a PSD Gram
