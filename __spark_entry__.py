@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges_batched": textstats.bpe_train_merges_batched,
         # substring-level near-dup pairs from the winnowing fingerprints
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
+        # character-level near-dups: blocked Levenshtein record linkage
+        "edit_distance_pairs": dedup.edit_distance_pairs,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # reproducible DeepWalk-style sampler over the dup graph
@@ -468,6 +470,7 @@ _SWEEP_PRIORITY = [
     "bpe_train_merges_batched",
     "winnow_neardup_pairs",
     "embedding_pca_power",
+    "edit_distance_pairs",
 ]
 
 

@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_train_merges_batched",
     "winnow_neardup_pairs",
     "embedding_pca_power",
+    "edit_distance_pairs",
 ]
 
 

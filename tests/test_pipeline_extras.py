@@ -636,3 +636,32 @@ def test_pca_power_unit_norm_and_determinism(spark, sf_dir):
     norm2 = sum((v / 1e6) ** 2 for _, v, _ in r1)
     assert abs(norm2 - 1.0) < 1e-3
     assert r1[0][2] > 0  # lambda_micros positive on a PSD Gram
+
+
+def test_edit_distance_pairs_blocking_and_threshold(spark, monkeypatch):
+    """Blocked Levenshtein linkage: same-16-char-prefix docs pair when
+    their 64-char heads are within the threshold; a doc differing
+    inside the blocking prefix never becomes a candidate (documented
+    single-key blocking tradeoff)."""
+    from geektime_bigdata_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    typo = "the quick brown fox jumps over the hazy dog near the rivet"
+    far = "the quick brown cat sleeps all day ignoring every passerby"
+    prefix_edit = "thf quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [(1, base), (2, typo), (3, far), (4, prefix_edit)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.table", lambda *a: docs
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_pairs(spark, "x").collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] == 2
+    # doc 3 shares the block ('the quick brown ') but its head is
+    # > 24 edits away; doc 4's prefix edit removes it from the block
+    assert (1, 3) not in rows
+    assert all(4 not in p for p in rows)

@@ -71,6 +71,11 @@ OPS = [
     "source_mix_weights",
     "token_entropy_scores",
     "neardup_pair_features",
+    # round 4
+    "sketch_error_bounds",
+    "bpe_train_merges_batched",
+    "winnow_neardup_pairs",
+    "embedding_pca_power",
 ]
 
 
