@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         # character-level near-dups: blocked Levenshtein record linkage
         "edit_distance_pairs": dedup.edit_distance_pairs,
+        # BPE inference: apply the learned merges, fingerprint streams
+        "bpe_encode_corpus": textstats.bpe_encode_corpus,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # reproducible DeepWalk-style sampler over the dup graph
@@ -471,6 +473,7 @@ _SWEEP_PRIORITY = [
     "winnow_neardup_pairs",
     "embedding_pca_power",
     "edit_distance_pairs",
+    "bpe_encode_corpus",
 ]
 
 

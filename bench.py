@@ -88,6 +88,7 @@ HEADLINE = [
     "winnow_neardup_pairs",
     "embedding_pca_power",
     "edit_distance_pairs",
+    "bpe_encode_corpus",
 ]
 
 

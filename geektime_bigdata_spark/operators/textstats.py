@@ -1347,3 +1347,50 @@ def bpe_train_merges_batched(
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of BPE: apply the merges
+    :func:`bpe_train_merges` learns (same greedy corpus-top-pair rule,
+    same run/parity overlap resolution) and emit each document's
+    encoded stream as (n_tokens, md5 fingerprint of the
+    space-joined tokens) — the narrow, hashable surface of "tokenize
+    the corpus with the trained tokenizer", which is what a training
+    run actually ships to the data loader.
+
+    Mirrors the trainer loop exactly (the learned merge table IS the
+    replay schedule), so the oracle reuses the trainer's unrolled CTE
+    chain with a per-document final aggregate. Scale shape: identical
+    to the trainer — per-step window passes + broadcast of the 1-row
+    learned pair; the final fingerprint is one hash-partitioned
+    aggregate on doc_id with an in-row sort (sort_array over
+    (pos, tok) structs), no global order."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+        )
+        .select("doc_id", "pos", "tok")
+    )
+    stream = toks.localCheckpoint()
+    for _ in range(BPE_TRAIN_STEPS):
+        stream, _top = _bpe_merge_once(stream)
+        stream = stream.localCheckpoint()
+    return stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok))),"
+                    " s -> s.tok)"
+                ),
+                " ",
+            )
+        ).alias("encoded_md5"),
+    )
