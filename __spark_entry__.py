@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": textstats.bpe_encode_corpus,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
+        # top-2 directions: power iteration + Hotelling deflation
+        "embedding_pca_top2": similarity.embedding_pca_top2,
         # reproducible DeepWalk-style sampler over the dup graph
         "neardup_random_walks": dedup.neardup_random_walks,
         # skip-gram (center, context) pairs from the walks
@@ -474,6 +476,7 @@ _SWEEP_PRIORITY = [
     "embedding_pca_power",
     "edit_distance_pairs",
     "bpe_encode_corpus",
+    "embedding_pca_top2",
 ]
 
 

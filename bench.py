@@ -89,6 +89,7 @@ HEADLINE = [
     "embedding_pca_power",
     "edit_distance_pairs",
     "bpe_encode_corpus",
+    "embedding_pca_top2",
 ]
 
 

@@ -665,3 +665,26 @@ def test_edit_distance_pairs_blocking_and_threshold(spark, monkeypatch):
     # > 24 edits away; doc 4's prefix edit removes it from the block
     assert (1, 3) not in rows
     assert all(4 not in p for p in rows)
+
+
+def test_pca_top2_orthogonal_unit_vectors(spark, sf_dir):
+    """Deflation + the final Gram-Schmidt projection must leave v2
+    orthogonal to v1 up to grid rounding, both unit-norm, with
+    lambda1 >= lambda2 > 0."""
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_pca_top2,
+    )
+
+    rows = embedding_pca_top2(spark, sf_dir).collect()
+    assert len(rows) == 64
+    v1 = [r["v1_micros"] / 1e6 for r in rows]
+    v2 = [r["v2_micros"] / 1e6 for r in rows]
+    dot = sum(a * b for a, b in zip(v1, v2))
+    assert abs(dot) < 1e-3
+    assert abs(sum(a * a for a in v1) - 1.0) < 1e-3
+    assert abs(sum(b * b for b in v2) - 1.0) < 1e-3
+    # fixed-step power iteration on a near-degenerate spectrum (gap
+    # ratio ~0.98 at sf0.001) may order the two Rayleigh estimates
+    # either way; assert positivity and near-ordering, not strict order
+    l1, l2 = rows[0]["lambda1_micros"], rows[0]["lambda2_micros"]
+    assert l1 > 0 and l2 > 0 and l2 <= l1 * 1.05
