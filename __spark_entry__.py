@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_neardup_pairs": textstats.winnow_neardup_pairs,
         # character-level near-dups: blocked Levenshtein record linkage
         "edit_distance_pairs": dedup.edit_distance_pairs,
+        # second blocking key: sorted-neighborhood (suffix-anchored)
+        "edit_distance_pairs_snm": dedup.edit_distance_pairs_snm,
         # BPE inference: apply the learned merges, fingerprint streams
         "bpe_encode_corpus": textstats.bpe_encode_corpus,
         # top principal direction via power iteration on the Gram matrix
@@ -477,6 +479,7 @@ _SWEEP_PRIORITY = [
     "edit_distance_pairs",
     "bpe_encode_corpus",
     "embedding_pca_top2",
+    "edit_distance_pairs_snm",
 ]
 
 

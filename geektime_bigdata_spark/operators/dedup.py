@@ -1535,3 +1535,68 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= ED_MAX_DIST)
     )
+
+SNM_WINDOW = 8  # sorted-neighborhood comparison window
+SNM_BLOCK_CHARS = 2  # sort-key prefix that scopes each window partition
+
+
+def edit_distance_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD pass of the edit-distance linkage — the
+    second blocking key that recovers what :func:`edit_distance_pairs`'
+    prefix blocking structurally misses (an edit INSIDE the first 16
+    characters moves a record out of its block): records sort by the
+    REVERSED 64-char head (suffix-anchored, so a prefix edit barely
+    moves the sort position) and every record is compared only to its
+    ``SNM_WINDOW`` successors in that order — the classic SNM recipe,
+    with the window partitioned by a short sort-key prefix so the sort
+    and the pairing both distribute (a window at a block boundary
+    truncates; the standard blocked-SNM recall tradeoff, symmetric to
+    pass one's). Candidates are <= W per record — linear by
+    construction, no block-size cap needed. Production recall stacks
+    both passes; each is registered separately so the driver checks
+    them independently. Output: (doc_a, doc_b, edit_dist), doc_a <
+    doc_b, threshold shared with pass one."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, ED_HEAD).alias("head"),
+        F.reverse(F.substring("text", 1, ED_HEAD)).alias("skey"),
+    )
+    r = docs.select(
+        "doc_id",
+        "head",
+        "skey",
+        F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(
+                F.substring("skey", 1, SNM_BLOCK_CHARS)
+            ).orderBy("skey", "doc_id")
+        ),
+    )
+    a = r.select(
+        "blk",
+        F.col("rn").alias("rn_a"),
+        F.col("doc_id").alias("da"),
+        F.col("head").alias("ha"),
+    )
+    b = r.select(
+        "blk",
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("db"),
+        F.col("head").alias("hb"),
+    )
+    return (
+        a.join(
+            b,
+            (a.blk == b.blk)
+            & (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + F.lit(SNM_WINDOW)),
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= ED_MAX_DIST)
+    )

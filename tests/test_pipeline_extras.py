@@ -688,3 +688,28 @@ def test_pca_top2_orthogonal_unit_vectors(spark, sf_dir):
     # either way; assert positivity and near-ordering, not strict order
     l1, l2 = rows[0]["lambda1_micros"], rows[0]["lambda2_micros"]
     assert l1 > 0 and l2 > 0 and l2 <= l1 * 1.05
+
+
+def test_snm_pass_catches_prefix_edit(spark, monkeypatch):
+    """The suffix-anchored sorted-neighborhood pass must pair the
+    prefix-edited document pass one structurally misses (the same
+    fixture test_edit_distance_pairs_blocking_and_threshold proves
+    pass one drops)."""
+    from geektime_bigdata_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    prefix_edit = "thf quick brown fox jumps over the lazy dog near the river"
+    far = "zebras yawn under violet xylophones quietly humming all day"
+    docs = spark.createDataFrame(
+        [(1, base), (2, prefix_edit), (3, far)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        "geektime_bigdata_spark.operators.dedup.table", lambda *a: docs
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_pairs_snm(spark, "x").collect()
+    }
+    assert rows.get((1, 2)) == 1
+    assert all(3 not in p for p in rows)
