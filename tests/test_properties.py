@@ -1032,3 +1032,88 @@ def test_mixture_allocation_reference(spark, tmp_path_factory, docs):
         for s in tokens
     }
     assert got == ref, (got, ref)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=2,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_batched_equals_reference(spark, tmp_path_factory, docs):
+    """The batched trainer must equal a literal Python replay of its
+    documented rule on arbitrary streams: rank pairs (count desc, pair
+    asc), keep a top-4 candidate iff symbol-disjoint from EVERY
+    higher-ranked candidate (including its minted merge symbol), apply
+    the kept merges simultaneously with left-to-right overlap
+    resolution. The 3-letter alphabet forces both same-symbol runs and
+    dense conflicts inside the top-4 window."""
+    from collections import Counter
+
+    from geektime_bigdata_spark.operators.textstats import (
+        bpe_train_merges_batched,
+    )
+
+    def ref(streams, rounds, k=4):
+        out = []
+        for step in range(1, rounds + 1):
+            c: Counter = Counter()
+            for s in streams:
+                for x, y in zip(s, s[1:]):
+                    c[(x, y)] += 1
+            if not c:
+                break
+            ranked = sorted(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )[:k]
+            kept = []
+            for (x, y), cnt in ranked:
+                syms = {x, y, x + "_" + y}
+                hi_conflict = False
+                for (hx, hy), _ in ranked:
+                    if (hx, hy) == (x, y):
+                        break  # only candidates ranked ABOVE
+                    if syms & {hx, hy, hx + "_" + hy}:
+                        hi_conflict = True
+                        break
+                if not hi_conflict:
+                    kept.append(((x, y), cnt))
+            sel = {p for p, _ in kept}
+            nxt = []
+            for s in streams:
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) in sel:
+                        r.append(s[i] + "_" + s[i + 1])
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                nxt.append(r)
+            streams = nxt
+            n_after = sum(len(s) for s in streams)
+            for rank, ((x, y), cnt) in enumerate(kept, 1):
+                out.append((step, rank, f"{x} {y}", cnt, n_after))
+        return out
+
+    d = tmp_path_factory.mktemp("bpeb")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    expect = ref([t.split(" ") for t in docs], 2)
+    got = sorted(
+        map(tuple, bpe_train_merges_batched(spark, str(d)).collect())
+    )
+    assert got == sorted(expect), (got, expect)
