@@ -212,27 +212,39 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing (:func:`doc_fingerprints`) and word-shingle Jaccard both
     dilute away.
 
-    Scale shape: the standard postings discipline — one distinct
-    (doc_id, fp) relation, ultra-common fingerprints dropped first
-    (df > ``WINNOW_MAX_DF``: boilerplate windows that would expand
-    quadratically, the same hub guard the LSH band join applies), then
-    a self-join keyed on the fingerprint so cost is bounded by
-    per-fingerprint doc lists, never |docs|^2. Output:
+    Scale shape: one distinct (doc_id, fp) relation grouped BY
+    fingerprint into per-fp doc lists; lists longer than
+    ``WINNOW_MAX_DF`` are dropped whole (boilerplate windows that
+    would expand quadratically — the hub guard every candidate
+    generator here applies) and pairs expand IN-ROW from the bounded
+    list (nested ``transform`` + ``a < b`` filter), so the whole op is
+    two hash shuffles (fp, then pair) with NO join at all — the
+    posting pipeline is computed exactly once, where a fp-keyed
+    self-join would re-derive it per side. Output:
     (doc_a, doc_b, n_shared) with doc_a < doc_b."""
     fps = (
         rolling_fingerprints(spark, sf_dir)
         .select("doc_id", "fp")
         .distinct()
     )
-    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    rare = fps.join(
-        df_counts.filter(F.col("df") <= WINNOW_MAX_DF).select("fp"), "fp"
+    lists = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= F.lit(WINNOW_MAX_DF))
+        )
     )
-    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ds, x -> transform(ds,"
+                " y -> struct(x AS doc_a, y AS doc_b)))),"
+                " p -> p.doc_a < p.doc_b)"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
