@@ -805,7 +805,9 @@ def embedding_pca_power(
     Output: (component, v_micros, lambda_micros) — the unit
     eigenvector estimate after ``steps`` iterations and the Rayleigh
     estimate ||G v|| from the final multiply."""
-    tri = embedding_gram_matrix(spark, sf_dir)
+    # the union references tri twice; checkpoint so the corpus-scale
+    # Gram pass (mapInPandas einsum) runs once, not per reference
+    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint()
     full = tri.unionByName(
         tri.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"
@@ -881,7 +883,9 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-exactly either way.
     Output: (component, v1_micros, v2_micros, lambda1_micros,
     lambda2_micros) — 64 rows, both unit vectors on the micro grid."""
-    tri = embedding_gram_matrix(spark, sf_dir)
+    # the union references tri twice; checkpoint so the corpus-scale
+    # Gram pass (mapInPandas einsum) runs once, not per reference
+    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint()
     full = tri.unionByName(
         tri.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"

@@ -247,7 +247,10 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # --- Misra-Gries heavy-hitter survival ---
-    exact_terms = frequent_terms_exact(spark, sf_dir)
+    # vocab-sized relation referenced twice (corpus total + the
+    # survival join): checkpoint so the token-explode aggregate runs
+    # once, not once per reference
+    exact_terms = frequent_terms_exact(spark, sf_dir).localCheckpoint()
     mg = frequent_terms_mg(spark, sf_dir)
     total = exact_terms.agg(F.sum("n").alias("big_n"))
     hh = (
