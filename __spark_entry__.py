@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs_snm": dedup.edit_distance_pairs_snm,
         # BPE inference: apply the learned merges, fingerprint streams
         "bpe_encode_corpus": textstats.bpe_encode_corpus,
+        # quality-classifier training: 2 logistic-regression GD steps
+        "quality_logreg_step": textstats.quality_logreg_step,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # top-2 directions: power iteration + Hotelling deflation
@@ -480,6 +482,7 @@ _SWEEP_PRIORITY = [
     "bpe_encode_corpus",
     "embedding_pca_top2",
     "edit_distance_pairs_snm",
+    "quality_logreg_step",
 ]
 
 

@@ -90,6 +90,7 @@ HEADLINE = [
     "edit_distance_pairs",
     "bpe_encode_corpus",
     "embedding_pca_top2",
+    "quality_logreg_step",
 ]
 
 

@@ -1406,3 +1406,103 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("encoded_md5"),
     )
+
+
+LOGREG_FEATURES = 4  # bias + 3 quality features
+
+
+def quality_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full-batch gradient steps of logistic regression predicting
+    the blocklist keep flag from quality features — the ML-training
+    primitive next to :func:`...similarity.kmeans_step`: a quality
+    CLASSIFIER is how production curation generalizes beyond
+    hand-written rules, and its training loop at corpus scale is
+    exactly this shape (per-row gradient contributions folded by one
+    aggregate per step; the weight vector — the only driver-scale
+    state — broadcast back).
+
+    Features per doc: x0 = 1 (bias), x1 = min(n_tokens/100, 1),
+    x2 = distinct_ratio, x3 = 1 - stopword_ratio (all snapped to the
+    1e-6 grid first); label y = the blocklist keep rule
+    (20 * hits < n_tokens). Step 1 starts at w = 0 where the sigmoid
+    is EXACTLY 0.5 (no transcendental at all); step 2 evaluates the
+    real sigmoid at w1 with the exp/grid recipe the recency oracle
+    proved engine-identical: z accumulates per-feature micro-quantized
+    products as integers, p = 1/(1+exp(-z)) snaps to the grid BEFORE
+    entering the gradient, and each gradient term micro-quantizes
+    before the integer fold — every hashed value is identical IEEE ops
+    in both engines. Output: one row per feature,
+    (feature, w_micros after step 1, grad_micros at w1)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join("'" + w + "'" for w in STOPWORDS)
+    lst = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    staged = docs.select(F.split(F.col("text"), " ").alias("toks")).select(
+        "toks",
+        F.expr("size(toks)").alias("n"),
+        F.expr(f"size(filter(toks, t -> t IN ({lst})))").alias("hits"),
+        F.expr("size(array_distinct(toks))").alias("n_types"),
+        F.expr(
+            f"size(filter(toks, w -> w IN ({stop_arr})))"
+        ).alias("n_stop"),
+    )
+    feats = staged.select(
+        F.expr("CASE WHEN 20 * hits < n THEN 1 ELSE 0 END").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.expr(
+            "floor(least(n / 100.0D, 1.0D) * 1000000.0D + 0.5D)"
+            " / 1000000.0D"
+        ).alias("x1"),
+        F.expr(
+            "floor((CAST(n_types AS DOUBLE) / n) * 1000000.0D + 0.5D)"
+            " / 1000000.0D"
+        ).alias("x2"),
+        F.expr(
+            "floor((1.0D - CAST(n_stop AS DOUBLE) / n) * 1000000.0D"
+            " + 0.5D) / 1000000.0D"
+        ).alias("x3"),
+    ).localCheckpoint()  # two gradient passes read the same features
+
+    def grad_cols(p_expr: str) -> list:
+        return [
+            F.expr(
+                f"CAST(sum(CAST(floor(({p_expr} - y) * x{k}"
+                f" * 1000000.0D + 0.5D) AS BIGINT)) AS BIGINT)"
+            ).alias(f"g{k}")
+            for k in range(LOGREG_FEATURES)
+        ] + [F.count(F.lit(1)).alias("n_docs")]
+
+    # step 1: w = 0 -> p = 0.5 exactly
+    g0 = feats.agg(*grad_cols("0.5D"))
+    w1 = g0.select(
+        *[
+            F.expr(
+                f"CAST(floor(-(g{k} / 1000000.0D / n_docs)"
+                f" * 1000000.0D + 0.5D) AS BIGINT)"
+            ).alias(f"w{k}")
+            for k in range(LOGREG_FEATURES)
+        ]
+    )
+    # step 2: real sigmoid at w1 (z folds per-feature micro products)
+    z_terms = " + ".join(
+        f"CAST(floor((w{k} / 1000000.0D) * x{k} * 1000000.0D + 0.5D)"
+        f" AS BIGINT)"
+        for k in range(LOGREG_FEATURES)
+    )
+    p = (
+        "(floor((1.0D / (1.0D + exp(-(CAST(({z}) AS DOUBLE)"
+        " / 1000000.0D)))) * 1000000.0D + 0.5D) / 1000000.0D)"
+    ).format(z=z_terms)
+    g1 = feats.crossJoin(F.broadcast(w1)).agg(*grad_cols(p))
+    stacked_w = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS feature, w{k} AS w_micros)"
+        for k in range(LOGREG_FEATURES)
+    )
+    stacked_g = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS feature, g{k} AS grad_micros)"
+        for k in range(LOGREG_FEATURES)
+    )
+    wt = w1.selectExpr(f"inline(array({stacked_w}))")
+    gt = g1.selectExpr(f"inline(array({stacked_g}))")
+    return wt.join(gt, "feature").select(
+        "feature", "w_micros", "grad_micros"
+    )

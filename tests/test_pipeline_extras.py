@@ -713,3 +713,56 @@ def test_snm_pass_catches_prefix_edit(spark, monkeypatch):
     }
     assert rows.get((1, 2)) == 1
     assert all(3 not in p for p in rows)
+
+
+def test_quality_logreg_step_matches_python_recompute(spark, sf_dir):
+    """Both gradient steps recomputed in pure Python (same grid ops)
+    must match the distributed result exactly."""
+    import math
+
+    from geektime_bigdata_spark.operators.textstats import (
+        BLOCKLIST,
+        STOPWORDS,
+        quality_logreg_step,
+    )
+
+    rows = {
+        r["feature"]: r
+        for r in quality_logreg_step(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+
+    def g(x):  # grid snap
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    feats = []
+    for d in table(spark, sf_dir, "documents").select("text").collect():
+        toks = d["text"].split(" ")
+        n = len(toks)
+        hits = sum(1 for t in toks if t in BLOCKLIST)
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        y = 1 if 20 * hits < n else 0
+        feats.append(
+            (
+                y,
+                [1.0, g(min(n / 100.0, 1.0)), g(len(set(toks)) / n),
+                 g(1.0 - n_stop / n)],
+            )
+        )
+    n_docs = len(feats)
+    g0 = [
+        sum(math.floor((0.5 - y) * x[k] * 1e6 + 0.5) for y, x in feats)
+        for k in range(4)
+    ]
+    w1 = [math.floor(-(gk / 1e6 / n_docs) * 1e6 + 0.5) for gk in g0]
+    g1 = [0] * 4
+    for y, x in feats:
+        z = sum(
+            math.floor((w1[k] / 1e6) * x[k] * 1e6 + 0.5) for k in range(4)
+        )
+        p = g(1.0 / (1.0 + math.exp(-(z / 1e6))))
+        for k in range(4):
+            g1[k] += math.floor((p - y) * x[k] * 1e6 + 0.5)
+    for k in range(4):
+        assert rows[k]["w_micros"] == w1[k], k
+        assert rows[k]["grad_micros"] == g1[k], k
