@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": textstats.bpe_encode_corpus,
         # quality-classifier training: 2 logistic-regression GD steps
         "quality_logreg_step": textstats.quality_logreg_step,
+        # CCNet-shape bigram LM scoring (conditional log-probs)
+        "bigram_logprob_scores": textstats.bigram_logprob_scores,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # top-2 directions: power iteration + Hotelling deflation
@@ -483,6 +485,7 @@ _SWEEP_PRIORITY = [
     "embedding_pca_top2",
     "edit_distance_pairs_snm",
     "quality_logreg_step",
+    "bigram_logprob_scores",
 ]
 
 

@@ -91,6 +91,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "embedding_pca_top2",
     "quality_logreg_step",
+    "bigram_logprob_scores",
 ]
 
 

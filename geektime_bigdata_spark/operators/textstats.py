@@ -1506,3 +1506,64 @@ def quality_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wt.join(gt, "feature").select(
         "feature", "w_micros", "grad_micros"
     )
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: per-document mean CONDITIONAL
+    log-probability ``ln p(w2|w1)`` under the corpus's own bigram
+    distribution — one rung up from :func:`unigram_logprob_scores` and
+    the shape of the CCNet-style perplexity filter (a document whose
+    word TRANSITIONS are corpus-atypical scores low even when every
+    individual word is common — the signal that catches shuffled or
+    templated text a unigram model cannot).
+
+    Scale shape: bigrams expand IN-ROW from the staged token array
+    (one explode, no self-join); the bigram and context tables are two
+    hash aggregates; the score join is size-selected and deliberately
+    unhinted exactly like the unigram op (web-scale bigram vocabulary
+    degrades to a shuffle join, or truncates to top-K + OOV floor —
+    the standard compromise). Determinism: p = cnt/ctx is an
+    integer-ratio double, each ``ln p`` micro-quantizes to a LONG
+    before the per-doc integer sum, one grid round at the end; ``ln``
+    under the established libm-agreement precedent. MLE, no smoothing:
+    a document's own bigrams always have corpus count >= 1."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("ft"),
+    ).filter(F.expr("size(ft) >= 2"))
+    prs = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ft) - 1),"
+                " i -> struct(element_at(ft, i) AS w1,"
+                " element_at(ft, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = prs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    lp = F.floor(
+        F.log(F.expr("CAST(cnt AS DOUBLE) / ctx")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        prs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").alias("lp_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            grid_round(
+                (F.col("lp_micros") / F.lit(1e6)).cast("double")
+                / F.col("n_bigrams"),
+                6,
+            ).alias("avg_cond_logprob"),
+        )
+    )
