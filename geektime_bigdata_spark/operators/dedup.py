@@ -1561,42 +1561,38 @@ def edit_distance_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, ED_HEAD).alias("head"),
         F.reverse(F.substring("text", 1, ED_HEAD)).alias("skey"),
     )
+    # W lead() columns over the block window, NOT a rn-range self-join:
+    # an equi-join on blk evaluates the range predicate as a post-
+    # filter, silently going O(block^2) on big blocks (measured: a 4x
+    # corpus went from sub-second to minutes). Leads are exactly one
+    # window pass with W successors per row — linear by construction.
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    succ = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("d"),
+                F.lead("head", i).over(w).alias("h"),
+            )
+            for i in range(1, SNM_WINDOW + 1)
+        ]
+    )
     r = docs.select(
         "doc_id",
         "head",
         "skey",
         F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy(
-                F.substring("skey", 1, SNM_BLOCK_CHARS)
-            ).orderBy("skey", "doc_id")
-        ),
-    )
-    a = r.select(
-        "blk",
-        F.col("rn").alias("rn_a"),
-        F.col("doc_id").alias("da"),
-        F.col("head").alias("ha"),
-    )
-    b = r.select(
-        "blk",
-        F.col("rn").alias("rn_b"),
-        F.col("doc_id").alias("db"),
-        F.col("head").alias("hb"),
-    )
+    ).select("doc_id", "head", succ.alias("succ"))
     return (
-        a.join(
-            b,
-            (a.blk == b.blk)
-            & (F.col("rn_b") > F.col("rn_a"))
-            & (F.col("rn_b") <= F.col("rn_a") + F.lit(SNM_WINDOW)),
+        r.select(
+            "doc_id", "head", F.explode("succ").alias("s")
         )
+        .filter(F.col("s.d").isNotNull())
         .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+            F.least("doc_id", "s.d").alias("doc_a"),
+            F.greatest("doc_id", "s.d").alias("doc_b"),
+            F.levenshtein("head", F.col("s.h")).cast("long").alias(
+                "edit_dist"
+            ),
         )
         .filter(F.col("edit_dist") <= ED_MAX_DIST)
     )
