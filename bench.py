@@ -92,6 +92,7 @@ HEADLINE = [
     "embedding_pca_top2",
     "quality_logreg_step",
     "bigram_logprob_scores",
+    "edit_distance_pairs_snm",
 ]
 
 
