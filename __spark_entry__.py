@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg_step": textstats.quality_logreg_step,
         # CCNet-shape bigram LM scoring (conditional log-probs)
         "bigram_logprob_scores": textstats.bigram_logprob_scores,
+        # originality: fraction of shingles unique to the document
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # top-2 directions: power iteration + Hotelling deflation
@@ -486,6 +488,7 @@ _SWEEP_PRIORITY = [
     "edit_distance_pairs_snm",
     "quality_logreg_step",
     "bigram_logprob_scores",
+    "ngram_novelty_scores",
 ]
 
 

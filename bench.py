@@ -93,6 +93,7 @@ HEADLINE = [
     "quality_logreg_step",
     "bigram_logprob_scores",
     "edit_distance_pairs_snm",
+    "ngram_novelty_scores",
 ]
 
 

@@ -1596,3 +1596,45 @@ def edit_distance_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= ED_MAX_DIST)
     )
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ORIGINALITY: the fraction of a document's distinct
+    3-gram shingles that appear in NO other document (corpus document
+    frequency exactly 1) — the mirror image of
+    :func:`boilerplate_coverage` and the positive selection signal a
+    diversity-seeking curation pass ranks by (a corpus of high-novelty
+    documents maximizes unique n-gram mass per training token, where
+    dedup only removes the worst offenders).
+
+    Scale shape: the cached shingle relation, one df aggregate, a semi
+    join against the df=1 set, and the per-doc size aggregate shared
+    with the coverage query — all linear, all hash-partitioned on the
+    shingle/doc key. Docs under 3 tokens have no shingles and are
+    excluded (mirrored in the oracle); the only float is an
+    integer-ratio double on the 1e-6 grid."""
+    sh = _doc_shingles(spark, sf_dir)
+    unique = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") == 1)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(unique, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+            "n_novel"
+        ),
+        grid_round(
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+            / F.col("n_shingles"),
+            6,
+        ).alias("novelty_frac"),
+    )
