@@ -980,139 +980,40 @@ def lang_source_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_STEPS = 2
 
 
-def _bpe_merge_once(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE training step over a (doc_id, pos, tok) stream: find the
-    most frequent adjacent pair (count desc, pair asc tiebreak) and
-    merge its non-overlapping left-to-right occurrences. Returns
-    (new_stream, one-row summary df with pair/pair_count).
-
-    The greedy left-to-right rule is made order-free: occurrences of a
-    pair can only overlap when both symbols are equal, in which case
-    matched positions form CONSECUTIVE runs — and left-to-right
-    merging keeps exactly the even offsets within each run. Runs and
-    parities are window expressions, so the step is two window passes
-    + one join, no Python and no sequential scan."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = toks.withColumn("nxt", F.lead("tok").over(w))
-    pair_col = F.concat_ws(" ", F.col("tok"), F.col("nxt"))
-    counts = (
-        pairs.filter(F.col("nxt").isNotNull())
-        .groupBy(pair_col.alias("pair"))
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-    )
-    top = (
-        counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
-        .limit(1)
-    )
-    # matched positions of the top pair (broadcast 1-row top)
-    m = (
-        pairs.crossJoin(F.broadcast(top))
-        .withColumn("is_m", pair_col == F.col("pair"))
-    )
-    matched = m.filter(F.col("is_m")).select("doc_id", "pos")
-    w2 = Window.partitionBy("doc_id").orderBy("pos")
-    runs = matched.withColumn(
-        "new_run",
-        F.when(
-            F.lag("pos").over(w2) == F.col("pos") - 1, F.lit(0)
-        ).otherwise(F.lit(1)),
-    ).withColumn(
-        "run_id",
-        F.sum("new_run").over(
-            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    starts = (
-        runs.withColumn(
-            "run_start",
-            F.min("pos").over(Window.partitionBy("doc_id", "run_id")),
-        )
-        .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
-        # renamed keys: joining back on same-named columns would leave
-        # the NULL side of the left join shadowing doc_id
-        .select(F.col("doc_id").alias("sdoc"), F.col("pos").alias("mpos"))
-    )
-    merged = (
-        m.join(
-            starts,
-            (m.doc_id == F.col("sdoc")) & (m.pos == F.col("mpos")),
-            "left",
-        )
-        .withColumn("is_start", F.col("mpos").isNotNull())
-        .drop("sdoc", "mpos")
-    )
-    consumed = starts.select(
-        F.col("sdoc").alias("cdoc"), (F.col("mpos") + 1).alias("cpos")
-    )
-    nxt_stream = (
-        merged.join(
-            consumed,
-            (merged.doc_id == F.col("cdoc"))
-            & (merged.pos == F.col("cpos")),
-            "left_anti",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.col("is_start"),
-                F.concat_ws("_", F.col("tok"), F.col("nxt")),
-            )
-            .otherwise(F.col("tok"))
-            .alias("tok"),
-        )
-        .withColumn(
-            "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
-        )
-    )
-    return nxt_stream, top
-
-
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING loop (BPE_TRAIN_STEPS greedy merges over
-    the corpus token stream) — the iterative control flow a tokenizer
-    build runs, next to the static :func:`bpe_pair_counts` snapshot.
-    Per step: learn the top adjacent pair (count desc, lexicographic
-    tiebreak) and merge its non-overlapping occurrences corpus-wide;
-    emit (step, pair, pair_count, n_tokens_after). The token-count
-    trail validates the MERGE APPLICATION, not just pair selection —
-    n_tokens_after must drop by exactly the merged-occurrence count.
-
-    Scale shape: each step is two window passes + two joins, all hash
-    on doc_id, with the 1-row learned pair broadcast (no driver
-    scalar); the loop materializes localCheckpoint per step so the
-    plan does not grow multiplicatively. The DuckDB oracle unrolls
-    the same two steps with MATERIALIZED CTEs."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    # posexplode keeps the original token order explicitly
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
-        )
-        .filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
-        )
-        .select("doc_id", "pos", "tok")
-    )
+    the corpus) — ARRAY-NATIVE since round 4: the corpus stays
+    (doc_id, token-array) and each step is ONE pair-count aggregate
+    (the only shuffle) + a broadcast of the learned pair + an in-row
+    left-to-right merge fold (``_BPE_APPLY_EXPR``) — where the earlier
+    exploded-stream formulation ran three window passes and two joins
+    over the full token stream per step. Same greedy left-to-right
+    semantics (the fold IS the textbook definition — no run/parity
+    algebra needed when the merge happens sequentially within the
+    row); the DuckDB oracle and the hypothesis greedy-replay fuzz are
+    unchanged and pin the equivalence. Emits (step, pair, pair_count,
+    n_tokens_after); the token trail validates merge APPLICATION, not
+    just pair selection."""
+    docs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
     out = None
-    stream = toks.localCheckpoint()
     for step in range(1, BPE_TRAIN_STEPS + 1):
-        stream, top = _bpe_merge_once(stream)
-        stream = stream.localCheckpoint()
-        n_after = stream.groupBy().agg(
-            F.count(F.lit(1)).alias("n_tokens_after")
+        counts = _bpe_pair_counts_from(docs).withColumn(
+            "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
         )
-        row = (
-            top.crossJoin(F.broadcast(n_after))
-            .select(
-                F.lit(step).cast("long").alias("step"),
-                "pair",
-                "pair_count",
-                "n_tokens_after",
-            )
+        top = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        docs = _bpe_apply(docs, top.select("l", "r"))
+        n_after = docs.agg(
+            F.sum(F.size("arr")).cast("long").alias("n_tokens_after")
+        )
+        row = top.crossJoin(F.broadcast(n_after)).select(
+            F.lit(step).cast("long").alias("step"),
+            "pair",
+            "pair_count",
+            "n_tokens_after",
         )
         out = row if out is None else out.unionByName(row)
     return out
@@ -1198,9 +1099,8 @@ def bpe_train_merges_batched(
 ) -> DataFrame:
     """Batched BPE training: learn up to ``k`` SYMBOL-DISJOINT merges
     per corpus pass instead of one — the variant that makes a real
-    tokenizer build (10k+ merges) feasible, since corpus passes (the
-    expensive part: a full pair count + rewrite each) shrink from
-    ``n_merges`` to ``~n_merges/k``.
+    tokenizer build (10k+ merges) feasible, since corpus passes shrink
+    from ``n_merges`` to ``~n_merges/k``.
 
     Selection rule (deterministic, mirrored exactly in the oracle):
     rank the round's pairs by (count desc, pair asc); a candidate in
@@ -1208,42 +1108,18 @@ def bpe_train_merges_batched(
     merged} is disjoint from that of EVERY higher-ranked candidate in
     the window (kept or not). Kept pairs are therefore pairwise
     disjoint, so applying them simultaneously equals applying them
-    sequentially: no merge can create or destroy occurrences of
-    another (the fresh ``l_r`` symbol can only collide via the
-    merged-symbol term, which the conflict check includes). This is
-    the documented batched-BPE approximation — within a round the
-    trainer does not observe pairs created by that round's earlier
-    merges, the classic frequency-batching tradeoff.
-
-    The rewrite phase is the same run/parity machinery as
-    :func:`_bpe_merge_once`: disjointness guarantees adjacent matched
-    positions always belong to the SAME pair, so one window pass
-    handles overlap resolution for the whole batch at once. Output:
-    (step, merge_rank, pair, pair_count, n_tokens_after) — the token
-    trail validates simultaneous application, dropping by exactly the
-    round's total merged occurrences."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
-        )
-        .filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
-        )
-        .select("doc_id", "pos", "tok")
-    )
+    sequentially — and since round 4 the application IS simultaneous:
+    the kept set broadcasts into the same in-row left-to-right fold
+    the serial trainer uses (``_BPE_APPLY_EXPR`` matches ANY kept
+    pair at each position; disjointness guarantees the fold never has
+    to choose between overlapping kept pairs). One pair-count shuffle
+    per round, everything else in-row. Output: (step, merge_rank,
+    pair, pair_count, n_tokens_after)."""
+    docs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
     out = None
-    stream = toks.localCheckpoint()
     for step in range(1, rounds + 1):
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        pairs = stream.withColumn("nxt", F.lead("tok").over(w))
         ranked = (
-            pairs.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("tok").alias("l"), F.col("nxt").alias("r"))
-            .agg(F.count(F.lit(1)).alias("pair_count"))
+            _bpe_pair_counts_from(docs)
             .withColumn("pair", F.concat_ws(" ", F.col("l"), F.col("r")))
             .orderBy(F.col("pair_count").desc(), F.col("pair"))
             .limit(k)
@@ -1282,73 +1158,9 @@ def bpe_train_merges_batched(
             )
             .localCheckpoint()
         )
-        m = pairs.join(
-            F.broadcast(kept.select("l", "r")),
-            (pairs.tok == F.col("l")) & (pairs.nxt == F.col("r")),
-            "left",
-        ).withColumn("is_m", F.col("l").isNotNull()).drop("l", "r")
-        matched = m.filter(F.col("is_m")).select("doc_id", "pos")
-        w2 = Window.partitionBy("doc_id").orderBy("pos")
-        runs = matched.withColumn(
-            "new_run",
-            F.when(
-                F.lag("pos").over(w2) == F.col("pos") - 1, F.lit(0)
-            ).otherwise(F.lit(1)),
-        ).withColumn(
-            "run_id",
-            F.sum("new_run").over(
-                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        starts = (
-            runs.withColumn(
-                "run_start",
-                F.min("pos").over(Window.partitionBy("doc_id", "run_id")),
-            )
-            .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
-            .select(
-                F.col("doc_id").alias("sdoc"), F.col("pos").alias("mpos")
-            )
-        )
-        merged = (
-            m.join(
-                starts,
-                (m.doc_id == F.col("sdoc")) & (m.pos == F.col("mpos")),
-                "left",
-            )
-            .withColumn("is_start", F.col("mpos").isNotNull())
-            .drop("sdoc", "mpos")
-        )
-        consumed = starts.select(
-            F.col("sdoc").alias("cdoc"), (F.col("mpos") + 1).alias("cpos")
-        )
-        stream = (
-            merged.join(
-                consumed,
-                (merged.doc_id == F.col("cdoc"))
-                & (merged.pos == F.col("cpos")),
-                "left_anti",
-            )
-            .select(
-                "doc_id",
-                "pos",
-                F.when(
-                    F.col("is_start"),
-                    F.concat_ws("_", F.col("tok"), F.col("nxt")),
-                )
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .withColumn(
-                "pos",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("pos")
-                ),
-            )
-            .localCheckpoint()
-        )
-        n_after = stream.groupBy().agg(
-            F.count(F.lit(1)).alias("n_tokens_after")
+        docs = _bpe_apply(docs, kept.select("l", "r"))
+        n_after = docs.agg(
+            F.sum(F.size("arr")).cast("long").alias("n_tokens_after")
         )
         rows = kept.crossJoin(F.broadcast(n_after)).select(
             F.lit(step).cast("long").alias("step"),
@@ -1364,52 +1176,30 @@ def bpe_train_merges_batched(
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INFERENCE side of BPE: apply the merges
     :func:`bpe_train_merges` learns (same greedy corpus-top-pair rule,
-    same run/parity overlap resolution) and emit each document's
-    encoded stream as (n_tokens, md5 fingerprint of the
-    space-joined tokens) — the narrow, hashable surface of "tokenize
-    the corpus with the trained tokenizer", which is what a training
-    run actually ships to the data loader.
-
-    Mirrors the trainer loop exactly (the learned merge table IS the
-    replay schedule), so the oracle reuses the trainer's unrolled CTE
-    chain with a per-document final aggregate. Scale shape: identical
-    to the trainer — per-step window passes + broadcast of the 1-row
-    learned pair; the final fingerprint is one hash-partitioned
-    aggregate on doc_id with an in-row sort (sort_array over
-    (pos, tok) structs), no global order."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
-        )
-        .filter(F.col("tok") != "")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
-        )
-        .select("doc_id", "pos", "tok")
-    )
-    stream = toks.localCheckpoint()
+    same in-row left-to-right fold) and emit each document's encoded
+    stream as (n_tokens, md5 fingerprint of the space-joined tokens) —
+    the narrow, hashable surface of "tokenize the corpus with the
+    trained tokenizer". Array-native like the trainer: one pair-count
+    shuffle per learned merge, the application in-row, and the final
+    fingerprint needs NO sort at all (the array is already in document
+    order). The oracle reuses the trainer's unrolled CTE chain with a
+    per-document final aggregate, so train and encode verify each
+    other."""
+    docs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
     for _ in range(BPE_TRAIN_STEPS):
-        stream, _top = _bpe_merge_once(stream)
-        stream = stream.localCheckpoint()
-    return stream.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, tok))),"
-                    " s -> s.tok)"
-                ),
-                " ",
-            )
-        ).alias("encoded_md5"),
+        counts = _bpe_pair_counts_from(docs).withColumn(
+            "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
+        )
+        top = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+        )
+        docs = _bpe_apply(docs, top.select("l", "r"))
+    return docs.filter(F.size("arr") >= 1).select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("arr", " ")).alias("encoded_md5"),
     )
-
-
-LOGREG_FEATURES = 4  # bias + 3 quality features
-
 
 def quality_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO full-batch gradient steps of logistic regression predicting
@@ -1566,4 +1356,68 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_cond_logprob"),
         )
+    )
+
+
+def _bpe_corpus_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr) with empty tokens dropped — the array-native BPE
+    corpus representation: the whole merge step then happens IN-ROW
+    (no per-step shuffle of the token stream at all; only the pair
+    COUNT aggregates)."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("arr"),
+    )
+
+
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN size(arr) >= 2 THEN transform(sequence(1, size(arr) - 1),"
+    " i -> struct(element_at(arr, i) AS l, element_at(arr, i + 1) AS r))"
+    " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+)
+
+# left-to-right greedy merge of every (l, r) in the broadcast `kept`
+# array, as ONE sequential fold per row: state = (result, skip-next);
+# EXISTS over the tiny kept set per position. `sequence(1, 0)` would
+# DESCEND, hence the size guard.
+_BPE_APPLY_EXPR = (
+    "CASE WHEN size(arr) < 2 THEN arr ELSE"
+    " aggregate(transform(sequence(1, size(arr)),"
+    "   i -> named_struct('cur', element_at(arr, i),"
+    "     'nxt', CASE WHEN i < size(arr) THEN element_at(arr, i + 1)"
+    "            ELSE CAST(NULL AS STRING) END)),"
+    "  named_struct('res', CAST(array() AS array<string>),"
+    "               'skip', false),"
+    "  (s, e) -> CASE"
+    "    WHEN s.skip THEN named_struct('res', s.res, 'skip', false)"
+    "    WHEN exists(kept, p -> p.l = e.cur AND p.r = e.nxt)"
+    "      THEN named_struct('res', concat(s.res,"
+    "             array(concat(e.cur, '_', e.nxt))), 'skip', true)"
+    "    ELSE named_struct('res', concat(s.res, array(e.cur)),"
+    "                      'skip', false) END,"
+    "  s -> s.res) END"
+)
+
+
+def _bpe_pair_counts_from(docs: DataFrame) -> DataFrame:
+    """(l, r, pair_count) over the array corpus — the step's ONE
+    shuffle."""
+    return (
+        docs.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
+def _bpe_apply(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Apply the broadcast kept-pair set in-row; returns the merged
+    (doc_id, arr) corpus."""
+    kept_row = kept.groupBy().agg(
+        F.expr("collect_list(struct(l, r))").alias("kept")
+    )
+    return (
+        docs.crossJoin(F.broadcast(kept_row))
+        .select("doc_id", F.expr(_BPE_APPLY_EXPR).alias("arr"))
+        .localCheckpoint()
     )
