@@ -1201,6 +1201,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("arr", " ")).alias("encoded_md5"),
     )
 
+
+LOGREG_FEATURES = 4  # bias + 3 quality features
+
+
 def quality_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO full-batch gradient steps of logistic regression predicting
     the blocklist keep flag from quality features — the ML-training
