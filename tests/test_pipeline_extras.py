@@ -766,3 +766,98 @@ def test_quality_logreg_step_matches_python_recompute(spark, sf_dir):
     for k in range(4):
         assert rows[k]["w_micros"] == w1[k], k
         assert rows[k]["grad_micros"] == g1[k], k
+
+
+def test_bigram_logprob_matches_python_recompute(spark, sf_dir):
+    """Per-doc conditional log-prob recomputed in pure Python with the
+    same grid ops must match every row."""
+    import math
+    from collections import Counter
+
+    from geektime_bigdata_spark.operators.textstats import (
+        bigram_logprob_scores,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_logprob_scores(spark, sf_dir).collect()
+    }
+    docs = {
+        d["doc_id"]: [t for t in d["text"].split(" ") if t]
+        for d in table(spark, sf_dir, "documents").collect()
+    }
+    big: Counter = Counter()
+    ctx: Counter = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    n_checked = 0
+    for doc_id, toks in docs.items():
+        prs = list(zip(toks, toks[1:]))
+        if not prs:
+            assert doc_id not in rows
+            continue
+        lp = sum(
+            math.floor(math.log(big[p] / ctx[p[0]]) * 1e6 + 0.5)
+            for p in prs
+        )
+        r = rows[doc_id]
+        assert r["n_bigrams"] == len(prs)
+        expect = math.floor((lp / 1e6) / len(prs) * 1e6 + 0.5) / 1e6
+        assert r["avg_cond_logprob"] == expect, doc_id
+        n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_edit_distance_matches_python_levenshtein(spark, sf_dir):
+    """Every emitted pair's distance must equal a reference Python DP,
+    and every same-block pair under the threshold must be emitted
+    (exactness of the blocked pass within its blocks)."""
+    from geektime_bigdata_spark.operators.dedup import (
+        ED_HEAD,
+        ED_BLOCK_PREFIX,
+        ED_MAX_BLOCK,
+        ED_MAX_DIST,
+        edit_distance_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    docs = {
+        d["doc_id"]: d["text"][:ED_HEAD]
+        for d in table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for did, head in docs.items():
+        blocks[head[:ED_BLOCK_PREFIX]].append(did)
+    expect = {}
+    for ids in blocks.values():
+        if not (2 <= len(ids) <= ED_MAX_BLOCK):
+            continue
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = lev(docs[a], docs[b])
+                if d <= ED_MAX_DIST:
+                    expect[(a, b)] = d
+    assert got == expect and expect
