@@ -76,3 +76,17 @@ def test_queries_and_oracles_cover_each_other(con):
     o = set(entry.oracle_sql())
     # oracle for a query that doesn't exist = dead SQL
     assert not (o - q), f"orphan oracles: {sorted(o - q)}"
+
+
+def test_sweep_priority_is_consistent():
+    """Every _SWEEP_PRIORITY name must be a registered query, with no
+    duplicates — a typo here would silently drop a query from the
+    driver's 50-slot sweep prefix."""
+    prio = entry._SWEEP_PRIORITY
+    q = entry.queries()
+    assert len(prio) == len(set(prio)), "duplicate priority entries"
+    missing = [n for n in prio if n not in q]
+    assert not missing, f"priority names not in queries(): {missing}"
+    # and the reorder actually applied: the prefix of queries() is
+    # exactly the priority list, in order
+    assert list(q)[: len(prio)] == prio
