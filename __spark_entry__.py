@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_scores": textstats.bigram_logprob_scores,
         # originality: fraction of shingles unique to the document
         "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        # capstone: cross-detector overlap matrix (5 pair families)
+        "neardup_detector_matrix": dedup.neardup_detector_matrix,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # top-2 directions: power iteration + Hotelling deflation
@@ -489,6 +491,7 @@ _SWEEP_PRIORITY = [
     "quality_logreg_step",
     "bigram_logprob_scores",
     "ngram_novelty_scores",
+    "neardup_detector_matrix",
 ]
 
 

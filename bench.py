@@ -94,6 +94,7 @@ HEADLINE = [
     "bigram_logprob_scores",
     "edit_distance_pairs_snm",
     "ngram_novelty_scores",
+    "neardup_detector_matrix",
 ]
 
 

@@ -1638,3 +1638,49 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_frac"),
     )
+
+
+def neardup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DETECTOR overlap matrix over the five doc-pair near-dup
+    families (MinHash-LSH banding, n-gram Jaccard, winnowing
+    substring fingerprints, prefix-blocked edit distance, and its
+    sorted-neighborhood pass): for every ordered family pair, how many
+    candidate pairs they share — the one-page meta-analysis a curation
+    owner reads to pick detectors (a family whose pairs are a subset
+    of another's adds cost, not recall; the diagonal is each family's
+    own pair count). This is the capstone over the detector matrix the
+    round built: token-set, substring, and character-level families
+    measured against each other on the same corpus.
+
+    Scale shape: each family's pair relation is the (already
+    collision/block/window-bounded) output of its own operator —
+    orders of magnitude smaller than the corpus — and the matrix is
+    one self-join on the normalized (doc_a, doc_b) key over their
+    tagged union. Output: (family_a, family_b, n_common), 25 rows."""
+    from geektime_bigdata_spark.operators import textstats as _ts
+
+    fams = {
+        "edit": edit_distance_pairs(spark, sf_dir),
+        "edit_snm": edit_distance_pairs_snm(spark, sf_dir),
+        "jaccard": ngram_jaccard_pairs(spark, sf_dir),
+        "lsh": minhash_lsh_pairs(spark, sf_dir),
+        "winnow": _ts.winnow_neardup_pairs(spark, sf_dir),
+    }
+    u = None
+    for name, df in sorted(fams.items()):
+        part = df.select(
+            F.lit(name).alias("family"), "doc_a", "doc_b"
+        ).distinct()
+        u = part if u is None else u.unionByName(part)
+    u = u.localCheckpoint()  # five pipelines, one materialization
+    a = u.select(
+        F.col("family").alias("family_a"), "doc_a", "doc_b"
+    )
+    b = u.select(
+        F.col("family").alias("family_b"), "doc_a", "doc_b"
+    )
+    return (
+        a.join(b, ["doc_a", "doc_b"])
+        .groupBy("family_a", "family_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
