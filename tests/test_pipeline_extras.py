@@ -861,3 +861,55 @@ def test_edit_distance_matches_python_levenshtein(spark, sf_dir):
                 if d <= ED_MAX_DIST:
                     expect[(a, b)] = d
     assert got == expect and expect
+
+
+def test_winnow_pairs_match_python_recompute(spark, sf_dir):
+    """The whole winnowing pipeline (window hashes, block minima, df
+    hub cap, pair counting) recomputed in pure Python must equal the
+    distributed output exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from geektime_bigdata_spark.operators.textstats import (
+        KGRAM,
+        WINNOW_BLOCK,
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        winnow_neardup_pairs,
+    )
+
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in table(spark, sf_dir, "documents").collect()
+    }
+    fps = defaultdict(set)  # fp -> doc ids
+    for did, text in docs.items():
+        if len(text) < KGRAM:
+            continue
+        mins = {}
+        for p in range(1, len(text) - KGRAM + 2):
+            window = text[p - 1 : p - 1 + KGRAM]
+            hv = int(
+                hashlib.md5(window.encode()).hexdigest()[:8], 16
+            )
+            blk = (p - 1) // WINNOW_BLOCK
+            if blk not in mins or hv < mins[blk]:
+                mins[blk] = hv
+        for fp in set(mins.values()):
+            fps[fp].add(did)
+    counts = defaultdict(int)
+    for fp, ids in fps.items():
+        if len(ids) > WINNOW_MAX_DF:
+            continue
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                counts[(a, b)] += 1
+    expect = {
+        p: n for p, n in counts.items() if n >= WINNOW_MIN_SHARED
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and expect
