@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_scores": dedup.ngram_novelty_scores,
         # capstone: cross-detector overlap matrix (5 pair families)
         "neardup_detector_matrix": dedup.neardup_detector_matrix,
+        # simhash family doc-level expansion (value pairs -> doc pairs)
+        "simhash_doc_pairs": dedup.simhash_doc_pairs,
         # top principal direction via power iteration on the Gram matrix
         "embedding_pca_power": similarity.embedding_pca_power,
         # top-2 directions: power iteration + Hotelling deflation
@@ -492,6 +494,7 @@ _SWEEP_PRIORITY = [
     "bigram_logprob_scores",
     "ngram_novelty_scores",
     "neardup_detector_matrix",
+    "simhash_doc_pairs",
 ]
 
 
