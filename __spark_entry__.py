@@ -123,16 +123,14 @@ def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  The round-4
-    re-sort (VERDICT r3 item 3) is explicit: `_SWEEP_PRIORITY` below
-    puts (1) the 13 queries whose DuckDB oracles were repaired this
-    round — the 8 round-3 hash-fails plus the 5 latent twins, all one
-    root cause: DuckDB widening sum(BIGINT) to HUGEINT, which the
-    driver's fetch path renders unlike Spark's LongType — then (2) the
-    22 remaining queries that have never received a driver row, then
-    (3) queries new in round 4.  Everything else keeps its round-3
-    relative order (r3-green batch first, then the r1/r2 greens), so a
-    prefix of any length always maximizes newly-verified coverage."""
+    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  After round
+    4 closed with 186/186 ever-driver-green and zero open defects, the
+    round-5 prefix is a pure FRESHNESS rotation (VERDICT r4 item 1):
+    `_SWEEP_PRIORITY` puts (1) the nine queries whose implementations
+    changed in round 4 after their last driver row, then (2) the 41
+    oldest round-1-green rows (homework parity core, join/window ops,
+    TPC-H 1-22).  Everything else keeps its prior relative order, so a
+    prefix of any length always maximizes stale-coverage refresh."""
     base = {
         # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,
@@ -436,65 +434,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 sweep prefix (driver checks the first 50 queries() entries).
-# Slots 1-13: the HUGEINT-oracle repairs to prove green (8 round-3 red
-# rows + 5 latent twins with the same defect, fixed together).
-# Slots 14-35: the 22 queries never yet driver-checked.
-# Slots 36+: new round-4 surfaces.  ~15 slots remain for the driver's
-# prefix to re-confirm the top of the r3-green ordering.
+# Round-5 sweep prefix (driver checks the first 50 queries() entries).
+# The round-4 verdict closed every defect; this round's prefix is the
+# prescribed FRESHNESS rotation (VERDICT r4 item 1):
+# Slots 1-9: the nine queries whose implementations were touched in
+#   round 4 (codegen staging, winnowing shared base) AFTER their last
+#   driver row — re-prove them on the exact shipped code.
+# Slots 10-50: the 41 oldest round-1-green rows, so no registered
+#   query's latest driver row is older than 3 rounds.  Deferred to the
+#   round-6 prefix: the 7 remaining r1 rows whose oracle surface is
+#   either re-proved through an r4-green twin (embedding_norms_pandas
+#   via both arrow twins, session_window_rollup via the streaming twin)
+#   or a trivial constant-shape relational op (null_filter_empty,
+#   cast_filter, const_score_order, distinct_pairs, point_lookup).
 _SWEEP_PRIORITY = [
-    # (1) repaired HUGEINT oracles — round-3 red rows
-    "sessionize",
-    "streaming_sessionization",
-    "pyds_tsv_roundtrip",
-    "running_user_totals",
-    "gap_filled_hourly",
-    "curation_funnel",
-    "embedding_gram_matrix",
-    "json_props_extract",
-    # (1) repaired HUGEINT oracles — latent twins, never swept
-    "pyds_stream_roundtrip",
-    "mixture_allocation",
-    "event_type_stats_pipe",
-    "user_recency_scores",
-    "json_props_variant",
-    # (2) never driver-checked
-    "asof_last_click_cogroup",
-    "bpe_train_merges",
-    "clipped_value_stats",
-    "embedding_norms_arrow",
-    "embedding_norms_arrow_udf",
-    "event_type_melt",
-    "frame_sample_digest",
-    "lang_source_listagg",
-    "media_resize_digest",
-    "neardup_kcore",
-    "neardup_pair_features",
-    "neardup_random_walks",
-    "neardup_reach_rcte",
-    "orders_column_profile",
-    "prefix_filter_jaccard_pairs",
-    "source_mix_weights",
-    "sql_udf_lang_stats",
-    "streaming_session_windows",
-    "token_entropy_scores",
-    "truncation_report",
-    "value_histogram",
-    "walk_skipgram_pairs",
-    # (3) new round-4 surfaces
-    "sketch_error_bounds",
-    "bpe_train_merges_batched",
-    "winnow_neardup_pairs",
-    "embedding_pca_power",
-    "edit_distance_pairs",
-    "bpe_encode_corpus",
-    "embedding_pca_top2",
-    "edit_distance_pairs_snm",
-    "quality_logreg_step",
-    "bigram_logprob_scores",
-    "ngram_novelty_scores",
-    "neardup_detector_matrix",
-    "simhash_doc_pairs",
+    # (1) round-4-modified implementations, driver row predates the edit
+    "doc_repetition_scores",
+    "token_counts",
+    "lang_id_heuristic",
+    "doc_quality_scores",
+    "corpus_report",
+    "blocklist_scrub",
+    "length_bucket_stats",
+    "bpe_pair_counts",
+    "rolling_fingerprints",
+    # (2) oldest r1-green rows: homework-parity relational/kv core
+    "flow_stats",
+    "student_q2",
+    "sales_rollup",
+    "order_status_cube",
+    "prefix_scan_desc",
+    "upsert_latest",
+    "versioned_cells",
+    "sql_catalog_query",
+    "except_anti",
+    # (2) oldest r1-green rows: joins / set ops / windows
+    "broadcast_dim_join",
+    "semi_anti_join",
+    "top_k_orders",
+    "attribution_range_join",
+    "nation_full_outer",
+    "intersect_segments",
+    "window_topn_orders",
+    "orders_by_month",
+    "event_type_pivot",
+    "order_price_quantiles",
+    # (2) oldest r1-green rows: the full TPC-H suite
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_heavy_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
 ]
 
 

@@ -255,3 +255,138 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def _write_snm_corpus(path, heads):
+    """Write a minimal documents.parquet whose texts are the given
+    64-char heads (the only column material to the SNM pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(heads)), type=pa.int64()),
+            "text": pa.array(heads, type=pa.string()),
+            "lang": pa.array(["en"] * len(heads), type=pa.string()),
+            "source": pa.array(["synth"] * len(heads), type=pa.string()),
+            "n_chars": pa.array([len(h) for h in heads], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _snm_heads(n, skew_frac, seed):
+    """64-char heads; ``skew_frac`` of them share the SAME last-2 chars
+    (= the 2-char reversed-head prefix that keys the SNM sort window),
+    the rest spread over ~676 suffixes. A fixed seed keeps the corpus
+    deterministic; a handful of adjacent near-twins guarantees a
+    non-empty pair output in both corpora."""
+    import random
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    heads = []
+    n_skew = int(n * skew_frac)
+    for i in range(n):
+        body = "".join(rng.choice(alpha) for _ in range(62))
+        if i < n_skew:
+            suffix = "ZZ"
+        else:
+            suffix = alpha[i % 26].upper() + alpha[(i // 26) % 26].upper()
+        heads.append(body + suffix)
+    # near-twins: pairs whose heads differ by one char, landing adjacent
+    # in the reversed-head sort of whatever block they fall in
+    for i in range(0, 40, 2):
+        base = heads[i]
+        heads[i + 1] = "Q" + base[1:]
+    return heads
+
+
+def test_snm_skew_bounded(spark, tmp_path):
+    """VERDICT r4 watch item: ``edit_distance_pairs_snm`` partitions its
+    sort window by a 2-char reversed-head prefix (dedup.py SNM_BLOCK_CHARS);
+    an alphabet-skewed corpus concentrates one block in one task's sort.
+    This fixture feeds a corpus where 55% of heads share that prefix and
+    asserts (a) exact agreement with an independent DuckDB replica of the
+    blocked-SNM semantics (lead() window, W successors, levenshtein), and
+    (b) wall time within a generous multiple of the uniform corpus — the
+    bound that detects a super-linear regression (the round-4 rn-range
+    self-join bug did O(block^2) work: a 2200-doc block would run ~4.8M
+    64-char DPs here vs the linear pass's 32k, minutes vs seconds) while
+    staying far above boot-to-boot timing noise."""
+    import time
+
+    import duckdb
+
+    from geektime_bigdata_spark.operators.dedup import (
+        ED_MAX_DIST,
+        SNM_WINDOW,
+        edit_distance_pairs_snm,
+    )
+
+    n = 4000
+    dirs = {}
+    for label, frac in (("uniform", 0.0), ("skewed", 0.55)):
+        d = tmp_path / label
+        d.mkdir()
+        _write_snm_corpus(
+            str(d / "documents.parquet"), _snm_heads(n, frac, seed=7)
+        )
+        dirs[label] = str(d)
+
+    def run(sf):
+        t0 = time.monotonic()
+        rows = sorted(
+            map(tuple, edit_distance_pairs_snm(spark, sf).collect())
+        )
+        return rows, time.monotonic() - t0
+
+    # warm the JIT/codegen paths once so the timed pair is steady-state
+    run(dirs["uniform"])
+    uniform_rows, uniform_t = run(dirs["uniform"])
+    skew_rows, skew_t = run(dirs["skewed"])
+    assert uniform_rows and skew_rows
+
+    leads = ", ".join(
+        f"lead(doc_id, {i}) over w AS d{i}, lead(head, {i}) over w AS h{i}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT doc_id, head, d{i} AS d, h{i} AS h FROM win "
+        f"WHERE d{i} IS NOT NULL"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    sql = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             substr(text, 1, 64) AS head,
+             reverse(substr(text, 1, 64)) AS skey,
+             substr(reverse(substr(text, 1, 64)), 1, 2) AS blk
+      FROM read_parquet(?)
+    ), win AS (
+      SELECT doc_id, head, {leads}
+      FROM docs
+      WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), cand AS ({pairs})
+    SELECT least(doc_id, d) AS doc_a, greatest(doc_id, d) AS doc_b,
+           CAST(levenshtein(head, h) AS BIGINT) AS edit_dist
+    FROM cand WHERE levenshtein(head, h) <= {ED_MAX_DIST}
+    """
+    con = duckdb.connect()
+    for label, rows in (("uniform", uniform_rows), ("skewed", skew_rows)):
+        expect = sorted(
+            map(
+                tuple,
+                con.execute(
+                    sql, [f"{dirs[label]}/documents.parquet"]
+                ).fetchall(),
+            )
+        )
+        assert rows == expect, f"{label}: SNM pairs diverge from replica"
+    con.close()
+
+    assert skew_t <= 10.0 * uniform_t + 5.0, (
+        f"skewed SNM wall time {skew_t:.2f}s vs uniform {uniform_t:.2f}s — "
+        "super-linear behavior under block skew"
+    )
