@@ -913,3 +913,35 @@ def test_winnow_pairs_match_python_recompute(spark, sf_dir):
         for r in winnow_neardup_pairs(spark, sf_dir).collect()
     }
     assert got == expect and expect
+
+
+def test_detector_matrix_session_cache_reuse(spark, sf_dir):
+    """VERDICT r4 item 6: the detector matrix's five family pipelines
+    materialize ONCE per session (cached tagged union); a second call
+    must be bit-identical and read the in-memory relation instead of
+    re-deriving the families (canonical-plan dedup in CacheManager)."""
+    import time
+
+    from geektime_bigdata_spark.operators.dedup import (
+        neardup_detector_matrix,
+    )
+
+    spark.catalog.clearCache()
+    try:
+        t0 = time.monotonic()
+        first = sorted(
+            map(tuple, neardup_detector_matrix(spark, sf_dir).collect())
+        )
+        cold = time.monotonic() - t0
+        t0 = time.monotonic()
+        again = neardup_detector_matrix(spark, sf_dir)
+        second = sorted(map(tuple, again.collect()))
+        warm = time.monotonic() - t0
+        assert second == first and first
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan, plan
+        # the warm call skips five candidate-generation pipelines; even
+        # with generous noise margin it must beat the cold call
+        assert warm < cold, (cold, warm)
+    finally:
+        spark.catalog.clearCache()
