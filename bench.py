@@ -136,13 +136,57 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        # per-query historical p25-p75 band at this sf (VERDICT r4 item
+        # 7): cross-boot noise swings same-code totals up to ~30%, so a
+        # round-over-round delta is only SIGNAL when the new median
+        # leaves the band the query has historically occupied. "bands"
+        # carries {p25, p75, n} per query; "classification" labels this
+        # run's median in_band / above_band / below_band / new.
+        "bands": {},
+        "classification": {},
     }
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
+    )
+    history: dict[str, list[float]] = {}
+    try:
+        with open(hist_path) as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if row.get("sf") != sf_val:
+                    continue
+                for k, v in row.get("queries", {}).items():
+                    history.setdefault(k, []).append(float(v))
+    except OSError:
+        pass
+    for name, t in timings.items():
+        past = sorted(history.get(name, []))
+        if len(past) < 3:
+            record["classification"][name] = "new"
+            continue
+        # nearest-rank quartiles: robust for the short (n~10-30) series
+        p25 = past[int(0.25 * (len(past) - 1))]
+        p75 = past[int(0.75 * (len(past) - 1))]
+        record["bands"][name] = {
+            "p25": round(p25, 3),
+            "p75": round(p75, 3),
+            "n": len(past),
+        }
+        record["classification"][name] = (
+            "in_band"
+            if p25 <= t <= p75
+            else ("above_band" if t > p75 else "below_band")
+        )
     # per-query history for round-over-round regression tracking (the
     # driver snapshots only the latest line as BENCH_r{N}.json)
     try:
@@ -151,7 +195,12 @@ def main() -> None:
                          "bench_history.jsonl"),
             "a",
         ) as fh:
-            fh.write(json.dumps({"ts": time.time(), **record}) + "\n")
+            core = {
+                k: v
+                for k, v in record.items()
+                if k not in ("bands", "classification")
+            }
+            fh.write(json.dumps({"ts": time.time(), **core}) + "\n")
     except OSError:
         pass  # history is best-effort; the contract is the stdout line
     print(json.dumps(record))
