@@ -281,6 +281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_column_profile": etl.orders_column_profile,
         # exact-recall prefix-filtering similarity join (AllPairs)
         "prefix_filter_jaccard_pairs": dedup.prefix_filter_jaccard_pairs,
+        # round-5 second tier: the PPJoin length filter moved into the
+        # equi-join key (exact power-of-2 size bands) — bit-equal output
+        # through the shared oracle; registered past the 50-slot prefix
+        # (this round's prefix is the prescribed freshness rotation),
+        # heads the round-6 queue
+        "prefix_filter_jaccard_pairs_banded": (
+            dedup.prefix_filter_jaccard_pairs_banded
+        ),
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,
@@ -556,4 +564,5 @@ _ORACLE_TWINS = {
     "streaming_session_windows": "session_window_rollup",
     "salted_top_words": "word_counts",
     "asof_last_click_cogroup": "asof_last_click",
+    "prefix_filter_jaccard_pairs_banded": "prefix_filter_jaccard_pairs",
 }

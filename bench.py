@@ -95,6 +95,8 @@ HEADLINE = [
     "edit_distance_pairs_snm",
     "ngram_novelty_scores",
     "neardup_detector_matrix",
+    # round-5 additions
+    "prefix_filter_jaccard_pairs_banded",
 ]
 
 

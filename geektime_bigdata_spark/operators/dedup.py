@@ -1277,6 +1277,58 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_JACCARD_T = 0.5  # similarity threshold; prefix shrinks as t grows
 
 
+def _jaccard_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n, shingle)`` — each document's PPJoin prefix tokens
+    under the consistent global order (corpus frequency asc, shingle
+    asc), prefix length ``|X| - ceil(t*|X|) + 1``. Shared candidate
+    stage of both exact-recall similarity-join tiers; the per-doc
+    frequency sort happens INSIDE the row (sort_array over structs),
+    no global rank relation."""
+    sh = _doc_shingles(spark, sf_dir)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "shingle").select(
+        "doc_id", "shingle", "df"
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("df", "shingle"))
+        ).alias("ordered"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    k = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(PREFIX_JACCARD_T)).cast("long")
+        + F.lit(1)
+    )
+    return per_doc.withColumn("k", k).select(
+        "doc_id",
+        "n",
+        F.explode(F.expr("slice(ordered, 1, CAST(k AS INT))")).alias("p"),
+    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+
+
+def _jaccard_verify(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Candidate-scoped exact Jaccard verification shared by both
+    similarity-join tiers: each candidate pair joins its own shingle
+    lists (never the all-co-occurring-pairs relation), then the
+    threshold filter — output (doc_a, doc_b, jaccard) at >= t."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        inter.select(
+            "doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )
+
+
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-recall set-similarity join via PREFIX FILTERING (the
     AllPairs/PPJoin candidate principle): under one consistent global
@@ -1309,26 +1361,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at jaccard >= t, doc_a < doc_b — bit-equal to the brute-force
     posting-expansion oracle thresholded at t."""
     sh = _doc_shingles(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "shingle").select(
-        "doc_id", "shingle", "df"
-    )
-    per_doc = ranked.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("df", "shingle"))
-        ).alias("ordered"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    k = (
-        F.col("n")
-        - F.ceil(F.col("n") * F.lit(PREFIX_JACCARD_T)).cast("long")
-        + F.lit(1)
-    )
-    prefixes = per_doc.withColumn("k", k).select(
-        "doc_id",
-        "n",
-        F.explode(F.expr("slice(ordered, 1, CAST(k AS INT))")).alias("p"),
-    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+    prefixes = _jaccard_prefixes(spark, sf_dir)
     a = prefixes.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),
@@ -1354,21 +1387,78 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    return _jaccard_verify(cands, sh)
+
+
+def prefix_filter_jaccard_pairs_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LENGTH-BANDED tier of the exact-recall similarity join — the
+    second verifier tier VERDICT r4 item 8 prescribes: same prefix
+    postings, but the PPJoin length constraint moves INTO the equi-join
+    key instead of post-filtering the posting expansion. Docs get an
+    EXACT power-of-2 size band ``length(bin(n)) - 1`` (= floor(log2 n)
+    with no float log involved); since J(A,B) >= t with t >= 0.5 forces
+    n_a <= n_b <= n_a/t <= 2*n_a for the smaller side A, the bigger
+    side's band is provably band(A) or band(A)+1. The smaller side
+    probes exactly those two (shingle, band) keys, so a long posting
+    list splits across bands and only length-feasible fragments ever
+    multiply — the long-postings penalty the flat tier's docstring owns
+    on dense-vocab corpora is cut at candidate GENERATION, with zero
+    recall loss (the residual filter + verifier are unchanged and the
+    output is bit-equal to the flat tier, shared oracle).
+
+    Symmetry: each unordered pair is generated once, from the
+    (n, doc_id)-lexicographically smaller side; ids are re-normalized
+    to doc_a < doc_b before the shared candidate-scoped verify."""
+    sh = _doc_shingles(spark, sf_dir)
+    prefixes = _jaccard_prefixes(spark, sf_dir).withColumn(
+        "band", F.expr("length(bin(n)) - 1").cast("int")
     )
-    jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
-    return (
-        inter.select(
-            "doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard")
+    idx = prefixes.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("n").alias("n_i"),
+        "shingle",
+        F.col("band").alias("jband"),
+    )
+    probe = prefixes.select(
+        F.col("doc_id").alias("doc_p"),
+        F.col("n").alias("n_p"),
+        "shingle",
+        F.explode(
+            F.array(F.col("band"), F.col("band") + F.lit(1))
+        ).alias("jband"),
+    )
+    cands = (
+        probe.join(idx, ["shingle", "jband"])
+        # generate each unordered pair ONCE from the smaller side, and
+        # keep the exact length window (t*n_p <= n_i <= n_p/t; the
+        # lower bound is implied by n_i >= n_p but stated for parity
+        # with the flat tier — Catalyst folds the redundant compare)
+        .filter(
+            (F.col("n_p") < F.col("n_i"))
+            | (
+                (F.col("n_p") == F.col("n_i"))
+                & (F.col("doc_p") < F.col("doc_i"))
+            )
         )
-        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .filter(
+            (F.col("n_i") >= F.col("n_p") * F.lit(PREFIX_JACCARD_T))
+            & (F.col("n_i") <= F.col("n_p") / F.lit(PREFIX_JACCARD_T))
+        )
+        .select(
+            F.least("doc_p", "doc_i").alias("doc_a"),
+            F.greatest("doc_p", "doc_i").alias("doc_b"),
+            F.when(F.col("doc_p") < F.col("doc_i"), F.col("n_p"))
+            .otherwise(F.col("n_i"))
+            .alias("n_a"),
+            F.when(F.col("doc_p") < F.col("doc_i"), F.col("n_i"))
+            .otherwise(F.col("n_p"))
+            .alias("n_b"),
+        )
+        .distinct()
     )
+    return _jaccard_verify(cands, sh)
 
 
 WALK_STEPS = 3

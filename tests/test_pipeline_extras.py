@@ -945,3 +945,25 @@ def test_detector_matrix_session_cache_reuse(spark, sf_dir):
         assert warm < cold, (cold, warm)
     finally:
         spark.catalog.clearCache()
+
+
+def test_banded_jaccard_tier_bit_equal(spark, sf_dir):
+    """The length-banded PPJoin tier moves the length filter into the
+    equi-join key; recall is provably unchanged for t >= 0.5 (the
+    bigger side's power-of-2 band is band(A) or band(A)+1), so the two
+    tiers must be BIT-equal — the exactness contract of this family."""
+    from geektime_bigdata_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_banded,
+    )
+
+    flat = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(spark, sf_dir).collect())
+    )
+    banded = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_pairs_banded(spark, sf_dir).collect(),
+        )
+    )
+    assert flat == banded and flat

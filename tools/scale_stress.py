@@ -76,6 +76,8 @@ OPS = [
     "bpe_train_merges_batched",
     "winnow_neardup_pairs",
     "embedding_pca_power",
+    # round 5
+    "prefix_filter_jaccard_pairs_banded",
 ]
 
 
