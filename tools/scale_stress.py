@@ -76,8 +76,15 @@ OPS = [
     "bpe_train_merges_batched",
     "winnow_neardup_pairs",
     "embedding_pca_power",
+    "quality_logreg_step",
+    "bigram_logprob_scores",
+    "bpe_encode_corpus",
+    "ngram_novelty_scores",
+    "edit_distance_pairs",
+    "edit_distance_pairs_snm",
     # round 5
     "prefix_filter_jaccard_pairs_banded",
+    "neardup_detector_matrix",
 ]
 
 
