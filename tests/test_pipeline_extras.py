@@ -967,3 +967,97 @@ def test_banded_jaccard_tier_bit_equal(spark, sf_dir):
         )
     )
     assert flat == banded and flat
+
+
+def test_banded_jaccard_cross_band_recall(spark, tmp_path):
+    """Recall proof of the banded tier at its ONLY risk surface — the
+    band boundary: the synthetic corpus has near-uniform doc sizes, so
+    this fixture engineers docs spanning bands 2..6 with (a) an exact
+    J=0.5 subset pair whose sizes sit at the 2x length-ratio limit in
+    ADJACENT bands, (b) an equal-size same-band pair, (c) a
+    just-below-threshold pair, and (d) varied-size filler — then checks
+    BOTH tiers bit-equal each other and their pair set equals an
+    exact-fraction brute force over all shingle-set pairs."""
+    from fractions import Fraction
+
+    from geektime_bigdata_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_banded,
+    )
+
+    def w(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    texts = {}
+    # (a) A subset-of-B at the exact 2x size limit: 4 vs 8 shingles,
+    # J = 4/8 = 0.5, bands 2 and 3
+    texts[0] = w("a", 6)
+    texts[1] = w("a", 6) + w("b", 4)
+    # (b) equal size, same band: share 3 of 5 distinct shingles
+    texts[2] = w("c", 6)
+    texts[3] = w("c", 5) + ["cx"]
+    # (c) just below threshold: J = 3/7 < 0.5 (4 and 6 shingles)
+    texts[4] = w("d", 6)
+    texts[5] = w("d", 5) + ["dx", "dy", "dz"]
+    # (d) triangle of mutual near-dups (pairwise J = 5/7)
+    for i, tail in ((6, "ex"), (7, "ey"), (8, "ez")):
+        texts[i] = w("e", 7) + [tail]
+    # filler across bands 2..6 (distinct vocab, no cross pairs)
+    sizes = [6, 10, 14, 20, 30, 40, 60, 34, 18, 8]
+    for j, n in enumerate(sizes):
+        texts[9 + j] = w(f"f{j}_", n)
+
+    rows = [
+        (i, " ".join(t), "en", "synth", len(" ".join(t)))
+        for i, t in sorted(texts.items())
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+            "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            "source": pa.array([r[3] for r in rows], type=pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    def sh(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    shingle_sets = {i: sh(t) for i, t in texts.items() if len(t) >= 3}
+    expect = set()
+    ids = sorted(shingle_sets)
+    t = Fraction(1, 2)
+    assert Fraction(PREFIX_JACCARD_T) == t
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = shingle_sets[ids[x]], shingle_sets[ids[y]]
+            j = Fraction(len(a & b), len(a | b))
+            if j >= t:
+                expect.add((ids[x], ids[y]))
+
+    try:
+        flat = sorted(
+            map(tuple, prefix_filter_jaccard_pairs(spark, sf).collect())
+        )
+        banded = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs_banded(spark, sf).collect(),
+            )
+        )
+    finally:
+        spark.catalog.clearCache()
+    assert flat == banded
+    assert {(a, b) for a, b, _ in banded} == expect
+    # the engineered boundary pair and triangle must actually be there
+    assert (0, 1) in expect and (2, 3) in expect and (6, 7) in expect
+    assert (4, 5) not in expect
