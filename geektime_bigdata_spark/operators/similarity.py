@@ -45,6 +45,7 @@ from geektime_bigdata_spark.functions import (
     vec_norm,
 )
 from geektime_bigdata_spark.registry import parallel_table, table
+from geektime_bigdata_spark.session import register_session_memo
 
 N_PLANES = 8
 N_DIMS = 64
@@ -784,6 +785,35 @@ PCA_POWER_STEPS = 3
 PCA_TOP2_STEPS = 8  # deflation needs a converged v1; see embedding_pca_top2
 
 
+# one materialized symmetric Gram per (session, sf_dir) — see
+# _gram_full_checkpointed; cleared by session.release_caches
+_GRAM_FULL_MEMO: dict = register_session_memo({})
+
+
+def _gram_full_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL (symmetrized) Gram matrix, localCheckpoint'ed and
+    memoized per (applicationId, sf_dir): the corpus-scale cost of
+    every PCA-family consumer is this one X^T X pass, and because the
+    mapInPandas stage pickles a fresh closure per call, CacheManager's
+    canonical-plan dedup can never share it across calls — the
+    explicit memo is the seam (VERDICT r4 item 6's principle applied
+    to the second twice-derived relation). d^2 longs of state; cleared
+    by :func:`geektime_bigdata_spark.session.release_caches`."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _GRAM_FULL_MEMO.get(key)
+    if df is None:
+        # the union references tri twice; checkpoint so the Gram pass
+        # (mapInPandas einsum) runs once, not per reference
+        tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint()
+        df = tri.unionByName(
+            tri.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"
+            )
+        ).localCheckpoint()
+        _GRAM_FULL_MEMO[key] = df
+    return df
+
+
 def embedding_pca_power(
     spark: SparkSession, sf_dir: str, steps: int = PCA_POWER_STEPS
 ) -> DataFrame:
@@ -805,14 +835,7 @@ def embedding_pca_power(
     Output: (component, v_micros, lambda_micros) — the unit
     eigenvector estimate after ``steps`` iterations and the Rayleigh
     estimate ||G v|| from the final multiply."""
-    # the union references tri twice; checkpoint so the corpus-scale
-    # Gram pass (mapInPandas einsum) runs once, not per reference
-    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint()
-    full = tri.unionByName(
-        tri.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"
-        )
-    ).localCheckpoint()
+    full = _gram_full_checkpointed(spark, sf_dir)
     v = spark.range(1, N_DIMS + 1).select(
         F.col("id").alias("j"),
         F.lit(125000).cast("long").alias("v_micros"),
@@ -883,14 +906,7 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-exactly either way.
     Output: (component, v1_micros, v2_micros, lambda1_micros,
     lambda2_micros) — 64 rows, both unit vectors on the micro grid."""
-    # the union references tri twice; checkpoint so the corpus-scale
-    # Gram pass (mapInPandas einsum) runs once, not per reference
-    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint()
-    full = tri.unionByName(
-        tri.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "gram_micros"
-        )
-    ).localCheckpoint()
+    full = _gram_full_checkpointed(spark, sf_dir)
 
     def power_iter(g):
         v = spark.range(1, N_DIMS + 1).select(

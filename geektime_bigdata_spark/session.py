@@ -66,6 +66,21 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SESSION_MEMOS: list[dict] = []
+
+
+def register_session_memo(memo: dict) -> dict:
+    """Register an operator-layer memo dict (keyed by applicationId) so
+    :func:`release_caches` clears it with the plan-level caches. For
+    relations whose plans embed a fresh pickled Python closure per call
+    (mapInPandas stages), CacheManager's canonical-plan dedup can never
+    match across calls — an explicit per-session memo of the
+    checkpointed DataFrame is the seam that makes one materialization
+    serve every consumer in the session."""
+    _SESSION_MEMOS.append(memo)
+    return memo
+
+
 def release_caches(spark: SparkSession) -> None:
     """Drop every relation the operator layer has ``.cache()``d.
 
@@ -80,3 +95,5 @@ def release_caches(spark: SparkSession) -> None:
     ``clearCache`` unpersists lazily; subsequent queries simply re-cache
     what they need."""
     spark.catalog.clearCache()
+    for memo in _SESSION_MEMOS:
+        memo.clear()
