@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter_jaccard_pairs_banded": (
             dedup.prefix_filter_jaccard_pairs_banded
         ),
+        # round-5: PII redaction with canary-injection verification
+        # (C4/Dolma-style scrub stage; RE2∩Java-identical regex subset);
+        # past-prefix, r6 queue with the banded tier
+        "pii_canary_scrub": textstats.pii_canary_scrub,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,

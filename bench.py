@@ -97,6 +97,7 @@ HEADLINE = [
     "neardup_detector_matrix",
     # round-5 additions
     "prefix_filter_jaccard_pairs_banded",
+    "pii_canary_scrub",
 ]
 
 

@@ -1425,3 +1425,103 @@ def _bpe_apply(docs: DataFrame, kept: DataFrame) -> DataFrame:
         .select("doc_id", F.expr(_BPE_APPLY_EXPR).alias("arr"))
         .localCheckpoint()
     )
+
+
+# PII scrub patterns — restricted to the RE2∩Java-identical subset
+# (character classes, bounded repetition, \d = [0-9] and \b = ASCII word
+# boundary in BOTH engines; no backreferences, no lookaround), so Spark
+# and DuckDB match byte-for-byte. Scrub order: email first (its local
+# part can contain digits/dots that the looser patterns would nibble),
+# then phone, then IP.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_canary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION with canary-injection verification — the scrub
+    stage every public LLM-data pipeline runs (C4 strips lines by
+    blocklist; Dolma/RedPajama mask emails/phones/IPs with typed
+    placeholder tokens), proven the way production scrubbers are
+    proven: since the synthetic corpus contains no organic PII, each
+    document gets DETERMINISTIC canaries injected first (an email
+    derived from doc_id on every doc, a phone on doc_id % 3 == 0, an
+    IP on doc_id % 5 == 0), the three-pattern redaction chain runs,
+    and the op emits per-class match counts, the md5 of the redacted
+    text (the strong cross-engine bit-check), and a ``clean`` boolean
+    asserting NO residual pattern matches survive — the canary
+    round-trip a scrubber deployment gates on.
+
+    Scale shape: a pure scan-speed projection (regexp_extract_all +
+    chained regexp_replace, whole-stage codegen, no shuffle, no UDF).
+    Dialect discipline: patterns stay inside the RE2∩Java-identical
+    subset (see module constants) — the one regex family both engines
+    execute byte-for-byte."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    canaried = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com "),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("ph 555-010-1234 ")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("ip 10.0.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    counted = canaried.select(
+        "doc_id",
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5(redacted).alias("redacted_md5"),
+        (
+            (
+                F.size(
+                    F.regexp_extract_all(
+                        redacted, F.lit(PII_EMAIL), F.lit(0)
+                    )
+                )
+                + F.size(
+                    F.regexp_extract_all(
+                        redacted, F.lit(PII_PHONE), F.lit(0)
+                    )
+                )
+                + F.size(
+                    F.regexp_extract_all(redacted, F.lit(PII_IP), F.lit(0))
+                )
+            )
+            == 0
+        ).alias("clean"),
+    )

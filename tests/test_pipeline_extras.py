@@ -1061,3 +1061,20 @@ def test_banded_jaccard_cross_band_recall(spark, tmp_path):
     # the engineered boundary pair and triangle must actually be there
     assert (0, 1) in expect and (2, 3) in expect and (6, 7) in expect
     assert (4, 5) not in expect
+
+
+def test_pii_canary_scrub_roundtrip(spark, sf_dir):
+    """Every doc gets its email canary counted and scrubbed; phones/IPs
+    appear exactly on the doc_id % 3 / % 5 strata; no residual match
+    survives redaction (the canary round-trip a scrubber gates on)."""
+    from geektime_bigdata_spark.operators.textstats import (
+        pii_canary_scrub,
+    )
+
+    rows = pii_canary_scrub(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1
+        assert r["n_phones"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_ips"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert r["clean"]
