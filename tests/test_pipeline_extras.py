@@ -1078,3 +1078,21 @@ def test_pii_canary_scrub_roundtrip(spark, sf_dir):
         assert r["n_phones"] == (1 if r["doc_id"] % 3 == 0 else 0)
         assert r["n_ips"] == (1 if r["doc_id"] % 5 == 0 else 0)
         assert r["clean"]
+
+
+def test_gram_memo_lifecycle(spark, sf_dir):
+    """The per-session Gram memo fills on first PCA use and is cleared
+    by release_caches (the documented lifecycle for operator memos)."""
+    from geektime_bigdata_spark.operators.similarity import (
+        _GRAM_FULL_MEMO,
+        embedding_pca_power,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    assert not _GRAM_FULL_MEMO
+    embedding_pca_power(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _GRAM_FULL_MEMO
+    release_caches(spark)
+    assert not _GRAM_FULL_MEMO
