@@ -1096,3 +1096,102 @@ def test_gram_memo_lifecycle(spark, sf_dir):
     assert key in _GRAM_FULL_MEMO
     release_caches(spark)
     assert not _GRAM_FULL_MEMO
+
+
+def test_pii_regex_dialect_identical(spark):
+    """The PII patterns claim RE2-and-Java-identical semantics; prove it
+    on adversarial strings (boundary-adjacent digits, near-miss phones,
+    overlapping IP-ish runs, 1-char TLDs, multiple hits per string) by
+    running the SAME extraction counts and redaction chain in Spark and
+    DuckDB and comparing byte-for-byte."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+    )
+
+    cases = [
+        "plain text no pii at all",
+        "a@b.co",
+        "a@b.c",  # 1-char TLD: no match
+        "x a.b@c-d.org y",
+        "two a@b.io and c.d+e@f.gg emails",
+        "email at end z@w.net",
+        "@not.an.email and not@ and @",
+        "555-010-1234",
+        "x555-010-1234x",  # \b: digit/word adjacency kills both ends
+        "call 555 0100 1234 now",
+        "12-345-6789 near miss",
+        "555-0100-1234 four-digit middle",
+        "1.2.3.4",
+        "999.999.999.999",  # in-pattern (1-3 digits); matches by design
+        "1.2.3.4.5 overlapping run",
+        "v1.2.3.4000 trailing width",
+        "ip 10.0.0.7, then 192.168.1.255!",
+        "mixed a@b.cd 555-010-1234 10.0.0.1 all three",
+        "a@b.cd555-010-1234",  # email eats digits? order-dependence probe
+        "..@..",
+        "user@10.0.0.1",  # email pattern spans the ip-looking domain
+    ]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id int, s string"
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    got = {
+        r["id"]: (
+            r["ne"], r["np"], r["ni"], r["redacted"]
+        )
+        for r in sdf.select(
+            "id",
+            F.size(
+                F.regexp_extract_all("s", F.lit(PII_EMAIL), F.lit(0))
+            ).alias("ne"),
+            F.size(
+                F.regexp_extract_all("s", F.lit(PII_PHONE), F.lit(0))
+            ).alias("np"),
+            F.size(
+                F.regexp_extract_all("s", F.lit(PII_IP), F.lit(0))
+            ).alias("ni"),
+            red.alias("redacted"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c(id INT, s VARCHAR)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(cases)))
+    rows = con.execute(
+        f"""
+        SELECT id,
+               len(regexp_extract_all(s, '{PII_EMAIL}')) AS ne,
+               len(regexp_extract_all(s, '{PII_PHONE}')) AS np,
+               len(regexp_extract_all(s, '{PII_IP}')) AS ni,
+               regexp_replace(regexp_replace(regexp_replace(
+                 s, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g'),
+                 '{PII_IP}', '<IP>', 'g') AS redacted
+        FROM c
+        """
+    ).fetchall()
+    con.close()
+    for rid, ne, np_, ni, redacted in rows:
+        assert got[rid] == (ne, np_, ni, redacted), (
+            cases[rid],
+            got[rid],
+            (ne, np_, ni, redacted),
+        )
+    # sanity: the fixture actually exercises hits of every class
+    assert sum(v[0] for v in got.values()) >= 7
+    assert sum(v[1] for v in got.values()) >= 3
+    assert sum(v[2] for v in got.values()) >= 5
