@@ -1283,7 +1283,14 @@ def _jaccard_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc), prefix length ``|X| - ceil(t*|X|) + 1``. Shared candidate
     stage of both exact-recall similarity-join tiers; the per-doc
     frequency sort happens INSIDE the row (sort_array over structs),
-    no global rank relation."""
+    no global rank relation.
+
+    Cached: BOTH tiers read this relation twice (once per join side),
+    so without materialization the freq-agg + join + in-row sort
+    pipeline runs per side; the cache (CacheManager plan-dedup, pure
+    plan) also shares it between the flat and banded tiers in one
+    session — the persisted prefix index a production similarity job
+    writes once. Released by ``session.release_caches``."""
     sh = _doc_shingles(spark, sf_dir)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle").select(
@@ -1300,11 +1307,18 @@ def _jaccard_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.ceil(F.col("n") * F.lit(PREFIX_JACCARD_T)).cast("long")
         + F.lit(1)
     )
-    return per_doc.withColumn("k", k).select(
-        "doc_id",
-        "n",
-        F.explode(F.expr("slice(ordered, 1, CAST(k AS INT))")).alias("p"),
-    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+    return (
+        per_doc.withColumn("k", k)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr("slice(ordered, 1, CAST(k AS INT))")
+            ).alias("p"),
+        )
+        .select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+        .cache()
+    )
 
 
 def _jaccard_verify(cands: DataFrame, sh: DataFrame) -> DataFrame:
