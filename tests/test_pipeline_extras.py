@@ -1195,3 +1195,95 @@ def test_pii_regex_dialect_identical(spark):
     assert sum(v[0] for v in got.values()) >= 7
     assert sum(v[1] for v in got.values()) >= 3
     assert sum(v[2] for v in got.values()) >= 5
+
+
+def test_banded_tier_cuts_candidates_on_size_spread_corpus(
+    spark, tmp_path
+):
+    """The banded tier's claimed advantage is DENSE vocab + SPREAD doc
+    sizes: docs share shingles across the whole size range (long
+    posting lists) but wildly different sizes can never reach
+    J >= 0.5, so the flat tier's shingle-only join pays for rows the
+    length filter then discards, while the band key never generates
+    them. Deterministic check on the RAW JOIN OUTPUT volumes, not wall
+    time (measured 0.57x here, 0.51-0.81x across vocab densities; the
+    band key provably never ADDS join rows), with final outputs
+    bit-equal."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.dedup import (
+        _jaccard_prefixes,
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_banded,
+    )
+
+    rng = random.Random(11)
+    # 7-word vocab -> 343 possible trigram shingles: dense enough that
+    # docs share shingles across the size range, sparse enough that
+    # shingle counts keep growing with size (saturation would compress
+    # every large doc into one band)
+    vocab = [f"w{i}" for i in range(7)]
+    sizes = [
+        int(10 * (1.6 ** (i % 11))) for i in range(160)
+    ]  # 10 .. ~1100 tokens, log-spread
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(n)) for n in sizes
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["synth"] * len(texts), type=pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    try:
+        prefixes = _jaccard_prefixes(spark, sf)
+        a = prefixes.select(
+            F.col("doc_id").alias("doc_a"), "shingle"
+        )
+        b = prefixes.select(
+            F.col("doc_id").alias("doc_b"), "shingle"
+        )
+        flat_cands = a.join(b, "shingle").count()
+        banded = prefixes.withColumn(
+            "band", F.expr("length(bin(n)) - 1").cast("int")
+        )
+        idx = banded.select(
+            F.col("doc_id").alias("doc_i"), "shingle",
+            F.col("band").alias("jband"),
+        )
+        probe = banded.select(
+            F.col("doc_id").alias("doc_p"), "shingle",
+            F.explode(
+                F.array(F.col("band"), F.col("band") + F.lit(1))
+            ).alias("jband"),
+        )
+        banded_cands = probe.join(idx, ["shingle", "jband"]).count()
+        assert banded_cands < 0.7 * flat_cands, (
+            flat_cands,
+            banded_cands,
+        )
+        flat_out = sorted(
+            map(tuple, prefix_filter_jaccard_pairs(spark, sf).collect())
+        )
+        band_out = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs_banded(spark, sf).collect(),
+            )
+        )
+        assert flat_out == band_out
+    finally:
+        spark.catalog.clearCache()
