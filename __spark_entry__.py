@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geektime_bigdata_spark import streaming
-from geektime_bigdata_spark.sources import pyds
+from geektime_bigdata_spark.sources import pyds, textio
 from geektime_bigdata_spark.operators import (
     dedup,
     etl,
@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (C4/Dolma-style scrub stage; RE2∩Java-identical regex subset);
         # past-prefix, r6 queue with the banded tier
         "pii_canary_scrub": textstats.pii_canary_scrub,
+        # round-5: JSONL source/sink end-to-end (the LLM-corpus
+        # interchange format) with a text-integrity checksum
+        "jsonl_roundtrip_stats": textio.jsonl_roundtrip_stats,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,

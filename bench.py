@@ -98,6 +98,7 @@ HEADLINE = [
     # round-5 additions
     "prefix_filter_jaccard_pairs_banded",
     "pii_canary_scrub",
+    "jsonl_roundtrip_stats",
 ]
 
 

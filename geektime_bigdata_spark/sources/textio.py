@@ -86,3 +86,56 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface proving the JSONL source/sink end-to-end — the
+    interchange format public LLM corpora actually ship in: write the
+    documents table as JSON Lines through the native json sink, read
+    it back with an EXPLICIT schema (inference is a second full scan —
+    a scale anti-pattern) and a language filter, and aggregate
+    per-source counts, char mass, and an order-independent md5-derived
+    text checksum. Every roundtripped column is integer/string, so the
+    trip is lossless by construction (no float-in-JSON hazard), and
+    the checksum flips if ANY text byte is mangled by JSON
+    escaping/decoding. The oracle computes the same aggregate straight
+    off the parquet. Scratch lifecycle mirrors
+    :func:`...sources.pyds.tsv_roundtrip_stats` (materialize, recreate
+    locally, remove the directory)."""
+    import shutil
+    import tempfile
+
+    from geektime_bigdata_spark.registry import table
+
+    scratch = tempfile.mkdtemp(prefix="gbs_jsonl_")
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        write_jsonl(docs, scratch)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        back = read_jsonl(spark, scratch, schema).filter(
+            F.col("lang").isin("en", "de")
+        )
+        out = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
