@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_grouping_sets": relational.order_grouping_sets,
         "corpus_report": textstats.corpus_report,
         "key_skew_report": scale.key_skew_report,
+        "compact_small_files": scale.compact_small_files,
         "event_funnel": windows.event_funnel,
         # --- dedup suite (training-data pipeline) ---
         "exact_dedup": dedup.exact_dedup,

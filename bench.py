@@ -99,6 +99,7 @@ HEADLINE = [
     "prefix_filter_jaccard_pairs_banded",
     "pii_canary_scrub",
     "jsonl_roundtrip_stats",
+    "compact_small_files",
 ]
 
 

@@ -121,6 +121,79 @@ def pruned_daily_rollup(spark: SparkSession, path: str, day: str) -> DataFrame:
     )
 
 
+COMPACT_FRAGMENT_FILES = 64
+COMPACT_TARGET_ROWS = 4096
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse small-file compaction — the OPTIMIZE maintenance pass a
+    100 TB streaming sink cannot live without. Per-trigger/per-task
+    writers fragment a table into thousands of tiny files; listing cost,
+    per-file open overhead, and footer reads then dominate every scan.
+    The fix is a periodic size-targeted rewrite, demonstrated here
+    end-to-end and proven lossless:
+
+    1. Fragment: write events through a ``repartition(64)`` round-robin
+       pass (one file per partition — the worst-case many-small-files
+       layout a short-trigger streaming sink produces).
+    2. Compact: rewrite to ``ceil(n / COMPACT_TARGET_ROWS)`` files via a
+       second round-robin repartition. Rows-per-file is the deterministic
+       stand-in for a byte-size target; at scale the divisor comes from
+       table statistics (bytes / target file size) and
+       ``spark.sql.files.maxRecordsPerFile`` is the belt-and-braces cap.
+    3. Verify: both file counts are measured from the data itself
+       (``count(DISTINCT input_file_name())``), and losslessness is an
+       order-independent md5 checksum over the integer/string columns —
+       parquet roundtrips the ts/double columns bit-exactly, while the
+       checksum stays off them so no float/timestamp formatting ever
+       crosses the engine contract edge.
+
+    Round-robin repartition distributes rows evenly, so with n >= k every
+    output partition is non-empty and the file count is exactly k on both
+    legs — which is what makes the oracle pure SQL over row counts. The
+    one driver scalar (``count()``) mirrors the table-stats read a real
+    compactor plans from. Reference tie-in: the closest reference surface
+    is homework-4's DistCp-style file maintenance (sources/files.py S8/U1
+    family)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="gbs_compact_")
+    frag = os.path.join(scratch, "fragmented")
+    tidy = os.path.join(scratch, "compacted")
+    try:
+        e = table(spark, sf_dir, "events")
+        e.repartition(COMPACT_FRAGMENT_FILES).write.parquet(frag)
+        back = spark.read.parquet(frag)
+        n = back.count()
+        k = max(1, math.ceil(n / COMPACT_TARGET_ROWS))
+        files_before = (
+            back.select(F.input_file_name().alias("_f"))
+            .agg(F.countDistinct("_f").alias("f"))
+            .collect()[0][0]
+        )
+        back.repartition(k).write.parquet(tidy)
+        comp = spark.read.parquet(tidy)
+        out = comp.select(
+            F.input_file_name().alias("_f"),
+            F.expr(
+                "CAST(conv(substr(md5(concat_ws('|', "
+                "CAST(event_id AS STRING), CAST(user_id AS STRING), "
+                "event_type)), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("_h"),
+        ).agg(
+            F.lit(int(files_before)).cast("long").alias("files_before"),
+            F.countDistinct("_f").cast("long").alias("files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_h").cast("long").alias("row_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis for join/aggregate planning: per decimal decade
     of key frequency (1-9, 10-99, ... — ``len(str(cnt)) - 1``, exact

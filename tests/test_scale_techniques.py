@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.operators.scale import (
+    COMPACT_FRAGMENT_FILES,
+    COMPACT_TARGET_ROWS,
     bucketed_order_lineitem_join,
+    compact_small_files,
     salted_top_words,
     write_bucketed,
 )
@@ -88,6 +91,34 @@ def test_salted_equals_plain_word_count(spark, sf_dir):
     }
     plain = {r["word"]: r["cnt"] for r in word_counts(spark, sf_dir).collect()}
     assert salted == plain
+
+
+def test_compaction_counts_and_checksum(spark, sf_dir):
+    """The compaction pass must (a) measure exactly the fragment count it
+    wrote, (b) land on the ceil(n/target) file count, and (c) carry every
+    row through unchanged — the checksum recomputed straight off the
+    source parquet must match the one read back from the compacted
+    files."""
+    import math
+
+    row = compact_small_files(spark, sf_dir).collect()[0]
+    from geektime_bigdata_spark.registry import table
+
+    e = table(spark, sf_dir, "events")
+    n = e.count()
+    direct = e.agg(
+        F.sum(
+            F.expr(
+                "CAST(conv(substr(md5(concat_ws('|', "
+                "CAST(event_id AS STRING), CAST(user_id AS STRING), "
+                "event_type)), 1, 8), 16, 10) AS BIGINT)"
+            )
+        ).cast("long")
+    ).collect()[0][0]
+    assert row["files_before"] == COMPACT_FRAGMENT_FILES
+    assert row["files_after"] == math.ceil(n / COMPACT_TARGET_ROWS)
+    assert row["n_rows"] == n
+    assert row["row_checksum"] == direct
 
 
 def test_aqe_splits_skewed_join_partition(spark):
