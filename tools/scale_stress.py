@@ -85,6 +85,7 @@ OPS = [
     # round 5
     "prefix_filter_jaccard_pairs_banded",
     "neardup_detector_matrix",
+    "compact_small_files",
 ]
 
 
