@@ -152,7 +152,14 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     output partition is non-empty and the file count is exactly k on both
     legs — which is what makes the oracle pure SQL over row counts. The
     one driver scalar (``count()``) mirrors the table-stats read a real
-    compactor plans from. Reference tie-in: the closest reference surface
+    compactor plans from. At 100 TB the cheaper maintenance pass is
+    ``coalesce(k)`` — it merges read-partitions WITHOUT an exchange —
+    but its output count is not deterministic here (the scan packs tiny
+    files into shared input splits via ``files.maxPartitionBytes``, so
+    the pre-coalesce partition count floats); ``repartition(k)`` pays
+    one shuffle to make the contract exact, and a production compactor
+    would take the coalesce path with file-size rather than file-count
+    guarantees. Reference tie-in: the closest reference surface
     is homework-4's DistCp-style file maintenance (sources/files.py S8/U1
     family)."""
     import math
