@@ -148,9 +148,13 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
        checksum stays off them so no float/timestamp formatting ever
        crosses the engine contract edge.
 
-    Round-robin repartition distributes rows evenly, so with n >= k every
-    output partition is non-empty and the file count is exactly k on both
-    legs — which is what makes the oracle pure SQL over row counts. The
+    Round-robin repartition sends each input partition's rows to
+    consecutive output slots, so any scan partition holding >= k rows
+    covers all k outputs by itself and the file count is exactly k on
+    both legs (scan partitions here hold thousands of rows against
+    file-count targets of <= 64; the slot-coverage invariant is pinned
+    by a hypothesis property test) — which is what makes the oracle
+    pure SQL over row counts. The
     one driver scalar (``count()``) mirrors the table-stats read a real
     compactor plans from. At 100 TB the cheaper maintenance pass is
     ``coalesce(k)`` — it merges read-partitions WITHOUT an exchange —

@@ -1117,3 +1117,36 @@ def test_bpe_batched_equals_reference(spark, tmp_path_factory, docs):
         map(tuple, bpe_train_merges_batched(spark, str(d)).collect())
     )
     assert got == sorted(expect), (got, expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=16),
+)
+def test_round_robin_repartition_file_count(spark, n, k, tmp_path_factory):
+    """The invariant the compaction oracle is built on: round-robin
+    ``repartition(k)`` sends each INPUT partition's rows to consecutive
+    output slots, so an input partition holding >= k rows covers all k
+    outputs by itself — from a single-partition source the parquet write
+    produces EXACTLY min(n, k) files for ANY n, and the rows survive the
+    rewrite as a multiset. (From a many-partition source with < k rows
+    each, slot ranges can collide and leave outputs empty — hypothesis
+    found that with n=2, k=3 over 32 input slices — which is why the
+    compaction op's guarantee rides on scan partitions being far larger
+    than its file-count targets, true for any real scan leg.)"""
+    d = tmp_path_factory.mktemp("rr")
+    df = spark.range(0, n, 1, 1).withColumnRenamed("id", "v")
+    df.repartition(k).write.mode("overwrite").parquet(str(d / "t"))
+    back = spark.read.parquet(str(d / "t"))
+    files = (
+        back.select(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("f").alias("nf"))
+        .collect()[0]["nf"]
+    )
+    assert files == min(n, k)
+    assert sorted(r["v"] for r in back.collect()) == list(range(n))
