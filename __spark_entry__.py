@@ -123,14 +123,18 @@ def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  After round
-    4 closed with 186/186 ever-driver-green and zero open defects, the
-    round-5 prefix is a pure FRESHNESS rotation (VERDICT r4 item 1):
-    `_SWEEP_PRIORITY` puts (1) the nine queries whose implementations
-    changed in round 4 after their last driver row, then (2) the 41
-    oldest round-1-green rows (homework parity core, join/window ops,
-    TPC-H 1-22).  Everything else keeps its prior relative order, so a
-    prefix of any length always maximizes stale-coverage refresh."""
+    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  Round 5
+    closed at 186/186 ever-driver-green with zero open defects, so the
+    round-6 prefix is the rotation precomputed in SURVEY §7.9 / VERDICT
+    r5 items 1-2: `_SWEEP_PRIORITY` puts (1) the four round-5 registry
+    additions that have never had a driver row plus the seven remaining
+    r1-latest rows, then (2) 39 of the 41 r2-latest rows (the last two
+    of the alphabetical list, `vocab_coverage` and `word_counts`, spill
+    to the r7 prefix head — both are r2-green, merely stale, and
+    `word_counts`' oracle is additionally carried by its r2-green
+    `salted_top_words` twin).  Everything else keeps its prior relative
+    order, so a prefix of any length always maximizes stale-coverage
+    refresh."""
     base = {
         # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,
@@ -450,74 +454,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-5 sweep prefix (driver checks the first 50 queries() entries).
-# The round-4 verdict closed every defect; this round's prefix is the
-# prescribed FRESHNESS rotation (VERDICT r4 item 1):
-# Slots 1-9: the nine queries whose implementations were touched in
-#   round 4 (codegen staging, winnowing shared base) AFTER their last
-#   driver row — re-prove them on the exact shipped code.
-# Slots 10-50: the 41 oldest round-1-green rows, so no registered
-#   query's latest driver row is older than 3 rounds.  Deferred to the
-#   round-6 prefix: the 7 remaining r1 rows whose oracle surface is
-#   either re-proved through an r4-green twin (embedding_norms_pandas
-#   via both arrow twins, session_window_rollup via the streaming twin)
-#   or a trivial constant-shape relational op (null_filter_empty,
-#   cast_filter, const_score_order, distinct_pairs, point_lookup).
+# Round-6 sweep prefix (driver checks the first 50 queries() entries).
+# Precomputed in SURVEY §7.9 and prescribed by VERDICT r5 items 1-2:
+# Slots 1-11 (never-driver-checked head + r1-latest tail):
+#   - the four round-5 registry additions awaiting their first driver
+#     row (`prefix_filter_jaccard_pairs_banded`, `pii_canary_scrub`,
+#     `jsonl_roundtrip_stats`, `compact_small_files`),
+#   - the 7 remaining r1-latest rows (two oracle-twin-covered:
+#     `embedding_norms_pandas` via both r4-green arrow twins,
+#     `session_window_rollup` via the r4-green streaming twin; five
+#     trivial constant-shape relational ops).
+# Slots 12-50: 39 of the 41 r2-latest rows (alphabetical); the last two
+#   (`vocab_coverage`, `word_counts`) spill to the r7 prefix head per
+#   SURVEY §7.9 so the never-checked round-5 ops land first.  After this
+#   sweep every driver row is ≤3 rounds old and no registered query
+#   lacks a driver row.
 _SWEEP_PRIORITY = [
-    # (1) round-4-modified implementations, driver row predates the edit
-    "doc_repetition_scores",
-    "token_counts",
-    "lang_id_heuristic",
-    "doc_quality_scores",
-    "corpus_report",
-    "blocklist_scrub",
-    "length_bucket_stats",
-    "bpe_pair_counts",
-    "rolling_fingerprints",
-    # (2) oldest r1-green rows: homework-parity relational/kv core
-    "flow_stats",
-    "student_q2",
-    "sales_rollup",
-    "order_status_cube",
-    "prefix_scan_desc",
-    "upsert_latest",
-    "versioned_cells",
-    "sql_catalog_query",
-    "except_anti",
-    # (2) oldest r1-green rows: joins / set ops / windows
-    "broadcast_dim_join",
-    "semi_anti_join",
-    "top_k_orders",
-    "attribution_range_join",
-    "nation_full_outer",
-    "intersect_segments",
-    "window_topn_orders",
-    "orders_by_month",
-    "event_type_pivot",
-    "order_price_quantiles",
-    # (2) oldest r1-green rows: the full TPC-H suite
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_heavy_shippers",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
+    # (1) round-5 additions, first driver row
+    "prefix_filter_jaccard_pairs_banded",
+    "pii_canary_scrub",
+    "jsonl_roundtrip_stats",
+    "compact_small_files",
+    # (1) remaining r1-latest rows
+    "embedding_norms_pandas",
+    "session_window_rollup",
+    "null_filter_empty",
+    "cast_filter",
+    "const_score_order",
+    "distinct_pairs",
+    "point_lookup",
+    # (2) r2-latest rows, alphabetical (39 of 41; 2 spill to r7)
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "benchmark_contamination",
+    "bm25_top_terms",
+    "bow_dedup",
+    "chunk_documents",
+    "continuous_hourly_rollup",
+    "dataset_splits",
+    "dedup_clusters",
+    "doc_fingerprints",
+    "embedding_neardup_pairs",
+    "embedding_quantize_int8",
+    "event_funnel",
+    "exact_dedup",
+    "incremental_ingest_dedup",
+    "inverted_index_str",
+    "key_skew_report",
+    "kmeans_step",
+    "label_centroids",
+    "lsh_hyperplane_buckets",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "neardup_pagerank",
+    "ngram_jaccard_pairs",
+    "order_grouping_sets",
+    "orders_audit",
+    "packed_sequences",
+    "phrase_search",
+    "positional_postings",
+    "posting_list_tf_str",
+    "salted_top_words",
+    "scd2_intervals",
+    "semantic_dedup",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "stratified_sample",
+    "term_freq",
+    "tfidf_top_terms",
 ]
 
 

@@ -154,8 +154,12 @@ def main() -> None:
         # leaves the band the query has historically occupied. "bands"
         # carries {p25, p75, n} per query; "classification" labels this
         # run's median in_band / above_band / below_band / new.
+        # "seeding" (VERDICT r5 item 5) lists queries whose band rests
+        # on fewer than 6 historical samples — an above/below_band on a
+        # seeding band is a thin-history artifact, not yet signal.
         "bands": {},
         "classification": {},
+        "seeding": [],
     }
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
@@ -176,6 +180,8 @@ def main() -> None:
         pass
     for name, t in timings.items():
         past = sorted(history.get(name, []))
+        if len(past) < 6:
+            record["seeding"].append(name)
         if len(past) < 3:
             record["classification"][name] = "new"
             continue

@@ -93,7 +93,25 @@ def release_caches(spark: SparkSession) -> None:
     pressure rather than correctness, but long-running hosts (bench, the
     CLI, a driver sweeping 100+ queries) should call this between suites.
     ``clearCache`` unpersists lazily; subsequent queries simply re-cache
-    what they need."""
+    what they need.
+
+    Registered session memos (ADVICE r5): memo values are typically
+    ``localCheckpoint``'ed DataFrames, whose block storage is NOT
+    tracked by CacheManager — ``clearCache`` never touches it.  We
+    best-effort ``unpersist()`` each memoized DataFrame (covers any
+    CacheManager-tracked plan), then drop the driver references; the
+    checkpoint RDD blocks themselves are reclaimed asynchronously by
+    the ContextCleaner once those references are garbage-collected.
+    State is tiny by construction (the Gram memo holds d² longs), so
+    lazy reclamation is acceptable — the contract here is accurate
+    bookkeeping, not synchronous block eviction."""
     spark.catalog.clearCache()
     for memo in _SESSION_MEMOS:
+        for v in memo.values():
+            unpersist = getattr(v, "unpersist", None)
+            if callable(unpersist):
+                try:
+                    unpersist()
+                except Exception:
+                    pass  # already-released session; reference drop below suffices
         memo.clear()

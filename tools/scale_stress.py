@@ -86,6 +86,21 @@ OPS = [
     "prefix_filter_jaccard_pairs_banded",
     "neardup_detector_matrix",
     "compact_small_files",
+    # round 6 (VERDICT r5 item 7): every remaining pair-emitting
+    # operator, so the "nothing super-linear" claim is exhaustive for
+    # the class where quadratic blowup hides — candidate-PAIR emission.
+    "prefix_filter_jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "simhash_neardup_pairs",
+    "simhash_doc_pairs",
+    "embedding_neardup_pairs",
+    "minhash_jaccard_estimate",
+    "neardup_triangles",
+    "walk_skipgram_pairs",
+    "semantic_dedup",
+    "benchmark_contamination",
+    "source_overlap_matrix",
 ]
 
 
