@@ -121,6 +121,68 @@ def test_compaction_counts_and_checksum(spark, sf_dir):
     assert row["row_checksum"] == direct
 
 
+def test_concat_ws_null_dialect_identical(spark):
+    """The compaction oracle's NULL-safety claim (ADVICE r5), test-pinned:
+    Spark and DuckDB ``concat_ws`` must produce byte-identical output —
+    including under NULLs, where both engines drop the value AND its
+    separator (unlike ``||``, which NULLs the whole row in DuckDB only).
+    Runs the exact checksum-assembly form compact_small_files uses over
+    an adversarial fixture (NULL in each position, all-NULL, empty
+    string vs NULL, multi-digit ints) through both engines."""
+    import duckdb
+
+    rows = [
+        (1, 10, "click"),
+        (None, 20, "view"),
+        (3, None, "purchase"),
+        (4, 40, None),
+        (None, None, None),
+        (6, 60, ""),  # empty string is NOT null: keeps its separator
+        (77777, 88888, "scroll"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.expr(
+                "concat_ws('|', CAST(event_id AS STRING), "
+                "CAST(user_id AS STRING), event_type)"
+            )
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT concat_ws('|', ?::BIGINT, ?::BIGINT, ?::VARCHAR)",
+            list(r),
+        ).fetchone()[0]
+        for r in rows
+    ]
+    assert got == want, (got, want)
+    # and the full md5-checksum form both engines hash in the oracle
+    spark_sum = df.agg(
+        F.sum(
+            F.expr(
+                "CAST(conv(substr(md5(concat_ws('|', "
+                "CAST(event_id AS STRING), CAST(user_id AS STRING), "
+                "event_type)), 1, 8), 16, 10) AS BIGINT)"
+            )
+        ).cast("long")
+    ).collect()[0][0]
+    con.execute(
+        "CREATE TABLE t (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck_sum = con.execute(
+        "SELECT CAST(sum(('0x' || substr(md5(concat_ws('|', event_id, "
+        "user_id, event_type)), 1, 8))::BIGINT) AS BIGINT) FROM t"
+    ).fetchone()[0]
+    assert spark_sum == duck_sum, (spark_sum, duck_sum)
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """AQE skew-join handling demonstrated on ACTUAL skew: 95% of a
     synthetic fact lands on one hot key, the dim side is uniform, and
