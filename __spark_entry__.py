@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: JSONL source/sink end-to-end (the LLM-corpus
         # interchange format) with a text-integrity checksum
         "jsonl_roundtrip_stats": textio.jsonl_roundtrip_stats,
+        # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
+        # via the stdlib `wave` module (closes the audio third of the
+        # multimodal codec debt with zero installs); registered past the
+        # 50-slot prefix, heads the r7 queue
+        "wav_roundtrip_features": multimodal.wav_roundtrip_features,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,

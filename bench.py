@@ -100,6 +100,8 @@ HEADLINE = [
     "pii_canary_scrub",
     "jsonl_roundtrip_stats",
     "compact_small_files",
+    # round-6 addition: real stdlib-WAV codec roundtrip
+    "wav_roundtrip_features",
 ]
 
 

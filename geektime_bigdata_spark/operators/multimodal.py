@@ -5,11 +5,14 @@ A 100 TB multimodal corpus stores image/audio/video as `binary` columns
 (or object-store URIs) beside typed metadata; compute-heavy decode runs in
 Python workers over Arrow batches. This module makes all of that plumbing
 real — schema, batching, partitioning, deterministic feature extraction —
-while the actual codec call is stubbed (image/audio libraries are not in
-this environment): `decode_stub=True` (default) derives a deterministic
+while the image/video codec call is stubbed (PIL/ffmpeg are not in this
+environment): `decode_stub=True` (default) derives a deterministic
 fake "decode" from the payload bytes; `decode_stub=False` raises
 NotImplementedError at the exact point a real codec (PIL/torchaudio/ffmpeg)
-would be invoked.
+would be invoked. The AUDIO path is real since round 6:
+:func:`wav_roundtrip_features` encodes and decodes genuine RIFF/WAVE
+PCM16 through the stdlib ``wave`` codec (no install needed) and verifies
+the parsed audio differentially against closed-form integer SQL.
 
 The synthetic corpus has no binary column, so :func:`attach_fake_payloads`
 manufactures one from `documents.text` (utf-8 bytes) — the engine-side
@@ -272,6 +275,137 @@ def media_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_bytes",
         "n_bytes_resized",
         F.md5(F.col("payload")).alias("resize_md5"),
+    )
+
+
+WAV_RATE = 8000  # divides 1e6 -> duration_us = n_frames * 125, exact
+WAV_AMP = 12000
+
+
+def synthesize_wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL RIFF/WAVE payload per document: a PCM16 mono square wave
+    whose half-period (8 + doc_id % 5 samples) and frame count
+    (400 + (doc_id % 23) * 16) derive from doc_id. Encoding runs through
+    the stdlib ``wave`` module inside ``mapInPandas`` — these are genuine
+    audio files any player opens, not byte-fold stubs. doc_id is carried
+    through so downstream stages can verify parsed audio against the
+    closed-form parameters."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def one(doc_id: int) -> bytes:
+            half_period = 8 + doc_id % 5
+            n = 400 + (doc_id % 23) * 16
+            i = np.arange(n)
+            samples = np.where(
+                (i // half_period) % 2 == 0, WAV_AMP, -WAV_AMP
+            ).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_RATE)
+                w.writeframes(samples.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+
+
+def wav_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, end-to-end: encode a per-document square
+    wave as RIFF/WAVE PCM16 (stdlib ``wave``), then DECODE the bytes with
+    the same real parser and extract features from the parsed sample
+    array — header fields (sample rate, channels, sample width, frame
+    count), container size, duration, zero-crossing count, and the
+    integer sample sum. Every output is recomputed FROM THE PARSED AUDIO,
+    never echoed from the synthesis parameters, so the differential
+    oracle (closed-form integer SQL over doc_id) proves the full
+    encode -> container -> decode -> featurize loop is lossless.
+
+    This closes the audio third of the module's codec debt with a real
+    codec that needs no external install; image/video decode still
+    requires PIL/ffmpeg and stays behind the documented stub seam. At
+    100 TB this is the exact shape of an audio-ingest QA stage: decode
+    runs Arrow-batched in Python workers, output is a narrow all-integer
+    feature relation, and the payload bytes never cross an engine edge.
+    All columns are integers — nothing can knife-edge."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def one(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                channels = w.getnchannels()
+                sampwidth = w.getsampwidth()
+                n_frames = w.getnframes()
+                samples = np.frombuffer(
+                    w.readframes(n_frames), dtype=np.int16
+                )
+            zero_crossings = int(
+                np.count_nonzero(np.sign(samples[1:]) != np.sign(samples[:-1]))
+            )
+            return (
+                rate,
+                channels,
+                sampwidth,
+                n_frames,
+                len(payload),
+                zero_crossings,
+                int(samples.astype(np.int64).sum()),
+            )
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            cols = list(zip(*decoded)) if decoded else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": cols[0],
+                    "n_channels": cols[1],
+                    "sample_width": cols[2],
+                    "n_frames": cols[3],
+                    "n_bytes": cols[4],
+                    "zero_crossings": cols[5],
+                    "sample_sum": cols[6],
+                }
+            )
+
+    wavs = synthesize_wav_payloads(spark, sf_dir)
+    decoded = wavs.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, "
+            "sample_width long, n_frames long, n_bytes long, "
+            "zero_crossings long, sample_sum long"
+        ),
+    )
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "sample_width",
+        "n_frames",
+        "n_bytes",
+        (F.col("n_frames") * (1_000_000 // WAV_RATE)).alias("duration_us"),
+        "zero_crossings",
+        "sample_sum",
     )
 
 
