@@ -302,8 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip_stats": textio.jsonl_roundtrip_stats,
         # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
         # via the stdlib `wave` module (closes the audio third of the
-        # multimodal codec debt with zero installs); registered past the
-        # 50-slot prefix, heads the r7 queue
+        # multimodal codec debt with zero installs); heads the r6 sweep
+        # prefix so it gets its driver row the round it shipped
         "wav_roundtrip_features": multimodal.wav_roundtrip_features,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
@@ -461,21 +461,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Round-6 sweep prefix (driver checks the first 50 queries() entries).
 # Precomputed in SURVEY §7.9 and prescribed by VERDICT r5 items 1-2:
-# Slots 1-11 (never-driver-checked head + r1-latest tail):
-#   - the four round-5 registry additions awaiting their first driver
+# Slots 1-12 (never-driver-checked head + r1-latest tail):
+#   - the round-6 addition (`wav_roundtrip_features`) and the four
+#     round-5 registry additions awaiting their first driver
 #     row (`prefix_filter_jaccard_pairs_banded`, `pii_canary_scrub`,
 #     `jsonl_roundtrip_stats`, `compact_small_files`),
 #   - the 7 remaining r1-latest rows (two oracle-twin-covered:
 #     `embedding_norms_pandas` via both r4-green arrow twins,
 #     `session_window_rollup` via the r4-green streaming twin; five
 #     trivial constant-shape relational ops).
-# Slots 12-50: 39 of the 41 r2-latest rows (alphabetical); the last two
-#   (`vocab_coverage`, `word_counts`) spill to the r7 prefix head per
-#   SURVEY §7.9 so the never-checked round-5 ops land first.  After this
-#   sweep every driver row is ≤3 rounds old and no registered query
-#   lacks a driver row.
+# Slots 12-50: 38 of the 41 r2-latest rows (alphabetical); the last
+#   three (`tfidf_top_terms`, `vocab_coverage`, `word_counts`) spill to
+#   the r7 prefix head per SURVEY §7.10 so the never-checked round-5/6
+#   ops land first.  After this sweep every driver row is ≤3 rounds old
+#   (except the three spilled r2 rows, ≤5 at their r7 check) and no
+#   registered query lacks a driver row.
 _SWEEP_PRIORITY = [
-    # (1) round-5 additions, first driver row
+    # (1) round-5/6 additions, first driver row
+    "wav_roundtrip_features",
     "prefix_filter_jaccard_pairs_banded",
     "pii_canary_scrub",
     "jsonl_roundtrip_stats",
@@ -527,7 +530,6 @@ _SWEEP_PRIORITY = [
     "simhash_neardup_pairs",
     "stratified_sample",
     "term_freq",
-    "tfidf_top_terms",
 ]
 
 
