@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": textstats.corpus_report,
         "key_skew_report": scale.key_skew_report,
         "compact_small_files": scale.compact_small_files,
+        # round-6: the ZORDER half of lakehouse OPTIMIZE — Morton-curve
+        # vs lexicographic layout scored by zone-map data skipping;
+        # registered past the 50-slot prefix, heads the r7 queue
+        "zorder_layout_skipping": scale.zorder_layout_skipping,
         "event_funnel": windows.event_funnel,
         # --- dedup suite (training-data pipeline) ---
         "exact_dedup": dedup.exact_dedup,

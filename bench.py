@@ -100,8 +100,10 @@ HEADLINE = [
     "pii_canary_scrub",
     "jsonl_roundtrip_stats",
     "compact_small_files",
-    # round-6 addition: real stdlib-WAV codec roundtrip
+    # round-6 additions: real stdlib-WAV codec roundtrip; z-order vs
+    # lexicographic layout scored by zone-map skipping
     "wav_roundtrip_features",
+    "zorder_layout_skipping",
 ]
 
 

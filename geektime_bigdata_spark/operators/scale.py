@@ -205,6 +205,126 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+ZORDER_GRID = 16  # per-dimension quantization levels (4 bits)
+ZORDER_BUCKET_SHIFT = 3  # 8 consecutive codes per bucket -> 32 buckets
+# Quantized 2-D query box: ux in [3,6], vx in [7,10] — deliberately NOT
+# aligned to a z-bucket boundary, so the measured advantage is the
+# realistic partial-alignment case, not the curve's best case.
+ZORDER_BOX = (3, 6, 7, 10)
+
+
+def zorder_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering vs lexicographic sort order,
+    scored by zone-map data skipping — the `OPTIMIZE ... ZORDER BY`
+    half of the lakehouse maintenance story whose compaction half is
+    :func:`compact_small_files` (public precedent: Delta Lake's
+    OPTIMIZE ZORDER, Hudi clustering, Snowflake clustering depth;
+    Morton 1966 / Orenstein & Merrett 1984 for the curve, Moerkotte's
+    Small Materialized Aggregates 1998 for min/max zone maps).
+
+    A single-column sort lets file-level min/max stats prune scans on
+    that column only; interleaving the bits of TWO columns (the Morton
+    code) keeps both selective, so a 2-D box predicate skips most
+    files under EITHER filter. This op measures exactly that, with
+    integer-only math so the layout quality is oracle-checkable:
+
+    1. Quantize `user_id` x `event_id` to a 16x16 grid (min/max
+       normalize, integer `div` — at 100 TB the bounds come from table
+       statistics or approxQuantile; exact min/max keeps the oracle
+       closed-form here).
+    2. Assign each row to one of 32 "files" under two layouts: the
+       z-curve (`morton(ux, vx) >> 3` — the order
+       ``repartitionByRange`` would write after `ORDER BY zvalue`) and
+       the lexicographic order (`(ux * 16 + vx) >> 3` — what a plain
+       `ORDER BY user_id, event_id` writer produces).
+    3. Score a fixed quantized box predicate against per-file zone
+       maps (min/max of each dimension — the same stats parquet
+       footers carry): a file is scanned iff its ranges overlap the
+       box. Emit per layout: files with data, files scanned, rows in
+       scanned files, and rows actually matching (layout-invariant —
+       the differential oracle proves all four cross-engine).
+
+    On the shipped uniform fixtures the box (16 of 256 cells, z-bucket
+    UNALIGNED on purpose) needs 6/32 z-order files vs 8/32
+    lexicographic files, and scans 48 vs 64 cells' worth of rows; the
+    lexicographic layout degrades to scanning every file as the first
+    dimension's selectivity drops, while z-order degrades ~sqrt of
+    that — the whole point of multi-dimensional clustering. Cost
+    shape: one tiny bounds aggregate (broadcast back), one projection,
+    one explode to (layout, file) pairs, one 64-group aggregate — a
+    single full shuffle whose key space is the file count, never the
+    data. All-integer contract end to end."""
+    u_lo, u_hi, v_lo, v_hi = ZORDER_BOX
+    e = table(spark, sf_dir, "events").select("user_id", "event_id")
+    bounds = e.agg(
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("event_id").alias("e_min"),
+        F.max("event_id").alias("e_max"),
+    )
+    quantized = e.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((user_id - u_min) * {ZORDER_GRID}) div (u_max - u_min + 1)"
+        ).alias("ux"),
+        F.expr(
+            f"((event_id - e_min) * {ZORDER_GRID}) div (e_max - e_min + 1)"
+        ).alias("vx"),
+    )
+    morton = " | ".join(
+        f"shiftleft(shiftright(ux, {b}) & 1, {2 * b + 1}) | "
+        f"shiftleft(shiftright(vx, {b}) & 1, {2 * b})"
+        for b in range(3, -1, -1)
+    )
+    tagged = quantized.select(
+        "ux",
+        "vx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"shiftright({morton}, {ZORDER_BUCKET_SHIFT})"
+                    ).cast("long").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("lexicographic").alias("layout"),
+                    F.expr(
+                        f"shiftright(ux * {ZORDER_GRID} + vx,"
+                        f" {ZORDER_BUCKET_SHIFT})"
+                    ).cast("long").alias("file_id"),
+                ),
+            )
+        ).alias("t"),
+    ).select("t.layout", "t.file_id", "ux", "vx")
+    zone_maps = tagged.groupBy("layout", "file_id").agg(
+        F.min("ux").alias("min_ux"),
+        F.max("ux").alias("max_ux"),
+        F.min("vx").alias("min_vx"),
+        F.max("vx").alias("max_vx"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                F.col("ux").between(u_lo, u_hi)
+                & F.col("vx").between(v_lo, v_hi)
+            ).cast("long")
+        ).alias("n_match"),
+    )
+    scanned = (
+        (F.col("min_ux") <= u_hi)
+        & (F.col("max_ux") >= u_lo)
+        & (F.col("min_vx") <= v_hi)
+        & (F.col("max_vx") >= v_lo)
+    )
+    return zone_maps.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(scanned.cast("long")).alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+    )
+
+
 def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnosis for join/aggregate planning: per decimal decade
     of key frequency (1-9, 10-99, ... — ``len(str(cnt)) - 1``, exact

@@ -14,6 +14,7 @@ from geektime_bigdata_spark.operators.scale import (
     compact_small_files,
     salted_top_words,
     write_bucketed,
+    zorder_layout_skipping,
 )
 from geektime_bigdata_spark.operators.text import word_counts
 from geektime_bigdata_spark.plans import explain_str
@@ -119,6 +120,27 @@ def test_compaction_counts_and_checksum(spark, sf_dir):
     assert row["files_after"] == math.ceil(n / COMPACT_TARGET_ROWS)
     assert row["n_rows"] == n
     assert row["row_checksum"] == direct
+
+
+def test_zorder_skips_more_than_lexicographic(spark, sf_dir):
+    """The z-order layout must strictly beat the lexicographic layout on
+    the fixed 2-D box: fewer files touched and fewer rows scanned, for
+    the identical match set. The file counts are closed-form curve
+    geometry — the box's 16 cells spread over 6 Morton buckets vs 8
+    lexicographic buckets — so they pin exactly at every shipped scale
+    (the oracle proves the full relation cross-engine; this pins the
+    semantic claim the op exists to demonstrate)."""
+    rows = {
+        r["layout"]: r for r in zorder_layout_skipping(spark, sf_dir).collect()
+    }
+    z, lex = rows["zorder"], rows["lexicographic"]
+    assert z["rows_matched"] == lex["rows_matched"] > 0
+    assert z["files_scanned"] == 6
+    assert lex["files_scanned"] == 8
+    assert z["rows_scanned"] < lex["rows_scanned"]
+    for r in (z, lex):
+        assert r["rows_scanned"] >= r["rows_matched"]
+        assert r["files_scanned"] <= r["n_files"] <= 32
 
 
 def test_concat_ws_null_dialect_identical(spark):

@@ -101,6 +101,11 @@ OPS = [
     "semantic_dedup",
     "benchmark_contamination",
     "source_overlap_matrix",
+    # round 6 additions: real WAV codec roundtrip (Arrow-batched Python
+    # stage, linear by construction) and the z-order layout scorer (one
+    # 64-group aggregate; the shuffle key space is the file count)
+    "wav_roundtrip_features",
+    "zorder_layout_skipping",
 ]
 
 
@@ -144,6 +149,13 @@ def main() -> None:
     from geektime_bigdata_spark.session import release_caches
     import __spark_entry__ as entrymod
 
+    # SCALE_STRESS_ONLY=op1,op2 measures a subset and MERGES it into an
+    # existing out_json (new ops don't force re-measuring all of OPS).
+    only = os.environ.get("SCALE_STRESS_ONLY")
+    ops = (
+        [o.strip() for o in only.split(",") if o.strip()] if only else OPS
+    )
+
     spark = get_spark(app_name="gbs-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -154,13 +166,13 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warmup at the smallest scale
-    for name in OPS:
+    for name in ops:
         run(queries[name](spark, dirs[FACTORS[0]]))
         release_caches(spark)
 
-    times: dict[str, dict[int, float]] = {n: {} for n in OPS}
+    times: dict[str, dict[int, float]] = {n: {} for n in ops}
     for k in FACTORS:
-        for name in OPS:
+        for name in ops:
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -172,15 +184,20 @@ def main() -> None:
     import math
 
     report = {}
-    for name in OPS:
+    for name in ops:
         t1, t4 = times[name][FACTORS[0]], times[name][FACTORS[-1]]
         exp = math.log(t4 / t1) / math.log(FACTORS[-1] / FACTORS[0])
         report[name] = {
             "sec_at": {str(k): times[name][k] for k in FACTORS},
             "exponent": round(exp, 3),
         }
-    out = {"base": BASE, "factors": FACTORS, "ops": report}
     path = sys.argv[1] if len(sys.argv) > 1 else None
+    out = {"base": BASE, "factors": FACTORS, "ops": report}
+    if path and only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        prior["ops"].update(report)
+        out = prior
     line = json.dumps(out)
     if path:
         with open(path, "w") as fh:
