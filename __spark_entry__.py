@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal codec debt with zero installs); heads the r6 sweep
         # prefix so it gets its driver row the round it shipped
         "wav_roundtrip_features": multimodal.wav_roundtrip_features,
+        # round-6: REAL image codec path — spec-conformant baseline PNG
+        # encode+decode over stdlib zlib/struct (closes the image third
+        # of the codec debt); registered past the prefix, r7 queue
+        "png_roundtrip_features": multimodal.png_roundtrip_features,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,

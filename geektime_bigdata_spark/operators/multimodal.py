@@ -5,14 +5,17 @@ A 100 TB multimodal corpus stores image/audio/video as `binary` columns
 (or object-store URIs) beside typed metadata; compute-heavy decode runs in
 Python workers over Arrow batches. This module makes all of that plumbing
 real — schema, batching, partitioning, deterministic feature extraction —
-while the image/video codec call is stubbed (PIL/ffmpeg are not in this
-environment): `decode_stub=True` (default) derives a deterministic
+while the general video codec call is stubbed (PIL/ffmpeg are not in
+this environment): `decode_stub=True` (default) derives a deterministic
 fake "decode" from the payload bytes; `decode_stub=False` raises
 NotImplementedError at the exact point a real codec (PIL/torchaudio/ffmpeg)
-would be invoked. The AUDIO path is real since round 6:
+would be invoked. The AUDIO and IMAGE paths are real since round 6:
 :func:`wav_roundtrip_features` encodes and decodes genuine RIFF/WAVE
-PCM16 through the stdlib ``wave`` codec (no install needed) and verifies
-the parsed audio differentially against closed-form integer SQL.
+PCM16 through the stdlib ``wave`` codec, and
+:func:`png_roundtrip_features` encodes and decodes spec-conformant
+baseline PNG over stdlib ``zlib``/``struct`` (chunk framing, CRC32,
+deflated filter-0 scanlines) — both with zero installs, both verified
+differentially against closed-form integer SQL.
 
 The synthetic corpus has no binary column, so :func:`attach_fake_payloads`
 manufactures one from `documents.text` (utf-8 bytes) — the engine-side
@@ -406,6 +409,199 @@ def wav_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_frames") * (1_000_000 // WAV_RATE)).alias("duration_us"),
         "zero_crossings",
         "sample_sum",
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_rgb(rgb) -> bytes:
+    """Spec-conformant baseline PNG encoder (RFC 2083 / ISO 15948) over
+    stdlib zlib+struct: 8-bit truecolor, filter 0 scanlines, one IDAT.
+    Any PNG viewer opens the output — this is a real container, not a
+    byte-fold stub."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_rgb(data: bytes):
+    """Baseline-subset PNG parser: walks the chunk stream, VERIFIES every
+    CRC32, parses IHDR, inflates the concatenated IDAT stream, and
+    reverses per-scanline filtering (filter 0; other filter types raise
+    — the encoder half never emits them, and a refusal is honest where
+    a full spec implementation would be padding). Returns (ihdr fields,
+    h x w x 3 uint8 array) recomputed entirely from the container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, header = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            header = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    w, h, bit_depth, color_type, _comp, _filt, _inter = header
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:
+            raise NotImplementedError(
+                f"PNG filter type {line[0]} not supported by this "
+                "baseline-subset decoder"
+            )
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
+    return header, np.stack(rows).reshape(h, w, 3)
+
+
+def synthesize_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL PNG payload per document: an 8-bit RGB image whose size
+    (width 8 + doc_id % 7, height 8 + doc_id % 5) and per-channel pixel
+    pattern derive from doc_id — r = (3x + 5y + d) % 256,
+    g = (7x + y + 2d) % 256, b = (x + 11y + 3d) % 256. Encoding runs
+    through the from-spec stdlib encoder inside ``mapInPandas``."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(d: int) -> bytes:
+            w, h = 8 + d % 7, 8 + d % 5
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            rgb = np.stack(
+                [
+                    (3 * x + 5 * y + d) % 256,
+                    (7 * x + y + 2 * d) % 256,
+                    (x + 11 * y + 3 * d) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            return _encode_png_rgb(rgb)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+
+
+def png_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path, end-to-end: encode a per-document RGB
+    pattern as a spec-conformant baseline PNG (stdlib zlib + struct —
+    chunk framing, CRC32, zlib-deflated filter-0 scanlines), then
+    DECODE the container with the from-spec parser (CRCs verified,
+    IDAT inflated, scanlines unfiltered) and recompute every feature
+    FROM THE DECODED PIXELS: IHDR fields, pixel count, per-channel
+    integer sums, and a position-weighted red sum
+    (sum of (y*w + x + 1) * r — catches any scanline-order or
+    pixel-permutation bug the plain sums would miss). Nothing is
+    echoed from the synthesis parameters, so the differential oracle
+    (closed-form integer SQL over an unnested pixel grid) proves the
+    full encode -> container -> decode -> featurize loop lossless.
+
+    With the WAV path this closes the image third of the module's
+    codec debt without an install: PIL/ffmpeg remain absent, but the
+    PNG container format is public spec and its compression layer IS
+    stdlib zlib. Video decode stays behind the documented stub seam.
+    At 100 TB this is the shape of an image-ingest QA stage: decode
+    runs Arrow-batched in Python workers, output is a narrow
+    all-integer feature relation, payload bytes never cross an engine
+    edge. All columns are integers — nothing can knife-edge."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes) -> tuple[int, ...]:
+            (w, h, bit_depth, color_type, _c, _f, _i), rgb = _decode_png_rgb(
+                bytes(payload)
+            )
+            px = rgb.astype(np.int64)
+            pos = (
+                np.arange(h, dtype=np.int64)[:, None] * w
+                + np.arange(w, dtype=np.int64)[None, :]
+                + 1
+            )
+            return (
+                w,
+                h,
+                bit_depth,
+                color_type,
+                h * w,
+                int(px[:, :, 0].sum()),
+                int(px[:, :, 1].sum()),
+                int(px[:, :, 2].sum()),
+                int((pos * px[:, :, 0]).sum()),
+            )
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            cols = list(zip(*decoded)) if decoded else [[]] * 9
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": cols[0],
+                    "height": cols[1],
+                    "bit_depth": cols[2],
+                    "color_type": cols[3],
+                    "n_pixels": cols[4],
+                    "sum_r": cols[5],
+                    "sum_g": cols[6],
+                    "sum_b": cols[7],
+                    "pos_weighted_r": cols[8],
+                }
+            )
+
+    pngs = synthesize_png_payloads(spark, sf_dir)
+    return pngs.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, width long, height long, bit_depth long, "
+            "color_type long, n_pixels long, sum_r long, sum_g long, "
+            "sum_b long, pos_weighted_r long"
+        ),
     )
 
 

@@ -131,3 +131,67 @@ def test_wav_roundtrip_matches_closed_form(spark, sf_dir):
         assert r["duration_us"] == n * (1_000_000 // WAV_RATE)
         assert r["zero_crossings"] == (n - 1) // p
         assert r["sample_sum"] == WAV_AMP * (min(rem, p) - max(0, rem - p))
+
+
+def test_png_payloads_are_real_png_files(spark, sf_dir):
+    """The synthesized payloads must be genuine PNG containers — magic
+    bytes, CRC-valid chunk stream, 8-bit truecolor IHDR — that the
+    from-spec parser (and any viewer) opens, not byte-fold stubs."""
+    import struct
+    import zlib
+
+    from geektime_bigdata_spark.operators.multimodal import (
+        PNG_SIG,
+        synthesize_png_payloads,
+    )
+
+    rows = synthesize_png_payloads(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        payload = bytes(r["payload"])
+        assert payload[:8] == PNG_SIG
+        # IHDR is the first chunk: 13 bytes, CRC-valid, RGB8
+        (length,) = struct.unpack(">I", payload[8:12])
+        assert length == 13 and payload[12:16] == b"IHDR"
+        body = payload[16:29]
+        (crc,) = struct.unpack(">I", payload[29:33])
+        assert zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF == crc
+        w, h, bit_depth, color_type, comp, filt, inter = struct.unpack(
+            ">IIBBBBB", body
+        )
+        assert bit_depth == 8 and color_type == 2
+        assert (comp, filt, inter) == (0, 0, 0)
+        assert payload[-12:] == (
+            struct.pack(">I", 0)
+            + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+        )
+
+
+def test_png_roundtrip_matches_closed_form(spark, sf_dir):
+    """Decoded features must equal the closed-form pixel formulas the
+    image was synthesized from — proving the encode -> container ->
+    decode -> featurize loop lossless (the oracle asserts the same
+    thing cross-engine; this pins it in-process)."""
+    import numpy as np
+
+    from geektime_bigdata_spark.operators.multimodal import (
+        png_roundtrip_features,
+    )
+
+    rows = png_roundtrip_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        w, h = 8 + d % 7, 8 + d % 5
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        red = (3 * x + 5 * y + d) % 256
+        pos = y * w + x + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["bit_depth"], r["color_type"]) == (8, 2)
+        assert r["n_pixels"] == w * h
+        assert r["sum_r"] == int(red.sum())
+        assert r["sum_g"] == int(((7 * x + y + 2 * d) % 256).sum())
+        assert r["sum_b"] == int(((x + 11 * y + 3 * d) % 256).sum())
+        assert r["pos_weighted_r"] == int((pos * red).sum())

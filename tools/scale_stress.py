@@ -101,10 +101,11 @@ OPS = [
     "semantic_dedup",
     "benchmark_contamination",
     "source_overlap_matrix",
-    # round 6 additions: real WAV codec roundtrip (Arrow-batched Python
-    # stage, linear by construction) and the z-order layout scorer (one
-    # 64-group aggregate; the shuffle key space is the file count)
+    # round 6 additions: real WAV + PNG codec roundtrips (Arrow-batched
+    # Python stages, linear by construction) and the z-order layout
+    # scorer (one 64-group aggregate; shuffle key space = file count)
     "wav_roundtrip_features",
+    "png_roundtrip_features",
     "zorder_layout_skipping",
 ]
 
