@@ -309,6 +309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encode+decode over stdlib zlib/struct (closes the image third
         # of the codec debt); registered past the prefix, r7 queue
         "png_roundtrip_features": multimodal.png_roundtrip_features,
+        # round-6: REAL video container path — uncompressed RIFF/AVI
+        # write+parse over stdlib struct (bottom-up padded BGR DIB
+        # frames); only compressed-bitstream decode stays stubbed
+        "avi_roundtrip_features": multimodal.avi_roundtrip_features,
         # winsorized stats + drift histogram (feature-prep profiling)
         "clipped_value_stats": etl.clipped_value_stats,
         "value_histogram": etl.value_histogram,

@@ -100,11 +100,11 @@ HEADLINE = [
     "pii_canary_scrub",
     "jsonl_roundtrip_stats",
     "compact_small_files",
-    # round-6 additions: real stdlib-WAV + from-spec-PNG codec
-    # roundtrips; z-order vs lexicographic layout scored by zone-map
-    # skipping
+    # round-6 additions: real WAV/PNG/AVI container codec roundtrips;
+    # z-order vs lexicographic layout scored by zone-map skipping
     "wav_roundtrip_features",
     "png_roundtrip_features",
+    "avi_roundtrip_features",
     "zorder_layout_skipping",
 ]
 

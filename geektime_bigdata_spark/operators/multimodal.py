@@ -5,17 +5,21 @@ A 100 TB multimodal corpus stores image/audio/video as `binary` columns
 (or object-store URIs) beside typed metadata; compute-heavy decode runs in
 Python workers over Arrow batches. This module makes all of that plumbing
 real — schema, batching, partitioning, deterministic feature extraction —
-while the general video codec call is stubbed (PIL/ffmpeg are not in
+while compressed-bitstream decode is stubbed (PIL/ffmpeg are not in
 this environment): `decode_stub=True` (default) derives a deterministic
 fake "decode" from the payload bytes; `decode_stub=False` raises
 NotImplementedError at the exact point a real codec (PIL/torchaudio/ffmpeg)
-would be invoked. The AUDIO and IMAGE paths are real since round 6:
-:func:`wav_roundtrip_features` encodes and decodes genuine RIFF/WAVE
-PCM16 through the stdlib ``wave`` codec, and
-:func:`png_roundtrip_features` encodes and decodes spec-conformant
-baseline PNG over stdlib ``zlib``/``struct`` (chunk framing, CRC32,
-deflated filter-0 scanlines) — both with zero installs, both verified
-differentially against closed-form integer SQL.
+would be invoked. All three CONTAINER paths are real since round 6,
+with zero installs, each verified differentially against closed-form
+integer SQL: :func:`wav_roundtrip_features` (RIFF/WAVE PCM16 through
+the stdlib ``wave`` codec), :func:`png_roundtrip_features`
+(spec-conformant baseline PNG over stdlib ``zlib``/``struct`` — chunk
+framing, CRC32, deflated filter-0 scanlines), and
+:func:`avi_roundtrip_features` (uncompressed RIFF/AVI over stdlib
+``struct`` — header lists, BITMAPINFOHEADER, bottom-up padded BGR DIB
+frames). What genuinely needs ffmpeg — compressed video/image
+bitstreams ('00dc' + fourCC, JPEG, H.264) — raises at exactly the
+point the codec would be invoked.
 
 The synthetic corpus has no binary column, so :func:`attach_fake_payloads`
 manufactures one from `documents.text` (utf-8 bytes) — the engine-side
@@ -601,6 +605,243 @@ def png_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, width long, height long, bit_depth long, "
             "color_type long, n_pixels long, sum_r long, sum_g long, "
             "sum_b long, pos_weighted_r long"
+        ),
+    )
+
+
+AVI_FPS = 10  # microseconds per frame = 100_000, exact
+
+
+def _avi_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF chunks are word-aligned
+    return tag + struct.pack("<I", len(data)) + data + pad
+
+
+def _encode_avi_rgb(frames) -> bytes:
+    """Spec-conformant uncompressed AVI writer (MSDN 'AVI RIFF File
+    Reference') over stdlib struct: RIFF('AVI ') -> LIST('hdrl')
+    {avih, LIST('strl'){strh, strf=BITMAPINFOHEADER}} -> LIST('movi')
+    {'00db' DIB frames}. Frames are BI_RGB bottom-up DIBs with rows
+    padded to 4 bytes and BGR byte order — the real spec warts, kept
+    so any AVI player opens the output."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(frame) -> bytes:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up row order
+            bgr = frame[y, :, ::-1].tobytes()  # BGR byte order
+            rows.append(bgr + b"\x00" * (stride - len(bgr)))
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // AVI_FPS,  # dwMicroSecPerFrame
+        frame_size * AVI_FPS,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags (no idx1 written, so AVIF_HASINDEX stays unset)
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        w,  # dwWidth
+        h,  # dwHeight
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, AVI_FPS,  # dwScale / dwRate -> fps
+        0, n, frame_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = _avi_chunk(
+        b"LIST",
+        b"strl" + _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf),
+    )
+    hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih) + strl)
+    movi = _avi_chunk(
+        b"LIST",
+        b"movi" + b"".join(_avi_chunk(b"00db", dib(f)) for f in frames),
+    )
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _decode_avi_rgb(data: bytes):
+    """From-spec uncompressed-AVI parser: validates RIFF/'AVI ' magic,
+    walks the chunk tree, reads avih (frame count, dimensions) and the
+    strf BITMAPINFOHEADER (bit depth, BI_RGB), then decodes every
+    '00db' frame — un-padding rows, flipping the bottom-up order, and
+    swapping BGR back to RGB. Returns (avih fields, strf fields,
+    n x h x w x 3 uint8 array) recomputed entirely from the container.
+    Compressed streams ('00dc' with a fourCC codec) raise — THAT decode
+    genuinely needs ffmpeg and stays behind the documented stub."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    avih = strf = None
+    frames = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal avih, strf
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"avih":
+                avih = struct.unpack("<IIIIIIIIIIIIII", body)
+            elif tag == b"strf":
+                strf = struct.unpack("<IiiHHIIiiII", body)
+            elif tag == b"00db":
+                frames.append(body)
+            elif tag == b"00dc":
+                raise NotImplementedError(
+                    "compressed AVI stream: a real codec (ffmpeg) is "
+                    "required — uncompressed DIB only here"
+                )
+            pos += 8 + length + (length % 2)
+
+    walk(data[12:])
+    n_frames, w, h = avih[4], avih[8], avih[9]
+    bit_count, compression = strf[4], strf[5]
+    if bit_count != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB DIB frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # un-flip rows
+        out[i] = bgr[:, :, ::-1]  # BGR -> RGB
+    return (n_frames, w, h), (bit_count, compression), out
+
+
+def synthesize_avi_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL uncompressed AVI per document: 2 + doc_id % 4 frames of
+    a (8 + doc_id % 5) x (6 + doc_id % 3) RGB pattern whose channels
+    derive from (frame, x, y, doc_id) — r = (3x + 5y + 7f + d) % 256,
+    g = (7x + y + 11f + 2d) % 256, b = (x + 11y + 13f + 3d) % 256.
+    The width range crosses 4-byte stride boundaries on purpose so the
+    DIB row-padding path is exercised, not just compiled."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(d: int) -> bytes:
+            n, w, h = 2 + d % 4, 8 + d % 5, 6 + d % 3
+            f = np.arange(n, dtype=np.int64)[:, None, None]
+            x = np.arange(w, dtype=np.int64)[None, None, :]
+            y = np.arange(h, dtype=np.int64)[None, :, None]
+            frames = np.stack(
+                [
+                    (3 * x + 5 * y + 7 * f + d) % 256,
+                    (7 * x + y + 11 * f + 2 * d) % 256,
+                    (x + 11 * y + 13 * f + 3 * d) % 256,
+                ],
+                axis=3,
+            ).astype(np.uint8)
+            return _encode_avi_rgb(frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_synth, schema="doc_id long, payload binary")
+
+
+def avi_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container path, end-to-end: write a per-document
+    uncompressed AVI (MSDN RIFF spec over stdlib struct — header
+    lists, BITMAPINFOHEADER, bottom-up padded BGR DIB frames), then
+    DECODE the container with the from-spec parser and recompute every
+    feature FROM THE DECODED FRAMES: header fields, frame count (both
+    as declared by avih and as counted in movi — the parser checks
+    they agree), pixel count, total red sum, and a
+    (frame, scanline-position)-weighted red sum that breaks parity if
+    frame order, row un-flipping, BGR swap, or stride un-padding is
+    wrong anywhere. Nothing is echoed from the synthesis parameters,
+    so the closed-form integer oracle (pixel grid unnested from
+    doc_id) proves the full encode -> container -> decode -> featurize
+    loop lossless.
+
+    This closes the VIDEO third of the codec debt at the container
+    level: uncompressed 24-bit BI_RGB AVI is a genuine video format
+    any player opens. What remains honestly stubbed is compressed
+    bitstream decode ('00dc' + fourCC), which really does need
+    ffmpeg — the parser raises at exactly that point. At 100 TB this
+    is the video-ingest QA shape: Arrow-batched decode in Python
+    workers, narrow all-integer feature relation out, payload bytes
+    never crossing an engine edge."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes) -> tuple[int, ...]:
+            (n_declared, w, h), _, frames = _decode_avi_rgb(bytes(payload))
+            if n_declared != frames.shape[0]:
+                raise ValueError("avih frame count != movi chunk count")
+            px = frames.astype(np.int64)
+            n = frames.shape[0]
+            fw = np.arange(n, dtype=np.int64)[:, None, None] * (h * w)
+            pos = (
+                np.arange(h, dtype=np.int64)[None, :, None] * w
+                + np.arange(w, dtype=np.int64)[None, None, :]
+                + 1
+            )
+            weights = fw + pos
+            return (
+                n,
+                w,
+                h,
+                n * h * w,
+                int(px[:, :, :, 0].sum()),
+                int(px[:, :, :, 1].sum()),
+                int(px[:, :, :, 2].sum()),
+                int((weights * px[:, :, :, 0]).sum()),
+            )
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            cols = list(zip(*decoded)) if decoded else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": cols[0],
+                    "width": cols[1],
+                    "height": cols[2],
+                    "n_pixels": cols[3],
+                    "sum_r": cols[4],
+                    "sum_g": cols[5],
+                    "sum_b": cols[6],
+                    "pos_weighted_r": cols[7],
+                }
+            )
+
+    avis = synthesize_avi_payloads(spark, sf_dir)
+    return avis.mapInPandas(
+        _decode,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "n_pixels long, sum_r long, sum_g long, sum_b long, "
+            "pos_weighted_r long"
         ),
     )
 

@@ -195,3 +195,62 @@ def test_png_roundtrip_matches_closed_form(spark, sf_dir):
         assert r["sum_g"] == int(((7 * x + y + 2 * d) % 256).sum())
         assert r["sum_b"] == int(((x + 11 * y + 3 * d) % 256).sum())
         assert r["pos_weighted_r"] == int((pos * red).sum())
+
+
+def test_avi_payloads_are_real_avi_files(spark, sf_dir):
+    """The synthesized payloads must be genuine RIFF/AVI containers —
+    RIFF magic, 'AVI ' form type, an avih main header whose declared
+    frame count matches the number of '00db' movi chunks, and frame
+    chunks sized to the padded DIB stride."""
+    import struct
+
+    from geektime_bigdata_spark.operators.multimodal import (
+        synthesize_avi_payloads,
+    )
+
+    rows = synthesize_avi_payloads(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        payload = bytes(r["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        (riff_len,) = struct.unpack("<I", payload[4:8])
+        assert riff_len == len(payload) - 8  # spec: size excludes tag+len
+        d = r["doc_id"]
+        n, w, h = 2 + d % 4, 8 + d % 5, 6 + d % 3
+        stride = (w * 3 + 3) & ~3
+        assert payload.count(b"00db") == n
+        # every frame chunk declares the padded-DIB size
+        pos = 0
+        while (pos := payload.find(b"00db", pos)) != -1:
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            assert length == stride * h
+            pos += 8
+
+
+def test_avi_roundtrip_matches_closed_form(spark, sf_dir):
+    """Decoded features must equal the closed-form (frame, x, y) pixel
+    formulas the video was synthesized from — bottom-up row flip, BGR
+    swap, and stride un-padding all have to be exactly inverted for
+    the position-weighted sum to survive."""
+    import numpy as np
+
+    from geektime_bigdata_spark.operators.multimodal import (
+        avi_roundtrip_features,
+    )
+
+    rows = avi_roundtrip_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        n, w, h = 2 + d % 4, 8 + d % 5, 6 + d % 3
+        f = np.arange(n, dtype=np.int64)[:, None, None]
+        x = np.arange(w, dtype=np.int64)[None, None, :]
+        y = np.arange(h, dtype=np.int64)[None, :, None]
+        red = (3 * x + 5 * y + 7 * f + d) % 256
+        weights = f * (h * w) + y * w + x + 1
+        assert (r["n_frames"], r["width"], r["height"]) == (n, w, h)
+        assert r["n_pixels"] == n * w * h
+        assert r["sum_r"] == int(red.sum())
+        assert r["sum_g"] == int(((7 * x + y + 11 * f + 2 * d) % 256).sum())
+        assert r["sum_b"] == int(((x + 11 * y + 13 * f + 3 * d) % 256).sum())
+        assert r["pos_weighted_r"] == int((weights * red).sum())

@@ -101,11 +101,13 @@ OPS = [
     "semantic_dedup",
     "benchmark_contamination",
     "source_overlap_matrix",
-    # round 6 additions: real WAV + PNG codec roundtrips (Arrow-batched
-    # Python stages, linear by construction) and the z-order layout
-    # scorer (one 64-group aggregate; shuffle key space = file count)
+    # round 6 additions: real WAV/PNG/AVI container codec roundtrips
+    # (Arrow-batched Python stages, linear by construction) and the
+    # z-order layout scorer (one 64-group aggregate; shuffle key space
+    # = file count)
     "wav_roundtrip_features",
     "png_roundtrip_features",
+    "avi_roundtrip_features",
     "zorder_layout_skipping",
 ]
 
