@@ -481,7 +481,12 @@ def _decode_png_rgb(data: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + length
-    w, h, bit_depth, color_type, _comp, _filt, _inter = header
+    w, h, bit_depth, color_type, comp, filt, inter = header
+    if (bit_depth, color_type, comp, filt, inter) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only 8-bit truecolor non-interlaced PNG is supported by "
+            "this baseline-subset decoder"
+        )
     raw = zlib.decompress(idat)
     stride = 1 + 3 * w
     rows = []

@@ -254,3 +254,67 @@ def test_avi_roundtrip_matches_closed_form(spark, sf_dir):
         assert r["sum_g"] == int(((7 * x + y + 11 * f + 2 * d) % 256).sum())
         assert r["sum_b"] == int(((x + 11 * y + 13 * f + 3 * d) % 256).sum())
         assert r["pos_weighted_r"] == int((weights * red).sum())
+
+
+def test_codec_parsers_refuse_what_they_cannot_decode():
+    """The honest boundaries must be real code paths, not doc claims:
+    a corrupted CRC is a ValueError, a non-filter-0 scanline or
+    non-RGB8 PNG raises NotImplementedError, and a compressed AVI
+    stream ('00dc') raises at exactly the would-be-ffmpeg call."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from geektime_bigdata_spark.operators.multimodal import (
+        _decode_avi_rgb,
+        _decode_png_rgb,
+        _encode_avi_rgb,
+        _encode_png_rgb,
+        _png_chunk,
+        PNG_SIG,
+    )
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = _encode_png_rgb(rgb)
+
+    # corrupt the IDAT CRC (last 4 bytes before the 12-byte IEND)
+    bad_crc = bytearray(good)
+    bad_crc[-13] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png_rgb(bytes(bad_crc))
+
+    # filter type 1 (Sub) scanlines — valid PNG, outside the subset
+    raw = b"".join(b"\x01" + rgb[y].tobytes() for y in range(4))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    filt1 = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="filter"):
+        _decode_png_rgb(filt1)
+
+    # grayscale IHDR — valid PNG, outside the subset
+    gray_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", gray_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        _decode_png_rgb(gray)
+
+    # compressed AVI stream: swap the frame tag to '00dc'
+    avi = _encode_avi_rgb(np.zeros((1, 4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        _decode_avi_rgb(avi.replace(b"00db", b"00dc"))
+
+    # and not-a-container inputs fail loudly, never decode garbage
+    with _pytest.raises(ValueError):
+        _decode_png_rgb(b"not a png at all")
+    with _pytest.raises(ValueError):
+        _decode_avi_rgb(b"RIFFxxxxWAVE")
