@@ -1,7 +1,7 @@
 """Vanilla-session mirror of the driver's per-round correctness sweep.
 
 Runs the first N ``queries()`` entries (the driver checks a 50-slot
-prefix) — or ``--all`` 190 — in a plain ``local[$SPARK_GRAFT_CPUS]``
+prefix) — or ``--all`` of them — in a plain ``local[$SPARK_GRAFT_CPUS]``
 SparkSession against their DuckDB oracles via the same comparison the
 pytest harness uses (tests/oracle.py, Arrow-strict fetch).  Prior
 rounds ran this ad hoc before shipping a prefix rotation; this makes
