@@ -123,18 +123,20 @@ def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  Round 5
-    closed at 186/186 ever-driver-green with zero open defects, so the
-    round-6 prefix is the rotation precomputed in SURVEY §7.9 / VERDICT
-    r5 items 1-2: `_SWEEP_PRIORITY` puts (1) the four round-5 registry
-    additions that have never had a driver row plus the seven remaining
-    r1-latest rows, then (2) 39 of the 41 r2-latest rows (the last two
-    of the alphabetical list, `vocab_coverage` and `word_counts`, spill
-    to the r7 prefix head — both are r2-green, merely stale, and
-    `word_counts`' oracle is additionally carried by its r2-green
-    `salted_top_words` twin).  Everything else keeps its prior relative
+    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  Round 6
+    closed at 191/191 ever-driver-green with zero open defects, so the
+    round-7 prefix is the rotation precomputed in SURVEY §7.10 / VERDICT
+    r6 item 1: `_SWEEP_PRIORITY` puts (1) the three round-6 registry
+    additions that have never had a driver row (`zorder_layout_skipping`,
+    `png_roundtrip_features`, `avi_roundtrip_features`), then (2) the
+    three r2-latest rows that spilled from the r6 prefix
+    (`tfidf_top_terms`, `vocab_coverage`, `word_counts`), then (3) all
+    38 r3-latest rows (streaming suite, multimodal plumbing, round-3
+    pipeline ops, alphabetical), then (4) the six alphabetically-first
+    r4-latest rows to fill 50.  Everything else keeps its prior relative
     order, so a prefix of any length always maximizes stale-coverage
-    refresh."""
+    refresh.  After this sweep zero entries lack a driver row and
+    nothing is older than r4."""
     base = {
         # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,
@@ -471,77 +473,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-6 sweep prefix (driver checks the first 50 queries() entries).
-# Precomputed in SURVEY §7.9 and prescribed by VERDICT r5 items 1-2:
-# Slots 1-12 (never-driver-checked head + r1-latest tail):
-#   - the round-6 addition (`wav_roundtrip_features`) and the four
-#     round-5 registry additions awaiting their first driver
-#     row (`prefix_filter_jaccard_pairs_banded`, `pii_canary_scrub`,
-#     `jsonl_roundtrip_stats`, `compact_small_files`),
-#   - the 7 remaining r1-latest rows (two oracle-twin-covered:
-#     `embedding_norms_pandas` via both r4-green arrow twins,
-#     `session_window_rollup` via the r4-green streaming twin; five
-#     trivial constant-shape relational ops).
-# Slots 12-50: 38 of the 41 r2-latest rows (alphabetical); the last
-#   three (`tfidf_top_terms`, `vocab_coverage`, `word_counts`) spill to
-#   the r7 prefix head per SURVEY §7.10 so the never-checked round-5/6
-#   ops land first.  After this sweep every driver row is ≤3 rounds old
-#   (except the three spilled r2 rows, ≤5 at their r7 check) and no
-#   registered query lacks a driver row.
+# Round-7 sweep prefix (driver checks the first 50 queries() entries).
+# Precomputed in SURVEY §7.10 and prescribed by VERDICT r6 item 1:
+# Slots 1-3: the three round-6 registry additions that were registered
+#   after the r6 prefix shipped and so have never had a driver row
+#   (`zorder_layout_skipping`, `png_roundtrip_features`,
+#   `avi_roundtrip_features` — all three judge-verified green against
+#   the DuckDB oracle in the r6 verdict session).
+# Slots 4-6: the three r2-latest rows that spilled from the r6 prefix
+#   (`tfidf_top_terms`, `vocab_coverage`, `word_counts` — 5 rounds
+#   stale at their r7 check, the planned peak of the rotation).
+# Slots 7-44: all 38 r3-latest rows, alphabetical (the streaming
+#   suite, multimodal plumbing, and round-3 pipeline ops).
+# Slots 45-50: the six alphabetically-first r4-latest rows
+#   (`clipped_value_stats`, `corpus_snapshot_diff`, `curation_funnel`,
+#   `edit_distance_pairs` were dropped from this slice in the r6 plan
+#   to make room for the heads; they rejoin the r4 pool for r8).
+# After this sweep: zero never-checked entries, nothing older than r4,
+# and from r8 on the cadence is a steady <=4-round round-robin.
 _SWEEP_PRIORITY = [
-    # (1) round-5/6 additions, first driver row
-    "wav_roundtrip_features",
-    "prefix_filter_jaccard_pairs_banded",
-    "pii_canary_scrub",
-    "jsonl_roundtrip_stats",
-    "compact_small_files",
-    # (1) remaining r1-latest rows
-    "embedding_norms_pandas",
-    "session_window_rollup",
-    "null_filter_empty",
-    "cast_filter",
-    "const_score_order",
-    "distinct_pairs",
-    "point_lookup",
-    # (2) r2-latest rows, alphabetical (39 of 41; 2 spill to r7)
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "benchmark_contamination",
-    "bm25_top_terms",
-    "bow_dedup",
-    "chunk_documents",
-    "continuous_hourly_rollup",
-    "dataset_splits",
-    "dedup_clusters",
-    "doc_fingerprints",
-    "embedding_neardup_pairs",
-    "embedding_quantize_int8",
-    "event_funnel",
-    "exact_dedup",
-    "incremental_ingest_dedup",
-    "inverted_index_str",
-    "key_skew_report",
-    "kmeans_step",
-    "label_centroids",
-    "lsh_hyperplane_buckets",
-    "minhash_jaccard_estimate",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "neardup_pagerank",
-    "ngram_jaccard_pairs",
-    "order_grouping_sets",
-    "orders_audit",
-    "packed_sequences",
-    "phrase_search",
-    "positional_postings",
-    "posting_list_tf_str",
-    "salted_top_words",
-    "scd2_intervals",
-    "semantic_dedup",
-    "simhash_fingerprints",
-    "simhash_neardup_pairs",
-    "stratified_sample",
-    "term_freq",
+    # (1) round-6 additions, first driver row
+    "zorder_layout_skipping",
+    "png_roundtrip_features",
+    "avi_roundtrip_features",
+    # (2) the three r2-latest rows spilled from the r6 prefix
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "word_counts",
+    # (3) all 38 r3-latest rows, alphabetical
+    "ann_topk_ivf_multiprobe",
+    "asof_last_click",
+    "boilerplate_coverage",
+    "boilerplate_ngrams",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "contrastive_negatives",
+    "curated_corpus",
+    "curation_summary",
+    "customer_balance_quartiles",
+    "dedup_cluster_representatives",
+    "hourly_anomaly_scores",
+    "hourly_event_rollup",
+    "incoming_batch_dedup",
+    "media_features",
+    "media_features_wide",
+    "media_type_stats",
+    "neardup_triangles",
+    "ngram_containment_pairs",
+    "per_source_caps",
+    "quality_dup_calibration",
+    "quality_weighted_sample",
+    "semantic_dedup_multiprobe",
+    "sliding_wau",
+    "sliding_window_counts",
+    "source_overlap_matrix",
+    "source_vocab_overlap",
+    "streaming_attribution",
+    "streaming_attribution_full_outer",
+    "streaming_attribution_outer",
+    "streaming_dedup",
+    "streaming_enriched_rollup",
+    "streaming_hourly_rollup",
+    "streaming_sliding_counts",
+    "streaming_upsert_sink",
+    "unigram_logprob_scores",
+    "user_path_trigrams",
+    "user_value_trend",
+    # (4) the six alphabetically-first r4-latest rows
+    "asof_last_click_cogroup",
+    "bigram_logprob_scores",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "cdc_apply",
 ]
 
 

@@ -481,6 +481,8 @@ def _decode_png_rgb(data: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + length
+    if header is None:
+        raise ValueError("missing IHDR chunk in PNG stream")
     w, h, bit_depth, color_type, comp, filt, inter = header
     if (bit_depth, color_type, comp, filt, inter) != (8, 2, 0, 0, 0):
         raise NotImplementedError(
@@ -721,6 +723,8 @@ def _decode_avi_rgb(data: bytes):
             pos += 8 + length + (length % 2)
 
     walk(data[12:])
+    if avih is None or strf is None:
+        raise ValueError("missing avih/strf header in AVI container")
     n_frames, w, h = avih[4], avih[8], avih[9]
     bit_count, compression = strf[4], strf[5]
     if bit_count != 24 or compression != 0:

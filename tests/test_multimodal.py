@@ -218,13 +218,28 @@ def test_avi_payloads_are_real_avi_files(spark, sf_dir):
         d = r["doc_id"]
         n, w, h = 2 + d % 4, 8 + d % 5, 6 + d % 3
         stride = (w * 3 + 3) & ~3
-        assert payload.count(b"00db") == n
+        # Count frames by walking the RIFF chunk tree (as the decoder
+        # does) — the raw bytes b"00db" can legitimately occur inside
+        # DIB pixel data, so substring-counting would be fixture-brittle
+        # (ADVICE r6).
+        frame_lengths = []
+
+        def walk(buf: bytes) -> None:
+            pos = 0
+            while pos + 8 <= len(buf):
+                tag = buf[pos : pos + 4]
+                (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + length]
+                if tag == b"LIST":
+                    walk(body[4:])
+                elif tag == b"00db":
+                    frame_lengths.append(length)
+                pos += 8 + length + (length % 2)
+
+        walk(payload[12:])
+        assert len(frame_lengths) == n
         # every frame chunk declares the padded-DIB size
-        pos = 0
-        while (pos := payload.find(b"00db", pos)) != -1:
-            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            assert length == stride * h
-            pos += 8
+        assert all(length == stride * h for length in frame_lengths)
 
 
 def test_avi_roundtrip_matches_closed_form(spark, sf_dir):
@@ -318,3 +333,18 @@ def test_codec_parsers_refuse_what_they_cannot_decode():
         _decode_png_rgb(b"not a png at all")
     with _pytest.raises(ValueError):
         _decode_avi_rgb(b"RIFFxxxxWAVE")
+
+    # well-formed magic but MISSING headers must raise the documented
+    # ValueError, not a raw TypeError/struct.error (ADVICE r6): a PNG
+    # stream with no IHDR, and an AVI container with no avih/strf.
+    headerless_png = (
+        PNG_SIG
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IHDR"):
+        _decode_png_rgb(headerless_png)
+
+    empty_avi = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with _pytest.raises(ValueError, match="avih"):
+        _decode_avi_rgb(empty_avi)

@@ -199,6 +199,15 @@ def main() -> None:
     if path and only and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
+        # Refuse to merge measurements taken under a different scale grid:
+        # prior sec_at keys / exponents would silently disagree with the
+        # file's declared base+factors (ADVICE r6).
+        if prior.get("base") != BASE or prior.get("factors") != FACTORS:
+            raise SystemExit(
+                "refusing SCALE_STRESS_ONLY merge: prior base/factors "
+                f"({prior.get('base')}, {prior.get('factors')}) != current "
+                f"({BASE}, {FACTORS}); re-run a full measurement instead"
+            )
         prior["ops"].update(report)
         out = prior
     line = json.dumps(out)
