@@ -154,27 +154,55 @@ def main() -> None:
 
     # SCALE_STRESS_ONLY=op1,op2 measures a subset and MERGES it into an
     # existing out_json (new ops don't force re-measuring all of OPS).
+    # SCALE_STRESS_PROBE8X=op1,op2 instead runs the named ops at 4x and
+    # 8x only (one extra doubling past the standard grid) and merges
+    # the result under a separate top-level "probe8x" section, leaving
+    # the declared base/factors grid untouched — the deep-probe results
+    # live next to, never inside, the 1x/2x/4x exponents.
     only = os.environ.get("SCALE_STRESS_ONLY")
-    ops = (
-        [o.strip() for o in only.split(",") if o.strip()] if only else OPS
-    )
+    probe8x = os.environ.get("SCALE_STRESS_PROBE8X")
+    if probe8x:
+        only = None
+        factors = [4, 8]
+        ops = [o.strip() for o in probe8x.split(",") if o.strip()]
+    else:
+        factors = FACTORS
+        ops = (
+            [o.strip() for o in only.split(",") if o.strip()]
+            if only
+            else OPS
+        )
+
+    # Fail a grid-mismatched merge BEFORE any measurement: prior sec_at
+    # keys / exponents would silently disagree with the file's declared
+    # base+factors (ADVICE r6).
+    path = sys.argv[1] if len(sys.argv) > 1 else None
+    if path and only and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior.get("base") != BASE or prior.get("factors") != FACTORS:
+            raise SystemExit(
+                "refusing SCALE_STRESS_ONLY merge: prior base/factors "
+                f"({prior.get('base')}, {prior.get('factors')}) != current "
+                f"({BASE}, {FACTORS}); re-run a full measurement instead"
+            )
 
     spark = get_spark(app_name="gbs-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    dirs = {k: build_scaled(spark, k) for k in FACTORS}
+    dirs = {k: build_scaled(spark, k) for k in factors}
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # warmup at the smallest scale
     for name in ops:
-        run(queries[name](spark, dirs[FACTORS[0]]))
+        run(queries[name](spark, dirs[factors[0]]))
         release_caches(spark)
 
     times: dict[str, dict[int, float]] = {n: {} for n in ops}
-    for k in FACTORS:
+    for k in factors:
         for name in ops:
             runs = []
             for _ in range(3):
@@ -188,26 +216,29 @@ def main() -> None:
 
     report = {}
     for name in ops:
-        t1, t4 = times[name][FACTORS[0]], times[name][FACTORS[-1]]
-        exp = math.log(t4 / t1) / math.log(FACTORS[-1] / FACTORS[0])
+        t1, t4 = times[name][factors[0]], times[name][factors[-1]]
+        exp = math.log(t4 / t1) / math.log(factors[-1] / factors[0])
         report[name] = {
-            "sec_at": {str(k): times[name][k] for k in FACTORS},
+            "sec_at": {str(k): times[name][k] for k in factors},
             "exponent": round(exp, 3),
         }
-    path = sys.argv[1] if len(sys.argv) > 1 else None
+    if probe8x:
+        if path and os.path.exists(path):
+            with open(path) as fh:
+                out = json.load(fh)
+        else:
+            out = {"base": BASE, "factors": FACTORS, "ops": {}}
+        out.setdefault("probe8x", {}).update(report)
+        line = json.dumps(out)
+        if path:
+            with open(path, "w") as fh:
+                fh.write(line + "\n")
+        print(line)
+        return
     out = {"base": BASE, "factors": FACTORS, "ops": report}
     if path and only and os.path.exists(path):
         with open(path) as fh:
-            prior = json.load(fh)
-        # Refuse to merge measurements taken under a different scale grid:
-        # prior sec_at keys / exponents would silently disagree with the
-        # file's declared base+factors (ADVICE r6).
-        if prior.get("base") != BASE or prior.get("factors") != FACTORS:
-            raise SystemExit(
-                "refusing SCALE_STRESS_ONLY merge: prior base/factors "
-                f"({prior.get('base')}, {prior.get('factors')}) != current "
-                f"({BASE}, {FACTORS}); re-run a full measurement instead"
-            )
+            prior = json.load(fh)  # grid match asserted before measuring
         prior["ops"].update(report)
         out = prior
     line = json.dumps(out)
