@@ -466,8 +466,15 @@ def _decode_png_rgb(data: bytes):
         raise ValueError("not a PNG")
     pos, idat, header = 8, b"", None
     while pos < len(data):
+        # every malformed shape must surface as the documented
+        # ValueError, never a raw struct.error/IndexError: bound-check
+        # the chunk frame (len + tag + payload + crc) before unpacking
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -475,6 +482,8 @@ def _decode_png_rgb(data: bytes):
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("IHDR length must be 13")
             header = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat += payload
@@ -484,13 +493,22 @@ def _decode_png_rgb(data: bytes):
     if header is None:
         raise ValueError("missing IHDR chunk in PNG stream")
     w, h, bit_depth, color_type, comp, filt, inter = header
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG image")
     if (bit_depth, color_type, comp, filt, inter) != (8, 2, 0, 0, 0):
         raise NotImplementedError(
             "only 8-bit truecolor non-interlaced PNG is supported by "
             "this baseline-subset decoder"
         )
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     stride = 1 + 3 * w
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {h * stride}"
+        )
     rows = []
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
@@ -707,12 +725,20 @@ def _decode_avi_rgb(data: bytes):
             tag = buf[pos : pos + 4]
             (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body = buf[pos + 8 : pos + 8 + length]
+            # malformed containers fail with the documented ValueError,
+            # never a raw struct.error from a short unpack
+            if len(body) < length:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
             if tag == b"LIST":
                 walk(body[4:])
             elif tag == b"avih":
-                avih = struct.unpack("<IIIIIIIIIIIIII", body)
+                if length < 56:
+                    raise ValueError("avih header too short")
+                avih = struct.unpack("<IIIIIIIIIIIIII", body[:56])
             elif tag == b"strf":
-                strf = struct.unpack("<IiiHHIIiiII", body)
+                if length < 40:
+                    raise ValueError("strf header too short")
+                strf = struct.unpack("<IiiHHIIiiII", body[:40])
             elif tag == b"00db":
                 frames.append(body)
             elif tag == b"00dc":
@@ -729,7 +755,17 @@ def _decode_avi_rgb(data: bytes):
     bit_count, compression = strf[4], strf[5]
     if bit_count != 24 or compression != 0:
         raise NotImplementedError("only 24-bit BI_RGB DIB frames")
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive AVI frame dimensions")
     stride = (w * 3 + 3) & ~3
+    # validate every frame size BEFORE allocating the (n, h, w, 3)
+    # output — a crafted huge-dimension header must fail with the
+    # documented ValueError, not an allocation attempt
+    for raw in frames:
+        if len(raw) != h * stride:
+            raise ValueError(
+                f"frame size {len(raw)} != expected {h * stride}"
+            )
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, raw in enumerate(frames):
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)

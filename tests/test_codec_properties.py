@@ -92,3 +92,107 @@ def test_wav_roundtrip_identity(samples, rate):
         assert rf.getnframes() == len(arr)
         back = np.frombuffer(rf.readframes(rf.getnframes()), dtype=np.int16)
     assert (back == arr).all()
+
+
+# ---------------------------------------------------------------------
+# Failure-contract fuzz: for ANY byte blob — random garbage, truncations
+# of valid containers, or single-byte corruptions — the decoders either
+# succeed or raise the two DOCUMENTED types (ValueError for malformed /
+# truncated containers, NotImplementedError for valid-but-out-of-subset
+# features). A raw struct.error / IndexError / zlib.error / TypeError /
+# MemoryError escaping means a malformed blob in a 100 TB scan would
+# kill the executor task with an undiagnosable error instead of the
+# contract's refusal (ADVICE r6 flagged exactly this gap for missing
+# headers; these properties pin the whole class).
+# ---------------------------------------------------------------------
+
+_DOCUMENTED = (ValueError, NotImplementedError)
+
+
+def _decode_must_refuse_cleanly(decoder, blob: bytes) -> None:
+    try:
+        decoder(blob)
+    except _DOCUMENTED:
+        pass  # the contract: refuse loudly with a documented type
+
+
+@settings(max_examples=120, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_png_decoder_never_raises_undocumented(blob):
+    _decode_must_refuse_cleanly(_decode_png_rgb, blob)
+
+
+@settings(max_examples=120, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_avi_decoder_never_raises_undocumented(blob):
+    _decode_must_refuse_cleanly(_decode_avi_rgb, blob)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    seed=st.integers(0, 2**31 - 1),
+    cut=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_png_decoder_survives_truncation(w, h, seed, cut):
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    good = _encode_png_rgb(rgb)
+    _decode_must_refuse_cleanly(_decode_png_rgb, good[: int(len(good) * cut)])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    seed=st.integers(0, 2**31 - 1),
+    cut=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_avi_decoder_survives_truncation(w, h, seed, cut):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
+    good = _encode_avi_rgb(frames)
+    _decode_must_refuse_cleanly(_decode_avi_rgb, good[: int(len(good) * cut)])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    seed=st.integers(0, 2**31 - 1),
+    pos_frac=st.floats(min_value=0.0, max_value=1.0),
+    flip=st.integers(1, 255),
+)
+def test_png_decoder_survives_single_byte_corruption(
+    w, h, seed, pos_frac, flip
+):
+    """Any single corrupted byte either leaves a decodable PNG (the byte
+    landed somewhere the subset ignores), or fails with a documented
+    refusal — the CRC check catches chunk-body damage, the bounds
+    checks catch frame damage."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    good = bytearray(_encode_png_rgb(rgb))
+    pos = min(int(len(good) * pos_frac), len(good) - 1)
+    good[pos] ^= flip
+    _decode_must_refuse_cleanly(_decode_png_rgb, bytes(good))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    seed=st.integers(0, 2**31 - 1),
+    pos_frac=st.floats(min_value=0.0, max_value=1.0),
+    flip=st.integers(1, 255),
+)
+def test_avi_decoder_survives_single_byte_corruption(
+    w, h, seed, pos_frac, flip
+):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
+    good = bytearray(_encode_avi_rgb(frames))
+    pos = min(int(len(good) * pos_frac), len(good) - 1)
+    good[pos] ^= flip
+    _decode_must_refuse_cleanly(_decode_avi_rgb, bytes(good))
