@@ -131,6 +131,26 @@ def _calibrate(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibrate_sched(spark) -> float:
+    """Time 8 trivial one-partition jobs: a probe of PER-JOB fixed
+    overhead (driver scheduling, task dispatch), the single-threaded
+    path. The r7 forensics found sustained-load drift inflates short
+    multi-stage queries ~1.7-1.9x while saturated-CPU throughput (the
+    _calibrate probe) stays flat — the drifting quantity is per-stage
+    overhead, so it gets its own probe."""
+    def one() -> None:
+        spark.range(1, numPartitions=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for _ in range(2):  # untimed: absorb lingering GC from prior work
+        one()
+    t0 = time.perf_counter()
+    for _ in range(16):
+        one()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -168,6 +188,7 @@ def main() -> None:
     import random
 
     cal_pre = _calibrate(spark)
+    sched_pre = _calibrate_sched(spark)
     samples: dict[str, list[float]] = {n: [] for n in names}
     for pass_idx in range(3):
         order = list(names)
@@ -177,6 +198,7 @@ def main() -> None:
             _run(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
     cal_post = _calibrate(spark)
+    sched_post = _calibrate_sched(spark)
     timings = {n: round(sorted(rs)[1], 3) for n, rs in samples.items()}
 
     total = round(sum(timings.values()), 3)
@@ -199,13 +221,19 @@ def main() -> None:
         "bands": {},
         "classification": {},
         "seeding": [],
-        # fixed JVM-side probe timed before/after the measured passes;
-        # ratio >> 1 means the machine slowed DURING the bench and
-        # above_band labels should be read against that, not as code
+        # fixed probes timed before/after the measured passes; ratio
+        # >> 1 means the machine slowed DURING the bench and above_band
+        # labels should be read against that, not as code. cpu = 2B-row
+        # saturated aggregate (parallel throughput); sched = 8 trivial
+        # one-partition jobs (per-job fixed overhead — the quantity the
+        # r7 forensics showed actually drifts under sustained load)
         "calibration": {
             "pre": cal_pre,
             "post": cal_post,
             "ratio": round(cal_post / cal_pre, 3),
+            "sched_pre": sched_pre,
+            "sched_post": sched_post,
+            "sched_ratio": round(sched_post / sched_pre, 3),
         },
     }
     hist_path = os.path.join(
