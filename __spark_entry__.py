@@ -473,79 +473,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-7 sweep prefix (driver checks the first 50 queries() entries).
-# Precomputed in SURVEY §7.10 and prescribed by VERDICT r6 item 1:
-# Slots 1-3: the three round-6 registry additions that were registered
-#   after the r6 prefix shipped and so have never had a driver row
-#   (`zorder_layout_skipping`, `png_roundtrip_features`,
-#   `avi_roundtrip_features` — all three judge-verified green against
-#   the DuckDB oracle in the r6 verdict session).
-# Slots 4-6: the three r2-latest rows that spilled from the r6 prefix
-#   (`tfidf_top_terms`, `vocab_coverage`, `word_counts` — 5 rounds
-#   stale at their r7 check, the planned peak of the rotation).
-# Slots 7-44: all 38 r3-latest rows, alphabetical (the streaming
-#   suite, multimodal plumbing, and round-3 pipeline ops).
-# Slots 45-50: the six alphabetically-first r4-latest rows
-#   (`clipped_value_stats`, `corpus_snapshot_diff`, `curation_funnel`,
-#   `edit_distance_pairs` were dropped from this slice in the r6 plan
-#   to make room for the heads; they rejoin the r4 pool for r8).
-# After this sweep: zero never-checked entries, nothing older than r4,
-# and from r8 on the cadence is a steady <=4-round round-robin.
+# Round-9 sweep prefix (driver checks the first 50 queries() entries).
+# Prescribed by VERDICT r8 item 1 (round 8 was a driver-only no-op, so
+# this is the staged rotation SURVEY §7.11 precomputed for r8):
+# Slots 1-44: all 44 r4-latest rows, alphabetical — 4 rounds stale at
+#   their r9 check, the oldest cohort in the ledger (incl. both
+#   streaming session runners, `sessionize`, `sketch_error_bounds`,
+#   the PCA/Gram family and both pyds roundtrips).
+# Slots 45-50: the six alphabetically-first r5-latest rows
+#   (`attribution_range_join` .. `doc_quality_scores`), starting the
+#   round-robin through the r5 cohort.
+# After this sweep the ledger is r9:50, r8:50, r6:50, r5:44 — nothing
+# older than r5, and the <=4-round cadence resumes.
 _SWEEP_PRIORITY = [
-    # (1) round-6 additions, first driver row
-    "zorder_layout_skipping",
-    "png_roundtrip_features",
-    "avi_roundtrip_features",
-    # (2) the three r2-latest rows spilled from the r6 prefix
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "word_counts",
-    # (3) all 38 r3-latest rows, alphabetical
-    "ann_topk_ivf_multiprobe",
-    "asof_last_click",
-    "boilerplate_coverage",
-    "boilerplate_ngrams",
-    "cluster_balanced_sample",
-    "cohort_retention",
-    "contrastive_negatives",
-    "curated_corpus",
-    "curation_summary",
-    "customer_balance_quartiles",
-    "dedup_cluster_representatives",
-    "hourly_anomaly_scores",
-    "hourly_event_rollup",
-    "incoming_batch_dedup",
-    "media_features",
-    "media_features_wide",
-    "media_type_stats",
-    "neardup_triangles",
-    "ngram_containment_pairs",
-    "per_source_caps",
-    "quality_dup_calibration",
-    "quality_weighted_sample",
-    "semantic_dedup_multiprobe",
-    "sliding_wau",
-    "sliding_window_counts",
-    "source_overlap_matrix",
-    "source_vocab_overlap",
-    "streaming_attribution",
-    "streaming_attribution_full_outer",
-    "streaming_attribution_outer",
-    "streaming_dedup",
-    "streaming_enriched_rollup",
-    "streaming_hourly_rollup",
-    "streaming_sliding_counts",
-    "streaming_upsert_sink",
-    "unigram_logprob_scores",
-    "user_path_trigrams",
-    "user_value_trend",
-    # (4) the six alphabetically-first r4-latest rows
-    "asof_last_click_cogroup",
-    "bigram_logprob_scores",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "bpe_train_merges_batched",
-    "cdc_apply",
+    # (1) all 44 r4-latest rows, alphabetical
+    "clipped_value_stats",
+    "corpus_snapshot_diff",
+    "curation_funnel",
+    "edit_distance_pairs",
+    "edit_distance_pairs_snm",
+    "embedding_gram_matrix",
+    "embedding_norms_arrow",
+    "embedding_norms_arrow_udf",
+    "embedding_pca_power",
+    "embedding_pca_top2",
+    "event_type_melt",
+    "event_type_stats_pipe",
+    "frame_sample_digest",
+    "gap_filled_hourly",
+    "json_props_extract",
+    "json_props_variant",
+    "lang_source_listagg",
+    "media_resize_digest",
+    "mixture_allocation",
+    "neardup_detector_matrix",
+    "neardup_kcore",
+    "neardup_pair_features",
+    "neardup_random_walks",
+    "neardup_reach_rcte",
+    "ngram_novelty_scores",
+    "orders_column_profile",
+    "prefix_filter_jaccard_pairs",
+    "pyds_stream_roundtrip",
+    "pyds_tsv_roundtrip",
+    "quality_logreg_step",
+    "running_user_totals",
+    "sessionize",
+    "simhash_doc_pairs",
+    "sketch_error_bounds",
+    "source_mix_weights",
+    "sql_udf_lang_stats",
+    "streaming_session_windows",
+    "streaming_sessionization",
+    "token_entropy_scores",
+    "truncation_report",
+    "user_recency_scores",
+    "value_histogram",
+    "walk_skipgram_pairs",
+    "winnow_neardup_pairs",
+    # (2) the six alphabetically-first r5-latest rows
+    "attribution_range_join",
+    "blocklist_scrub",
+    "bpe_pair_counts",
+    "broadcast_dim_join",
+    "corpus_report",
+    "doc_quality_scores",
 ]
 
 

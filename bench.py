@@ -132,7 +132,7 @@ def _calibrate(spark) -> float:
 
 
 def _calibrate_sched(spark) -> float:
-    """Time 8 trivial one-partition jobs: a probe of PER-JOB fixed
+    """Time 16 trivial one-partition jobs: a probe of PER-JOB fixed
     overhead (driver scheduling, task dispatch), the single-threaded
     path. The r7 forensics found sustained-load drift inflates short
     multi-stage queries ~1.7-1.9x while saturated-CPU throughput (the
@@ -224,7 +224,7 @@ def main() -> None:
         # fixed probes timed before/after the measured passes; ratio
         # >> 1 means the machine slowed DURING the bench and above_band
         # labels should be read against that, not as code. cpu = 2B-row
-        # saturated aggregate (parallel throughput); sched = 8 trivial
+        # saturated aggregate (parallel throughput); sched = 16 trivial
         # one-partition jobs (per-job fixed overhead — the quantity the
         # r7 forensics showed actually drifts under sustained load)
         "calibration": {
@@ -290,6 +290,31 @@ def main() -> None:
     except OSError:
         pass  # history is best-effort; the contract is the stdout line
     print(json.dumps(record))
+    # LAST line: a compact (<200-byte) self-contained summary. The
+    # driver snapshots only the final ~200 chars of stdout into
+    # BENCH_r{N}.json; the full record above is far larger, so its tail
+    # lands mid-JSON and the driver's "parsed" field came back null in
+    # r7/r8. This line fits the capture whole and carries the headline
+    # numbers; the full per-query record persists in bench_history.jsonl.
+    band_counts: dict[str, int] = {}
+    for label in record["classification"].values():
+        band_counts[label] = band_counts.get(label, 0) + 1
+    print(
+        json.dumps(
+            {
+                "metric": record["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n": len(timings),
+                "cal_ratio": record["calibration"]["ratio"],
+                "sched_ratio": record["calibration"]["sched_ratio"],
+                "bands": band_counts,
+                "seeding": len(record["seeding"]),
+            },
+            separators=(",", ":"),
+        )
+    )
     # drop the shared operator caches so a host embedding this bench in a
     # longer session does not keep the sf-scale relations pinned
     from geektime_bigdata_spark.session import release_caches

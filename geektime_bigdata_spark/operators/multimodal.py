@@ -500,14 +500,25 @@ def _decode_png_rgb(data: bytes):
             "only 8-bit truecolor non-interlaced PNG is supported by "
             "this baseline-subset decoder"
         )
+    stride = 1 + 3 * w
+    expected = h * stride
+    # Bound the inflate to the geometry the IHDR declared BEFORE the
+    # bytes exist: zlib bombs reach 1000:1 ratios, so an unbounded
+    # zlib.decompress() would let a ~200KB crafted IDAT allocate
+    # hundreds of MB inside an executor before the size check ran.
+    # decompressobj stops at max_length; one 1-byte follow-up probe
+    # distinguishes "exactly the declared size" from "inflates past
+    # it" without ever materializing the excess.
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(idat)
+        raw = dec.decompress(idat, expected)
+        extra = dec.decompress(dec.unconsumed_tail, 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    stride = 1 + 3 * w
-    if len(raw) != h * stride:
+    if extra or not dec.eof or len(raw) != expected:
         raise ValueError(
-            f"decompressed size {len(raw)} != expected {h * stride}"
+            f"decompressed size {len(raw) + len(extra)}"
+            f"{'+' if extra or not dec.eof else ''} != expected {expected}"
         )
     rows = []
     for y in range(h):
@@ -718,37 +729,48 @@ def _decode_avi_rgb(data: bytes):
     avih = strf = None
     frames = []
 
-    def walk(buf: bytes) -> None:
-        nonlocal avih, strf
-        pos = 0
-        while pos + 8 <= len(buf):
-            tag = buf[pos : pos + 4]
-            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            body = buf[pos + 8 : pos + 8 + length]
+    # Iterative depth-first chunk walk over (pos, end) ranges into the
+    # original buffer. Recursing per nested LIST lets a small crafted
+    # blob (one LIST header per 12 bytes) blow the Python recursion
+    # limit — an undocumented RecursionError escape — and slicing each
+    # LIST body copies O(depth * size) bytes. Offset ranges keep the
+    # walk O(input) and the only stack a 16-byte tuple per open LIST.
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
             # malformed containers fail with the documented ValueError,
             # never a raw struct.error from a short unpack
-            if len(body) < length:
+            if body_start + length > end:
                 raise ValueError(f"truncated AVI chunk {tag!r}")
+            pos = body_start + length + (length % 2)
             if tag == b"LIST":
-                walk(body[4:])
+                # resume the parent after the child range drains —
+                # exactly the recursive depth-first visit order
+                stack.append((pos, end))
+                pos, end = body_start + 4, body_start + length
             elif tag == b"avih":
                 if length < 56:
                     raise ValueError("avih header too short")
-                avih = struct.unpack("<IIIIIIIIIIIIII", body[:56])
+                avih = struct.unpack(
+                    "<IIIIIIIIIIIIII", data[body_start : body_start + 56]
+                )
             elif tag == b"strf":
                 if length < 40:
                     raise ValueError("strf header too short")
-                strf = struct.unpack("<IiiHHIIiiII", body[:40])
+                strf = struct.unpack(
+                    "<IiiHHIIiiII", data[body_start : body_start + 40]
+                )
             elif tag == b"00db":
-                frames.append(body)
+                frames.append(data[body_start : body_start + length])
             elif tag == b"00dc":
                 raise NotImplementedError(
                     "compressed AVI stream: a real codec (ffmpeg) is "
                     "required — uncompressed DIB only here"
                 )
-            pos += 8 + length + (length % 2)
-
-    walk(data[12:])
     if avih is None or strf is None:
         raise ValueError("missing avih/strf header in AVI container")
     n_frames, w, h = avih[4], avih[8], avih[9]

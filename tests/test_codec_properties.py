@@ -196,3 +196,95 @@ def test_avi_decoder_survives_single_byte_corruption(
     pos = min(int(len(good) * pos_frac), len(good) - 1)
     good[pos] ^= flip
     _decode_must_refuse_cleanly(_decode_avi_rgb, bytes(good))
+
+
+# ---------------------------------------------------------------------
+# Crafted-input DoS regressions (ADVICE r7 mediums). The small-blob fuzz
+# above can't reach these: the bomb needs a high-ratio IDAT and the
+# recursion needs thousands of nested LISTs, both far past 300 bytes.
+# ---------------------------------------------------------------------
+
+
+def _chunk_png(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_png_decompression_bomb_refused_without_inflating():
+    """A valid-CRC PNG whose tiny IHDR declares 4x4 but whose IDAT
+    inflates to 400 MB must fail with the documented ValueError WITHOUT
+    materializing the 400 MB — the inflate is bounded to the declared
+    geometry plus one probe byte (multimodal.py bounded decompressobj).
+    """
+    import struct
+    import tracemalloc
+    import zlib
+
+    import pytest
+
+    comp = zlib.compressobj(9)
+    parts = [comp.compress(b"\x00" * (1 << 20)) for _ in range(400)]
+    parts.append(comp.flush())
+    idat = b"".join(parts)  # ~400 KB compressed, 400 MB inflated
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk_png(b"IHDR", ihdr)
+        + _chunk_png(b"IDAT", idat)
+        + _chunk_png(b"IEND", b"")
+    )
+    tracemalloc.start()
+    try:
+        with pytest.raises(ValueError, match="decompressed size"):
+            _decode_png_rgb(blob)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    # the 400 MB plaintext must never exist; generous ceiling for the
+    # blob copy + interpreter noise
+    assert peak < 16 * (1 << 20), f"inflate not bounded: peak={peak}"
+
+
+def test_png_underdeclared_idat_still_refused():
+    """The bounded inflate must not weaken the size contract in the
+    other direction: an IDAT that inflates to LESS than h*stride is
+    still the documented ValueError (truncated pixel data)."""
+    import struct
+
+    import pytest
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    import zlib
+
+    short = zlib.compress(b"\x00" * 10)  # expected 4*(1+12) = 52
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk_png(b"IHDR", ihdr)
+        + _chunk_png(b"IDAT", short)
+        + _chunk_png(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompressed size"):
+        _decode_png_rgb(blob)
+
+
+def test_avi_deeply_nested_lists_no_recursion_error():
+    """4000 nested LIST chunks (48 KB blob) must walk iteratively and
+    fail with the documented ValueError (no avih/strf), never a
+    RecursionError from per-LIST recursion."""
+    import struct
+
+    import pytest
+
+    body = b""
+    for _ in range(4000):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"nest" + body
+    blob = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError, match="missing avih/strf"):
+        _decode_avi_rgb(blob)

@@ -177,6 +177,17 @@ def main() -> None:
     # keys / exponents would silently disagree with the file's declared
     # base+factors (ADVICE r6).
     path = sys.argv[1] if len(sys.argv) > 1 else None
+    if path and probe8x and os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if prior.get("base") != BASE or prior.get("factors") != FACTORS:
+            raise SystemExit(
+                "refusing SCALE_STRESS_PROBE8X merge: prior base/factors "
+                f"({prior.get('base')}, {prior.get('factors')}) != current "
+                f"({BASE}, {FACTORS}); the probe8x section would sit next "
+                "to exponents from a different grid — re-run a full "
+                "measurement instead"
+            )
     if path and only and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
