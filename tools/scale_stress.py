@@ -160,11 +160,20 @@ def main() -> None:
     # the declared base/factors grid untouched — the deep-probe results
     # live next to, never inside, the 1x/2x/4x exponents.
     only = os.environ.get("SCALE_STRESS_ONLY")
-    probe8x = os.environ.get("SCALE_STRESS_PROBE8X")
-    if probe8x:
+    # SCALE_STRESS_PROBE16X=op1,op2 extends the deep probe one more
+    # doubling (8x and 16x) under its own "probe16x" section — same
+    # contract as probe8x, two doublings past the standard grid.
+    probe_key = None
+    probe_spec = None
+    for key, pair in (("probe16x", [8, 16]), ("probe8x", [4, 8])):
+        val = os.environ.get(f"SCALE_STRESS_{key.upper()}")
+        if val:
+            probe_key, probe_spec, probe_ops_csv = key, pair, val
+            break
+    if probe_key:
         only = None
-        factors = [4, 8]
-        ops = [o.strip() for o in probe8x.split(",") if o.strip()]
+        factors = probe_spec
+        ops = [o.strip() for o in probe_ops_csv.split(",") if o.strip()]
     else:
         factors = FACTORS
         ops = (
@@ -177,16 +186,16 @@ def main() -> None:
     # keys / exponents would silently disagree with the file's declared
     # base+factors (ADVICE r6).
     path = sys.argv[1] if len(sys.argv) > 1 else None
-    if path and probe8x and os.path.exists(path):
+    if path and probe_key and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
         if prior.get("base") != BASE or prior.get("factors") != FACTORS:
             raise SystemExit(
-                "refusing SCALE_STRESS_PROBE8X merge: prior base/factors "
-                f"({prior.get('base')}, {prior.get('factors')}) != current "
-                f"({BASE}, {FACTORS}); the probe8x section would sit next "
-                "to exponents from a different grid — re-run a full "
-                "measurement instead"
+                f"refusing SCALE_STRESS_{probe_key.upper()} merge: prior "
+                f"base/factors ({prior.get('base')}, "
+                f"{prior.get('factors')}) != current ({BASE}, {FACTORS}); "
+                f"the {probe_key} section would sit next to exponents "
+                "from a different grid — re-run a full measurement instead"
             )
     if path and only and os.path.exists(path):
         with open(path) as fh:
@@ -233,13 +242,13 @@ def main() -> None:
             "sec_at": {str(k): times[name][k] for k in factors},
             "exponent": round(exp, 3),
         }
-    if probe8x:
+    if probe_key:
         if path and os.path.exists(path):
             with open(path) as fh:
                 out = json.load(fh)
         else:
             out = {"base": BASE, "factors": FACTORS, "ops": {}}
-        out.setdefault("probe8x", {}).update(report)
+        out.setdefault(probe_key, {}).update(report)
         line = json.dumps(out)
         if path:
             with open(path, "w") as fh:
