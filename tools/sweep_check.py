@@ -9,6 +9,7 @@ the pre-ship check a one-liner:
 
     python tools/sweep_check.py                 # 50-slot prefix, sf0.01
     python tools/sweep_check.py --all --sf /root/testdata/sf0.1
+    python tools/sweep_check.py --names png_roundtrip_features,cdc_apply
 """
 
 from __future__ import annotations
@@ -30,6 +31,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--all", action="store_true")
+    ap.add_argument(
+        "--names",
+        help="comma-separated registry names to check (a changed-surface "
+        "spot check); overrides --n/--all; unknown names fail fast",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,7 +62,12 @@ def main() -> None:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     names = list(queries)
-    if not args.all:
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown registry names: {unknown}")
+    elif not args.all:
         names = names[: args.n]
     con = duckdb_connection(args.sf)
 
