@@ -165,7 +165,11 @@ def main() -> None:
     # contract as probe8x, two doublings past the standard grid.
     probe_key = None
     probe_spec = None
-    for key, pair in (("probe16x", [8, 16]), ("probe8x", [4, 8])):
+    for key, pair in (
+        ("probe32x", [16, 32]),
+        ("probe16x", [8, 16]),
+        ("probe8x", [4, 8]),
+    ):
         val = os.environ.get(f"SCALE_STRESS_{key.upper()}")
         if val:
             probe_key, probe_spec, probe_ops_csv = key, pair, val
