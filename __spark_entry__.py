@@ -473,71 +473,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-9 sweep prefix (driver checks the first 50 queries() entries).
-# Prescribed by VERDICT r8 item 1 (round 8 was a driver-only no-op, so
-# this is the staged rotation SURVEY §7.11 precomputed for r8):
-# Slots 1-44: all 44 r4-latest rows, alphabetical — 4 rounds stale at
-#   their r9 check, the oldest cohort in the ledger (incl. both
-#   streaming session runners, `sessionize`, `sketch_error_bounds`,
-#   the PCA/Gram family and both pyds roundtrips).
-# Slots 45-50: the six alphabetically-first r5-latest rows
-#   (`attribution_range_join` .. `doc_quality_scores`), starting the
-#   round-robin through the r5 cohort.
-# After this sweep the ledger is r9:50, r8:50, r6:50, r5:44 — nothing
-# older than r5, and the <=4-round cadence resumes.
+# Round-10 sweep prefix (driver checks the first 50 queries() entries).
+# Prescribed by VERDICT r9 item 1 — the steady-state round-robin,
+# recomputed from the CORRECTNESS_r01-r09 union (latest green round per
+# query) and verified to match the verdict's staging exactly:
+# Slots 1-44: all 44 r5-latest rows, alphabetical — the oldest cohort
+#   in the ledger (incl. TPC-H q1-q22, the homework-parity relational
+#   core `flow_stats`/`prefix_scan_desc`/`upsert_latest`/
+#   `versioned_cells`/`sql_catalog_query`, and `student_q2`).
+# Slots 45-50: the six alphabetically-first r6-latest rows
+#   (`ann_topk_bruteforce` .. `cast_filter`), continuing the
+#   round-robin into the r6 cohort.
+# After this sweep the ledger is r10:50, r9:50, r8:50, r6:44 — nothing
+# older than r6, holding the <=4-round cadence.
 _SWEEP_PRIORITY = [
-    # (1) all 44 r4-latest rows, alphabetical
-    "clipped_value_stats",
-    "corpus_snapshot_diff",
-    "curation_funnel",
-    "edit_distance_pairs",
-    "edit_distance_pairs_snm",
-    "embedding_gram_matrix",
-    "embedding_norms_arrow",
-    "embedding_norms_arrow_udf",
-    "embedding_pca_power",
-    "embedding_pca_top2",
-    "event_type_melt",
-    "event_type_stats_pipe",
-    "frame_sample_digest",
-    "gap_filled_hourly",
-    "json_props_extract",
-    "json_props_variant",
-    "lang_source_listagg",
-    "media_resize_digest",
-    "mixture_allocation",
-    "neardup_detector_matrix",
-    "neardup_kcore",
-    "neardup_pair_features",
-    "neardup_random_walks",
-    "neardup_reach_rcte",
-    "ngram_novelty_scores",
-    "orders_column_profile",
-    "prefix_filter_jaccard_pairs",
-    "pyds_stream_roundtrip",
-    "pyds_tsv_roundtrip",
-    "quality_logreg_step",
-    "running_user_totals",
-    "sessionize",
-    "simhash_doc_pairs",
-    "sketch_error_bounds",
-    "source_mix_weights",
-    "sql_udf_lang_stats",
-    "streaming_session_windows",
-    "streaming_sessionization",
-    "token_entropy_scores",
-    "truncation_report",
-    "user_recency_scores",
-    "value_histogram",
-    "walk_skipgram_pairs",
-    "winnow_neardup_pairs",
-    # (2) the six alphabetically-first r5-latest rows
-    "attribution_range_join",
-    "blocklist_scrub",
-    "bpe_pair_counts",
-    "broadcast_dim_join",
-    "corpus_report",
-    "doc_quality_scores",
+    # (1) all 44 r5-latest rows, alphabetical
+    "doc_repetition_scores",
+    "event_type_pivot",
+    "except_anti",
+    "flow_stats",
+    "intersect_segments",
+    "lang_id_heuristic",
+    "length_bucket_stats",
+    "nation_full_outer",
+    "order_price_quantiles",
+    "order_status_cube",
+    "orders_by_month",
+    "prefix_scan_desc",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_fingerprints",
+    "sales_rollup",
+    "semi_anti_join",
+    "sql_catalog_query",
+    "student_q2",
+    "token_counts",
+    "top_k_orders",
+    "upsert_latest",
+    "versioned_cells",
+    "window_topn_orders",
+    # (2) the six alphabetically-first r6-latest rows
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "benchmark_contamination",
+    "bm25_top_terms",
+    "bow_dedup",
+    "cast_filter",
 ]
 
 
