@@ -516,9 +516,15 @@ def _decode_png_rgb(data: bytes):
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     if extra or not dec.eof or len(raw) != expected:
+        got = len(raw) + len(extra)
+        detail = (
+            f"decompressed size >= {got}"
+            if extra or not dec.eof
+            else f"decompressed size {got}"
+        )
         raise ValueError(
-            f"decompressed size {len(raw) + len(extra)}"
-            f"{'+' if extra or not dec.eof else ''} != expected {expected}"
+            f"{detail} != expected {expected}"
+            + ("" if dec.eof else " (stream did not terminate there)")
         )
     rows = []
     for y in range(h):

@@ -165,6 +165,20 @@ def main() -> None:
     # contract as probe8x, two doublings past the standard grid.
     probe_key = None
     probe_spec = None
+    probe_set = [
+        key
+        for key in ("probe32x", "probe16x", "probe8x")
+        if os.environ.get(f"SCALE_STRESS_{key.upper()}")
+    ]
+    if len(probe_set) > 1:
+        # A single run measures exactly one probe depth; silently
+        # picking the deepest would drop the others (ADVICE r9).
+        raise SystemExit(
+            "refusing ambiguous probe request: "
+            + ", ".join(f"SCALE_STRESS_{k.upper()}" for k in probe_set)
+            + " are all set — unset all but one (each run measures one "
+            "probe depth)"
+        )
     for key, pair in (
         ("probe32x", [16, 32]),
         ("probe16x", [8, 16]),
@@ -174,6 +188,24 @@ def main() -> None:
         if val:
             probe_key, probe_spec, probe_ops_csv = key, pair, val
             break
+    # SCALE_STRESS_SCALE_PARTITIONS=1 (probe modes only): measure each
+    # (op, factor) point twice — once at the session's fixed
+    # spark.sql.shuffle.partitions (the comparability default every
+    # exponent in this file uses) and once with the initial partition
+    # count scaled linearly with the factor (default x k), which is how
+    # a real cluster tracks input growth (AQE coalesce then picks the
+    # effective sizes). Results merge under "{probe_key}_scaled" so deep
+    # probes separate operator asymptotics from frozen-partition harness
+    # pressure without the manual rerun round 9 needed.
+    scale_partitions = os.environ.get(
+        "SCALE_STRESS_SCALE_PARTITIONS", ""
+    ).strip() in ("1", "true", "yes")
+    if scale_partitions and not probe_key:
+        raise SystemExit(
+            "SCALE_STRESS_SCALE_PARTITIONS only applies to probe modes "
+            "(the standard 1x/2x/4x grid keeps the fixed default for "
+            "exponent comparability) — set a SCALE_STRESS_PROBE* var too"
+        )
     if probe_key:
         only = None
         factors = probe_spec
@@ -190,6 +222,15 @@ def main() -> None:
     # keys / exponents would silently disagree with the file's declared
     # base+factors (ADVICE r6).
     path = sys.argv[1] if len(sys.argv) > 1 else None
+    if probe_key and not (path and os.path.exists(path)):
+        # A probe section is meaningless without the full-grid
+        # measurements it sits next to; writing a fresh file here would
+        # produce declared base/factors with no backing ops (ADVICE r9).
+        raise SystemExit(
+            f"refusing SCALE_STRESS_{probe_key.upper()} without an "
+            f"existing out_json ({path or 'no path given'}): run the "
+            "full 1x/2x/4x measurement first, then merge probes into it"
+        )
     if path and probe_key and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
@@ -225,26 +266,66 @@ def main() -> None:
         run(queries[name](spark, dirs[factors[0]]))
         release_caches(spark)
 
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def measure(name: str, k: int) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(queries[name](spark, dirs[k]))
+            runs.append(time.perf_counter() - t0)
+            release_caches(spark)  # no cross-run cache reuse
+        return round(sorted(runs)[1], 3)
+
     times: dict[str, dict[int, float]] = {n: {} for n in ops}
+    times_scaled: dict[str, dict[int, float]] = {n: {} for n in ops}
+    parts_at: dict[int, int] = {}
     for k in factors:
         for name in ops:
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run(queries[name](spark, dirs[k]))
-                runs.append(time.perf_counter() - t0)
-                release_caches(spark)  # no cross-run cache reuse
-            times[name][k] = round(sorted(runs)[1], 3)
+            times[name][k] = measure(name, k)
+        if scale_partitions:
+            # initial partitions track input growth; AQE coalesce picks
+            # the effective post-shuffle sizes, as on a real cluster
+            parts_at[k] = default_parts * k
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts_at[k]))
+            try:
+                for name in ops:
+                    times_scaled[name][k] = measure(name, k)
+            finally:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(default_parts)
+                )
 
     import math
 
-    report = {}
-    for name in ops:
-        t1, t4 = times[name][factors[0]], times[name][factors[-1]]
-        exp = math.log(t4 / t1) / math.log(factors[-1] / factors[0])
-        report[name] = {
-            "sec_at": {str(k): times[name][k] for k in factors},
-            "exponent": round(exp, 3),
+    def exponent(series: dict[int, float]) -> float:
+        t1, t4 = series[factors[0]], series[factors[-1]]
+        return round(
+            math.log(t4 / t1) / math.log(factors[-1] / factors[0]), 3
+        )
+
+    if scale_partitions:
+        report = {
+            name: {
+                "sec_at_fixed": {str(k): times[name][k] for k in factors},
+                "sec_at_scaled": {
+                    str(k): times_scaled[name][k] for k in factors
+                },
+                "partitions": {str(k): parts_at[k] for k in factors},
+                "partitions_fixed": default_parts,
+                "exponent_fixed": exponent(times[name]),
+                "exponent_scaled": exponent(times_scaled[name]),
+            }
+            for name in ops
+        }
+        probe_key = f"{probe_key}_scaled"
+    else:
+        report = {
+            name: {
+                "sec_at": {str(k): times[name][k] for k in factors},
+                "exponent": exponent(times[name]),
+            }
+            for name in ops
         }
     if probe_key:
         if path and os.path.exists(path):
