@@ -115,6 +115,42 @@ def _run(df) -> int:
     return 0
 
 
+# compact-summary keys for every label _classify (or the <3-sample
+# "new" case) can emit; short forms keep the final stdout line inside
+# the driver's ~200-char tail capture even with every label present
+BAND_SHORT = {
+    "in_band": "in",
+    "above_band": "above",
+    "above_band_ambient": "above_amb",
+    "below_band": "below",
+    "new": "new",
+}
+
+
+def _classify(t: float, past: list[float], ambient: bool):
+    """Band label for this run's median t against the sorted history.
+
+    Returns (label, p25, p75) using nearest-rank quartiles (robust for
+    the short n~10-60 series). An above_band label is only a code
+    signal on a run whose own sched probe held steady: the r7
+    forensics showed sustained-load ambient drift moves per-JOB
+    overhead (the sched probe) while the code is byte-identical —
+    r9's 42-above_band scatter rode sched_ratio 0.705. With ambient
+    True (the probe moved >20% either direction during the run),
+    above_band re-labels above_band_ambient so the record
+    distinguishes signal from drift standalone.
+    """
+    p25 = past[int(0.25 * (len(past) - 1))]
+    p75 = past[int(0.75 * (len(past) - 1))]
+    if p25 <= t <= p75:
+        label = "in_band"
+    elif t > p75:
+        label = "above_band_ambient" if ambient else "above_band"
+    else:
+        label = "below_band"
+    return label, p25, p75
+
+
 def _calibrate(spark) -> float:
     """Time a fixed JVM-side job (no IO, no Python) as an ambient
     machine-speed probe. Run before and after the measured passes, it
@@ -253,14 +289,6 @@ def main() -> None:
                     history.setdefault(k, []).append(float(v))
     except OSError:
         pass
-    # An above_band label is only a code signal on a run whose own
-    # sched probe held steady: the r7 forensics showed sustained-load
-    # ambient drift moves per-JOB overhead (the sched probe) while the
-    # code is byte-identical — r9's 42-above_band scatter rode
-    # sched_ratio 0.705. When the probe moved more than 20% in either
-    # direction during the run, above_band re-labels as
-    # above_band_ambient so the classification distinguishes signal
-    # from drift without reading bench_history.jsonl.
     sched_ratio = record["calibration"]["sched_ratio"]
     ambient = sched_ratio < 0.8 or sched_ratio > 1.25
     for name, t in timings.items():
@@ -270,20 +298,12 @@ def main() -> None:
         if len(past) < 3:
             record["classification"][name] = "new"
             continue
-        # nearest-rank quartiles: robust for the short (n~10-30) series
-        p25 = past[int(0.25 * (len(past) - 1))]
-        p75 = past[int(0.75 * (len(past) - 1))]
+        label, p25, p75 = _classify(t, past, ambient)
         record["bands"][name] = {
             "p25": round(p25, 3),
             "p75": round(p75, 3),
             "n": len(past),
         }
-        if p25 <= t <= p75:
-            label = "in_band"
-        elif t > p75:
-            label = "above_band_ambient" if ambient else "above_band"
-        else:
-            label = "below_band"
         record["classification"][name] = label
     # per-query history for round-over-round regression tracking (the
     # driver snapshots only the latest line as BENCH_r{N}.json)
@@ -308,18 +328,9 @@ def main() -> None:
     # lands mid-JSON and the driver's "parsed" field came back null in
     # r7/r8. This line fits the capture whole and carries the headline
     # numbers; the full per-query record persists in bench_history.jsonl.
-    # compact keys keep the line under the capture budget even with all
-    # five labels present; the full record above carries the long forms
-    _SHORT = {
-        "in_band": "in",
-        "above_band": "above",
-        "above_band_ambient": "above_amb",
-        "below_band": "below",
-        "new": "new",
-    }
     band_counts: dict[str, int] = {}
     for label in record["classification"].values():
-        label = _SHORT[label]
+        label = BAND_SHORT[label]
         band_counts[label] = band_counts.get(label, 0) + 1
     print(
         json.dumps(
