@@ -123,20 +123,15 @@ def _streaming_attr_outer_surface(spark: SparkSession, sf_dir: str) -> DataFrame
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  Round 6
-    closed at 191/191 ever-driver-green with zero open defects, so the
-    round-7 prefix is the rotation precomputed in SURVEY §7.10 / VERDICT
-    r6 item 1: `_SWEEP_PRIORITY` puts (1) the three round-6 registry
-    additions that have never had a driver row (`zorder_layout_skipping`,
-    `png_roundtrip_features`, `avi_roundtrip_features`), then (2) the
-    three r2-latest rows that spilled from the r6 prefix
-    (`tfidf_top_terms`, `vocab_coverage`, `word_counts`), then (3) all
-    38 r3-latest rows (streaming suite, multimodal plumbing, round-3
-    pipeline ops, alphabetical), then (4) the six alphabetically-first
-    r4-latest rows to fill 50.  Everything else keeps its prior relative
-    order, so a prefix of any length always maximizes stale-coverage
-    refresh.  After this sweep zero entries lack a driver row and
-    nothing is older than r4."""
+    ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
+    registry frozen at 194 and every entry ever driver-green, the
+    prefix is a pure freshness rotation: each round re-checks the
+    oldest cohort in the correctness ledger (latest green round per
+    query, recomputed from the CORRECTNESS_r* union before rotating).
+    The current prescription lives in the comment block on
+    `_SWEEP_PRIORITY` below; everything outside the prefix keeps its
+    prior relative order, so a prefix of any length always maximizes
+    stale-coverage refresh."""
     base = {
         # --- (1) rounds-1/2 hash-fails: the integer-surface fix to prove ---
         "sessionize": windows.sessionize,
@@ -473,72 +468,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-10 sweep prefix (driver checks the first 50 queries() entries).
-# Prescribed by VERDICT r9 item 1 — the steady-state round-robin,
-# recomputed from the CORRECTNESS_r01-r09 union (latest green round per
-# query) and verified to match the verdict's staging exactly:
-# Slots 1-44: all 44 r5-latest rows, alphabetical — the oldest cohort
-#   in the ledger (incl. TPC-H q1-q22, the homework-parity relational
-#   core `flow_stats`/`prefix_scan_desc`/`upsert_latest`/
-#   `versioned_cells`/`sql_catalog_query`, and `student_q2`).
-# Slots 45-50: the six alphabetically-first r6-latest rows
-#   (`ann_topk_bruteforce` .. `cast_filter`), continuing the
-#   round-robin into the r6 cohort.
-# After this sweep the ledger is r10:50, r9:50, r8:50, r6:44 — nothing
-# older than r6, holding the <=4-round cadence.
+# Round-11 sweep prefix (driver checks the first 50 queries() entries).
+# Prescribed by VERDICT r10 item 1 / SURVEY §7.13 — the steady-state
+# round-robin, recomputed from the CORRECTNESS_r01-r10 union (latest
+# green round per query) and verified to match the verdict's staging
+# set-for-set before rotating:
+# Slots 1-44: the ENTIRE remaining r6-latest cohort (exactly 44 rows),
+#   alphabetical — the oldest cohort in the ledger (the dedup/MinHash/
+#   SimHash families, the inverted-index text core, sessionization,
+#   and the relational point-lookup/grouping-sets rows).
+# Slots 45-50: the six alphabetically-first r8-latest rows
+#   (`ann_topk_ivf_multiprobe` .. `boilerplate_coverage`), continuing
+#   the round-robin into the r8 cohort.
+# After this sweep the ledger is r11:50, r10:50, r9:50, r8:44 — nothing
+# older than r8, cadence now <=3 rounds.
 _SWEEP_PRIORITY = [
-    # (1) all 44 r5-latest rows, alphabetical
-    "doc_repetition_scores",
-    "event_type_pivot",
-    "except_anti",
-    "flow_stats",
-    "intersect_segments",
-    "lang_id_heuristic",
-    "length_bucket_stats",
-    "nation_full_outer",
-    "order_price_quantiles",
-    "order_status_cube",
-    "orders_by_month",
-    "prefix_scan_desc",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_heavy_shippers",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rolling_fingerprints",
-    "sales_rollup",
-    "semi_anti_join",
-    "sql_catalog_query",
-    "student_q2",
-    "token_counts",
-    "top_k_orders",
-    "upsert_latest",
-    "versioned_cells",
-    "window_topn_orders",
-    # (2) the six alphabetically-first r6-latest rows
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "benchmark_contamination",
-    "bm25_top_terms",
-    "bow_dedup",
-    "cast_filter",
+    # (1) the entire r6-latest cohort (44 rows), alphabetical
+    "chunk_documents",
+    "compact_small_files",
+    "const_score_order",
+    "continuous_hourly_rollup",
+    "dataset_splits",
+    "dedup_clusters",
+    "distinct_pairs",
+    "doc_fingerprints",
+    "embedding_neardup_pairs",
+    "embedding_norms_pandas",
+    "embedding_quantize_int8",
+    "event_funnel",
+    "exact_dedup",
+    "incremental_ingest_dedup",
+    "inverted_index_str",
+    "jsonl_roundtrip_stats",
+    "key_skew_report",
+    "kmeans_step",
+    "label_centroids",
+    "lsh_hyperplane_buckets",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "neardup_pagerank",
+    "ngram_jaccard_pairs",
+    "null_filter_empty",
+    "order_grouping_sets",
+    "orders_audit",
+    "packed_sequences",
+    "phrase_search",
+    "pii_canary_scrub",
+    "point_lookup",
+    "positional_postings",
+    "posting_list_tf_str",
+    "prefix_filter_jaccard_pairs_banded",
+    "salted_top_words",
+    "scd2_intervals",
+    "semantic_dedup",
+    "session_window_rollup",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "stratified_sample",
+    "term_freq",
+    "wav_roundtrip_features",
+    # (2) the six alphabetically-first r8-latest rows
+    "ann_topk_ivf_multiprobe",
+    "asof_last_click",
+    "asof_last_click_cogroup",
+    "avi_roundtrip_features",
+    "bigram_logprob_scores",
+    "boilerplate_coverage",
 ]
 
 
