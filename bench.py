@@ -123,22 +123,33 @@ BAND_SHORT = {
     "above_band": "above",
     "above_band_ambient": "above_amb",
     "below_band": "below",
+    "below_band_ambient": "below_amb",
     "new": "new",
 }
+
+# a run (or a history record) counts as ambient-drifted when its own
+# sched probe moved outside this window during the bench; the bounds
+# are multiplicatively symmetric (1/0.8 = 1.25 — the same ±25% factor
+# in either direction), matching how drift scales timings
+SCHED_STEADY_LO = 0.8
+SCHED_STEADY_HI = 1.25
 
 
 def _classify(t: float, past: list[float], ambient: bool):
     """Band label for this run's median t against the sorted history.
 
     Returns (label, p25, p75) using nearest-rank quartiles (robust for
-    the short n~10-60 series). An above_band label is only a code
+    the short n~10-60 series). An out-of-band label is only a code
     signal on a run whose own sched probe held steady: the r7
     forensics showed sustained-load ambient drift moves per-JOB
     overhead (the sched probe) while the code is byte-identical —
     r9's 42-above_band scatter rode sched_ratio 0.705. With ambient
-    True (the probe moved >20% either direction during the run),
-    above_band re-labels above_band_ambient so the record
-    distinguishes signal from drift standalone.
+    True (the probe left [SCHED_STEADY_LO, SCHED_STEADY_HI] during
+    the run — a multiplicatively symmetric ±25% window, 1/0.8 = 1.25),
+    above_band re-labels above_band_ambient and below_band re-labels
+    below_band_ambient, so neither a regression nor an improvement can
+    be claimed off a drifted boot (a fast boot reads below-band just
+    as unreliably as a loaded boot reads above-band).
     """
     p25 = past[int(0.25 * (len(past) - 1))]
     p75 = past[int(0.75 * (len(past) - 1))]
@@ -147,8 +158,39 @@ def _classify(t: float, past: list[float], ambient: bool):
     elif t > p75:
         label = "above_band_ambient" if ambient else "above_band"
     else:
-        label = "below_band"
+        label = "below_band_ambient" if ambient else "below_band"
     return label, p25, p75
+
+
+def _history_for_bands(lines, sf_val) -> dict[str, list[float]]:
+    """Per-query timing history for band construction, from the raw
+    bench_history.jsonl lines at the matching sf.
+
+    Records whose OWN sched probe drifted (sched_ratio outside
+    [SCHED_STEADY_LO, SCHED_STEADY_HI]) are excluded: their timings
+    measure the boot's ambient load, not the code, and folding them
+    into the p25-p75 bands widens every band toward ambient scatter
+    until above/below_band stops firing on real changes (ADVICE r10).
+    Pre-r9 records that predate the sched probe carry no ratio and are
+    kept — they cannot be assessed, and dropping them would empty most
+    bands.
+    """
+    history: dict[str, list[float]] = {}
+    for line in lines:
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        if row.get("sf") != sf_val:
+            continue
+        ratio = row.get("calibration", {}).get("sched_ratio")
+        if ratio is not None and not (
+            SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
+        ):
+            continue
+        for k, v in row.get("queries", {}).items():
+            history.setdefault(k, []).append(float(v))
+    return history
 
 
 def _calibrate(spark) -> float:
@@ -275,22 +317,13 @@ def main() -> None:
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
-    history: dict[str, list[float]] = {}
     try:
         with open(hist_path) as fh:
-            for line in fh:
-                try:
-                    row = json.loads(line)
-                except ValueError:
-                    continue
-                if row.get("sf") != sf_val:
-                    continue
-                for k, v in row.get("queries", {}).items():
-                    history.setdefault(k, []).append(float(v))
+            history = _history_for_bands(fh, sf_val)
     except OSError:
-        pass
+        history = {}
     sched_ratio = record["calibration"]["sched_ratio"]
-    ambient = sched_ratio < 0.8 or sched_ratio > 1.25
+    ambient = not (SCHED_STEADY_LO <= sched_ratio <= SCHED_STEADY_HI)
     for name, t in timings.items():
         past = sorted(history.get(name, []))
         if len(past) < 6:
@@ -330,7 +363,10 @@ def main() -> None:
     # numbers; the full per-query record persists in bench_history.jsonl.
     band_counts: dict[str, int] = {}
     for label in record["classification"].values():
-        label = BAND_SHORT[label]
+        # .get: an unmapped future label degrades to its long form
+        # instead of a KeyError that would drop the compact tail line
+        # the driver snapshots (ADVICE r10)
+        label = BAND_SHORT.get(label, label)
         band_counts[label] = band_counts.get(label, 0) + 1
     print(
         json.dumps(

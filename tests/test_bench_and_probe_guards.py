@@ -27,13 +27,11 @@ import bench  # noqa: E402
 HISTORY = sorted([1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9])
 
 
-def test_in_band_and_below_band_ignore_ambient():
+def test_in_band_ignores_ambient():
     for ambient in (False, True):
         label, p25, p75 = bench._classify(1.5, HISTORY, ambient)
         assert label == "in_band"
         assert p25 <= 1.5 <= p75
-        label, _, _ = bench._classify(0.5, HISTORY, ambient)
-        assert label == "below_band"
 
 
 def test_above_band_relabels_only_when_ambient():
@@ -42,6 +40,42 @@ def test_above_band_relabels_only_when_ambient():
     assert 9.9 > p75
     label, _, _ = bench._classify(9.9, HISTORY, ambient=True)
     assert label == "above_band_ambient"
+
+
+def test_below_band_relabels_only_when_ambient():
+    # symmetric with above_band (ADVICE r10): a below_band median on a
+    # drifted-FAST boot is equally unreliable and must not read as a
+    # perf win
+    label, p25, _ = bench._classify(0.5, HISTORY, ambient=False)
+    assert label == "below_band"
+    assert 0.5 < p25
+    label, _, _ = bench._classify(0.5, HISTORY, ambient=True)
+    assert label == "below_band_ambient"
+
+
+def test_history_for_bands_filters_drifted_records():
+    """A history record whose own sched probe drifted must not move the
+    band; legacy records without the probe are kept (VERDICT r10 item
+    3). The steady window is inclusive at both multiplicatively
+    symmetric bounds (1/0.8 = 1.25)."""
+    def rec(q, sched=None, sf=0.1):
+        row = {"sf": sf, "queries": {"q": q}}
+        if sched is not None:
+            row["calibration"] = {"sched_ratio": sched}
+        return json.dumps(row)
+
+    lines = [
+        rec(1.0, sched=1.0),       # steady: kept
+        rec(50.0, sched=0.5),      # drifted fast boot: excluded
+        rec(60.0, sched=1.7),      # drifted slow boot: excluded
+        rec(1.2),                  # pre-probe legacy record: kept
+        rec(0.9, sched=0.8),       # boundary lo, inclusive: kept
+        rec(1.1, sched=1.25),      # boundary hi, inclusive: kept
+        rec(99.0, sched=1.0, sf=0.01),  # other sf: excluded
+        "not json",                # corrupt line: skipped
+    ]
+    history = bench._history_for_bands(lines, 0.1)
+    assert history == {"q": [1.0, 1.2, 0.9, 1.1]}
 
 
 def test_band_short_covers_every_emittable_label():
@@ -53,8 +87,19 @@ def test_band_short_covers_every_emittable_label():
     assert emittable <= set(bench.BAND_SHORT)
 
 
-def test_compact_summary_fits_tail_capture_with_all_labels():
-    # worst case: every label present, max-width value, full seeding
+@pytest.mark.parametrize(
+    "labels",
+    [
+        # ambient is decided once per RUN, so a single record can only
+        # mix one of the two out-of-band families with in/new: the
+        # steady set or the ambient set — never all six labels at once
+        ["in_band", "above_band", "below_band", "new"],
+        ["in_band", "above_band_ambient", "below_band_ambient", "new"],
+    ],
+)
+def test_compact_summary_fits_tail_capture_with_all_labels(labels):
+    # worst case per feasible set: every label present, max-width
+    # value, full seeding
     line = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -64,7 +109,7 @@ def test_compact_summary_fits_tail_capture_with_all_labels():
             "n": 73,
             "cal_ratio": 1.099,
             "sched_ratio": 0.705,
-            "bands": {bench.BAND_SHORT[k]: 73 for k in bench.BAND_SHORT},
+            "bands": {bench.BAND_SHORT[k]: 73 for k in labels},
             "seeding": 73,
         },
         separators=(",", ":"),
@@ -104,6 +149,24 @@ def test_scale_stress_refuses_probe_without_existing_grid(tmp_path):
     r = _run_scale_stress({"SCALE_STRESS_PROBE16X": "a"})
     assert r.returncode != 0
     assert "no path given" in r.stderr
+
+
+def test_scale_stress_rejects_unrecognized_scale_partitions_value():
+    # a typo must hard-fail, not silently disable the mode (ADVICE
+    # r10); case-folded truthy forms are accepted (TRUE reaches the
+    # probe-mode guard instead of the unrecognized-value one)
+    r = _run_scale_stress(
+        {"SCALE_STRESS_SCALE_PARTITIONS": "maybe"},
+        os.path.join(HERE, "SCALING.json"),
+    )
+    assert r.returncode != 0
+    assert "unrecognized SCALE_STRESS_SCALE_PARTITIONS" in r.stderr
+    r = _run_scale_stress(
+        {"SCALE_STRESS_SCALE_PARTITIONS": "TRUE"},
+        os.path.join(HERE, "SCALING.json"),
+    )
+    assert r.returncode != 0
+    assert "probe modes" in r.stderr
 
 
 def test_scale_stress_refuses_scale_partitions_outside_probe_mode():
