@@ -197,9 +197,19 @@ def main() -> None:
     # effective sizes). Results merge under "{probe_key}_scaled" so deep
     # probes separate operator asymptotics from frozen-partition harness
     # pressure without the manual rerun round 9 needed.
-    scale_partitions = os.environ.get(
-        "SCALE_STRESS_SCALE_PARTITIONS", ""
-    ).strip() in ("1", "true", "yes")
+    _sp_raw = os.environ.get("SCALE_STRESS_SCALE_PARTITIONS", "").strip()
+    if _sp_raw.lower() in ("1", "true", "yes"):
+        scale_partitions = True
+    elif _sp_raw.lower() in ("", "0", "false", "no"):
+        scale_partitions = False
+    else:
+        # a typo must not silently disable the mode (ADVICE r10) —
+        # mirror the hard-fail the ambiguous-probe guard applies
+        raise SystemExit(
+            "unrecognized SCALE_STRESS_SCALE_PARTITIONS="
+            f"{_sp_raw!r}: use 1/true/yes to enable, 0/false/no or "
+            "unset to disable"
+        )
     if scale_partitions and not probe_key:
         raise SystemExit(
             "SCALE_STRESS_SCALE_PARTITIONS only applies to probe modes "
@@ -290,6 +300,13 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", str(parts_at[k]))
             try:
                 for name in ops:
+                    # one untimed run at the new partition count so plan
+                    # re-compilation (and the time-correlated drift of
+                    # always measuring scaled AFTER fixed) doesn't land
+                    # asymmetrically on the scaled series (ADVICE r10)
+                    run(queries[name](spark, dirs[k]))
+                    release_caches(spark)
+                for name in ops:
                     times_scaled[name][k] = measure(name, k)
             finally:
                 spark.conf.set(
@@ -304,6 +321,11 @@ def main() -> None:
             math.log(t4 / t1) / math.log(factors[-1] / factors[0]), 3
         )
 
+    # every probe row carries the boot that measured it: absolute
+    # times swing up to ~30% across VM boots (same code), so two probe
+    # sections are only comparable when their stamps match (ADVICE r10)
+    run_stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    plain_report = None
     if scale_partitions:
         report = {
             name: {
@@ -315,15 +337,28 @@ def main() -> None:
                 "partitions_fixed": default_parts,
                 "exponent_fixed": exponent(times[name]),
                 "exponent_scaled": exponent(times_scaled[name]),
+                "run": run_stamp,
             }
             for name in ops
         }
-        probe_key = f"{probe_key}_scaled"
+        # the fixed passes ARE a plain-probe measurement of the same
+        # ops on this boot; refresh the sibling plain section from them
+        # so the file never holds two disagreeing fixed series from
+        # different boots (ADVICE r10)
+        plain_report = {
+            name: {
+                "sec_at": {str(k): times[name][k] for k in factors},
+                "exponent": exponent(times[name]),
+                "run": run_stamp,
+            }
+            for name in ops
+        }
     else:
         report = {
             name: {
                 "sec_at": {str(k): times[name][k] for k in factors},
                 "exponent": exponent(times[name]),
+                "run": run_stamp,
             }
             for name in ops
         }
@@ -333,7 +368,11 @@ def main() -> None:
                 out = json.load(fh)
         else:
             out = {"base": BASE, "factors": FACTORS, "ops": {}}
-        out.setdefault(probe_key, {}).update(report)
+        if scale_partitions:
+            out.setdefault(f"{probe_key}_scaled", {}).update(report)
+            out.setdefault(probe_key, {}).update(plain_report)
+        else:
+            out.setdefault(probe_key, {}).update(report)
         line = json.dumps(out)
         if path:
             with open(path, "w") as fh:
