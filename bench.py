@@ -162,7 +162,54 @@ def _classify(t: float, past: list[float], ambient: bool):
     return label, p25, p75
 
 
-def _history_for_bands(lines, sf_val) -> dict[str, list[float]]:
+def _sched_level(cal) -> float | None:
+    """Absolute sched-probe level of a record: mean of its pre/post
+    probe times, or None when the record predates the probe."""
+    pre, post = cal.get("sched_pre"), cal.get("sched_post")
+    if pre is None or post is None:
+        return None
+    return (pre + post) / 2.0
+
+
+def _steady_sched_median(lines) -> float | None:
+    """Median absolute sched-probe LEVEL across ratio-steady history
+    records, pooled over every sf (the probe is a fixed JVM job,
+    independent of the measured data, so all records calibrate the
+    same quantity).
+
+    The within-run ratio catches drift DURING a bench; it is blind to
+    a window where the box is uniformly slow for the whole run (ratio
+    ~1.0, every absolute number inflated — observed r11: a steady-
+    ratio record read 27% above its same-code sibling while its probe
+    LEVELS sat ~50% above every other record's, tracking an external
+    load spike that ended right after). The level median gives the
+    second axis: a run is only trustworthy when its probe both held
+    steady AND sat near the level steady runs historically occupy.
+    """
+    levels = []
+    for line in lines:
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        cal = row.get("calibration", {})
+        ratio = cal.get("sched_ratio")
+        if ratio is None or not (
+            SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
+        ):
+            continue
+        level = _sched_level(cal)
+        if level is not None:
+            levels.append(level)
+    if not levels:
+        return None
+    levels.sort()
+    return levels[(len(levels) - 1) // 2]
+
+
+def _history_for_bands(
+    lines, sf_val, level_median: float | None = None
+) -> dict[str, list[float]]:
     """Per-query timing history for band construction, from the raw
     bench_history.jsonl lines at the matching sf.
 
@@ -171,9 +218,12 @@ def _history_for_bands(lines, sf_val) -> dict[str, list[float]]:
     measure the boot's ambient load, not the code, and folding them
     into the p25-p75 bands widens every band toward ambient scatter
     until above/below_band stops firing on real changes (ADVICE r10).
-    Pre-r9 records that predate the sched probe carry no ratio and are
-    kept — they cannot be assessed, and dropping them would empty most
-    bands.
+    With level_median given, records whose probe LEVEL sat outside the
+    same multiplicative window around it are excluded too — a
+    steadily-slow window inflates every timing without moving the
+    ratio (see _steady_sched_median). Pre-r9 records that predate the
+    sched probe carry no ratio and are kept — they cannot be assessed,
+    and dropping them would empty most bands.
     """
     history: dict[str, list[float]] = {}
     for line in lines:
@@ -183,9 +233,21 @@ def _history_for_bands(lines, sf_val) -> dict[str, list[float]]:
             continue
         if row.get("sf") != sf_val:
             continue
-        ratio = row.get("calibration", {}).get("sched_ratio")
+        cal = row.get("calibration", {})
+        ratio = cal.get("sched_ratio")
         if ratio is not None and not (
             SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
+        ):
+            continue
+        level = _sched_level(cal)
+        if (
+            level_median is not None
+            and level is not None
+            and not (
+                SCHED_STEADY_LO * level_median
+                <= level
+                <= SCHED_STEADY_HI * level_median
+            )
         ):
             continue
         for k, v in row.get("queries", {}).items():
@@ -319,11 +381,28 @@ def main() -> None:
     )
     try:
         with open(hist_path) as fh:
-            history = _history_for_bands(fh, sf_val)
+            hist_lines = fh.readlines()
     except OSError:
-        history = {}
+        hist_lines = []
+    level_median = _steady_sched_median(hist_lines)
+    history = _history_for_bands(hist_lines, sf_val, level_median)
     sched_ratio = record["calibration"]["sched_ratio"]
+    run_level = _sched_level(record["calibration"])
+    # ambient on either axis: the probe moved during the run (ratio),
+    # or the whole window ran slow/fast relative to where steady runs
+    # historically sit (level vs median) — a uniformly loaded window
+    # keeps ratio ~1.0 while inflating every timing
     ambient = not (SCHED_STEADY_LO <= sched_ratio <= SCHED_STEADY_HI)
+    if level_median is not None:
+        record["calibration"]["sched_level_vs_median"] = round(
+            run_level / level_median, 3
+        )
+        if not (
+            SCHED_STEADY_LO * level_median
+            <= run_level
+            <= SCHED_STEADY_HI * level_median
+        ):
+            ambient = True
     for name, t in timings.items():
         past = sorted(history.get(name, []))
         if len(past) < 6:
@@ -368,22 +447,23 @@ def main() -> None:
         # the driver snapshots (ADVICE r10)
         label = BAND_SHORT.get(label, label)
         band_counts[label] = band_counts.get(label, 0) + 1
-    print(
-        json.dumps(
-            {
-                "metric": record["metric"],
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n": len(timings),
-                "cal_ratio": record["calibration"]["ratio"],
-                "sched_ratio": record["calibration"]["sched_ratio"],
-                "bands": band_counts,
-                "seeding": len(record["seeding"]),
-            },
-            separators=(",", ":"),
-        )
-    )
+    # diagnostic keys are shortened (cal/sched/lvl — full names live in
+    # the bench_history.jsonl record) to hold the worst-case line under
+    # the ~200-byte tail budget with every feasible label present
+    compact = {
+        "metric": record["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n": len(timings),
+        "cal": record["calibration"]["ratio"],
+        "sched": record["calibration"]["sched_ratio"],
+        "bands": band_counts,
+        "seeding": len(record["seeding"]),
+    }
+    if "sched_level_vs_median" in record["calibration"]:
+        compact["lvl"] = record["calibration"]["sched_level_vs_median"]
+    print(json.dumps(compact, separators=(",", ":")))
     # drop the shared operator caches so a host embedding this bench in a
     # longer session does not keep the sf-scale relations pinned
     from geektime_bigdata_spark.session import release_caches

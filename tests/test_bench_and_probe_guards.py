@@ -107,14 +107,59 @@ def test_compact_summary_fits_tail_capture_with_all_labels(labels):
             "unit": "sec",
             "sf": 0.1,
             "n": 73,
-            "cal_ratio": 1.099,
-            "sched_ratio": 0.705,
+            "cal": 1.099,
+            "sched": 0.705,
             "bands": {bench.BAND_SHORT[k]: 73 for k in labels},
             "seeding": 73,
+            "lvl": 9.999,
         },
         separators=(",", ":"),
     )
     assert len(line) < 200
+
+
+def _hist_rec(q=None, sched=None, levels=None, sf=0.1):
+    row = {"sf": sf, "queries": {"q": q} if q is not None else {}}
+    cal = {}
+    if sched is not None:
+        cal["sched_ratio"] = sched
+    if levels is not None:
+        cal["sched_pre"], cal["sched_post"] = levels
+    if cal:
+        row["calibration"] = cal
+    return json.dumps(row)
+
+
+def test_steady_sched_median_pools_only_ratio_steady_records():
+    lines = [
+        _hist_rec(sched=1.0, levels=(0.20, 0.22)),   # level 0.21
+        _hist_rec(sched=0.9, levels=(0.24, 0.26), sf=0.001),  # pooled
+        _hist_rec(sched=0.5, levels=(0.40, 0.40)),   # ratio-drifted: out
+        _hist_rec(sched=1.0),                        # pre-level record
+        "junk",
+    ]
+    assert bench._steady_sched_median(lines) == pytest.approx(0.21)
+    assert bench._steady_sched_median([_hist_rec(sched=0.5)]) is None
+
+
+def test_history_for_bands_filters_level_elevated_records():
+    """A ratio-steady record taken in a uniformly slow window (probe
+    LEVEL far above the steady median) must not move the band — the
+    r11 observation: same code, sched_ratio 1.026, but probe levels
+    ~1.6x the steady median and the total 27% high."""
+    lines = [
+        _hist_rec(q=1.0, sched=1.0, levels=(0.20, 0.22)),
+        _hist_rec(q=1.3, sched=1.026, levels=(0.38, 0.39)),  # slow window
+        _hist_rec(q=0.9, sched=1.0, levels=(0.19, 0.21)),
+        _hist_rec(q=1.1, sched=1.0),  # pre-level record: kept
+    ]
+    median = bench._steady_sched_median(lines)
+    history = bench._history_for_bands(lines, 0.1, median)
+    assert history == {"q": [1.0, 0.9, 1.1]}
+    # without a median (no level history) the level filter is inert
+    assert bench._history_for_bands(lines, 0.1) == {
+        "q": [1.0, 1.3, 0.9, 1.1]
+    }
 
 
 def _run_scale_stress(env_extra: dict[str, str], *argv: str):
