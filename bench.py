@@ -134,22 +134,58 @@ BAND_SHORT = {
 SCHED_STEADY_LO = 0.8
 SCHED_STEADY_HI = 1.25
 
+# the three interleaved passes ARE the measured window: when their
+# totals disagree by more than this factor, at least two passes saw
+# different machine states and the per-query medians are untrustworthy.
+# Pass-total noise on a steady box is a few percent (73 queries summed
+# per pass); r7-class drift inflates short queries 1.7-1.9x, far above
+PASS_SPREAD_STEADY_HI = 1.15
+
+
+def _within_run_steady(cal) -> bool:
+    """Was the record's measured window internally steady?
+
+    Prefers the pass-total spread when the record carries it: the
+    probes sit OUTSIDE the measured passes (pre right after the
+    73-query warmup burst, post right after the passes), so the sched
+    RATIO also reads the decay of the harness's own just-finished load
+    — observed r11: three same-code totals agreeing within 0.9% all
+    carried sched_ratio 0.65-0.79 (pre decay-inflated, post settled).
+    Flat pass totals mean the medians are trustworthy regardless of
+    what the surrounding probes read (the per-query median-of-3 over
+    interleaved passes already absorbs one divergent pass); a spread
+    above PASS_SPREAD_STEADY_HI means the window itself moved. Records
+    that predate pass totals fall back to the sched ratio; records
+    that predate both cannot be assessed and count as steady.
+    """
+    spread = cal.get("pass_spread")
+    if spread is not None:
+        return spread <= PASS_SPREAD_STEADY_HI
+    ratio = cal.get("sched_ratio")
+    if ratio is None:
+        return True
+    return SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
+
 
 def _classify(t: float, past: list[float], ambient: bool):
     """Band label for this run's median t against the sorted history.
 
     Returns (label, p25, p75) using nearest-rank quartiles (robust for
     the short n~10-60 series). An out-of-band label is only a code
-    signal on a run whose own sched probe held steady: the r7
-    forensics showed sustained-load ambient drift moves per-JOB
-    overhead (the sched probe) while the code is byte-identical —
-    r9's 42-above_band scatter rode sched_ratio 0.705. With ambient
-    True (the probe left [SCHED_STEADY_LO, SCHED_STEADY_HI] during
-    the run — a multiplicatively symmetric ±25% window, 1/0.8 = 1.25),
-    above_band re-labels above_band_ambient and below_band re-labels
-    below_band_ambient, so neither a regression nor an improvement can
-    be claimed off a drifted boot (a fast boot reads below-band just
-    as unreliably as a loaded boot reads above-band).
+    signal on a run whose own measurement held steady: the r7
+    forensics showed sustained-load ambient drift moves timings while
+    the code is byte-identical — r9's 42-above_band scatter rode
+    sched_ratio 0.705. The caller sets ambient True when either axis
+    fired: the measured window itself moved (pass-total spread above
+    PASS_SPREAD_STEADY_HI, see _within_run_steady) or the run's
+    absolute probe level left the multiplicatively symmetric
+    [SCHED_STEADY_LO, SCHED_STEADY_HI] window (1/0.8 = 1.25) around
+    the steady-history median (see _steady_sched_median). With
+    ambient True, above_band re-labels above_band_ambient and
+    below_band re-labels below_band_ambient, so neither a regression
+    nor an improvement can be claimed off a drifted run (a fast
+    window reads below-band just as unreliably as a loaded one reads
+    above-band).
     """
     p25 = past[int(0.25 * (len(past) - 1))]
     p75 = past[int(0.75 * (len(past) - 1))]
@@ -193,10 +229,7 @@ def _steady_sched_median(lines) -> float | None:
         except ValueError:
             continue
         cal = row.get("calibration", {})
-        ratio = cal.get("sched_ratio")
-        if ratio is None or not (
-            SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
-        ):
+        if not _within_run_steady(cal):
             continue
         level = _sched_level(cal)
         if level is not None:
@@ -213,17 +246,18 @@ def _history_for_bands(
     """Per-query timing history for band construction, from the raw
     bench_history.jsonl lines at the matching sf.
 
-    Records whose OWN sched probe drifted (sched_ratio outside
-    [SCHED_STEADY_LO, SCHED_STEADY_HI]) are excluded: their timings
-    measure the boot's ambient load, not the code, and folding them
-    into the p25-p75 bands widens every band toward ambient scatter
-    until above/below_band stops firing on real changes (ADVICE r10).
-    With level_median given, records whose probe LEVEL sat outside the
-    same multiplicative window around it are excluded too — a
-    steadily-slow window inflates every timing without moving the
-    ratio (see _steady_sched_median). Pre-r9 records that predate the
-    sched probe carry no ratio and are kept — they cannot be assessed,
-    and dropping them would empty most bands.
+    Records whose OWN measured window was not steady (pass-total
+    spread above PASS_SPREAD_STEADY_HI; sched-ratio fallback for
+    records predating pass totals — see _within_run_steady) are
+    excluded: their timings measure the boot's ambient load, not the
+    code, and folding them into the p25-p75 bands widens every band
+    toward ambient scatter until above/below_band stops firing on
+    real changes (ADVICE r10). With level_median given, records whose
+    probe LEVEL sat outside the same multiplicative window around it
+    are excluded too — a steadily-slow window inflates every timing
+    without moving ratio or spread (see _steady_sched_median). Pre-r9
+    records that predate every probe are kept — they cannot be
+    assessed, and dropping them would empty most bands.
     """
     history: dict[str, list[float]] = {}
     for line in lines:
@@ -234,10 +268,7 @@ def _history_for_bands(
         if row.get("sf") != sf_val:
             continue
         cal = row.get("calibration", {})
-        ratio = cal.get("sched_ratio")
-        if ratio is not None and not (
-            SCHED_STEADY_LO <= ratio <= SCHED_STEADY_HI
-        ):
+        if not _within_run_steady(cal):
             continue
         level = _sched_level(cal)
         if (
@@ -340,6 +371,13 @@ def main() -> None:
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
     timings = {n: round(sorted(rs)[1], 3) for n, rs in samples.items()}
+    # each pass's total: the direct within-run drift signal — the three
+    # passes sample every query early/mid/late, so totals that disagree
+    # mean the machine state moved between passes (see _within_run_steady)
+    pass_totals = [
+        round(sum(samples[n][i] for n in names), 3) for i in range(3)
+    ]
+    pass_spread = round(max(pass_totals) / min(pass_totals), 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -374,6 +412,8 @@ def main() -> None:
             "sched_pre": sched_pre,
             "sched_post": sched_post,
             "sched_ratio": round(sched_post / sched_pre, 3),
+            "pass_totals": pass_totals,
+            "pass_spread": pass_spread,
         },
     }
     hist_path = os.path.join(
@@ -386,13 +426,14 @@ def main() -> None:
         hist_lines = []
     level_median = _steady_sched_median(hist_lines)
     history = _history_for_bands(hist_lines, sf_val, level_median)
-    sched_ratio = record["calibration"]["sched_ratio"]
     run_level = _sched_level(record["calibration"])
-    # ambient on either axis: the probe moved during the run (ratio),
+    # ambient on either axis: the measured window itself moved
+    # (pass-total spread — see _within_run_steady; the sched ratio is
+    # kept as a recorded diagnostic and the fallback for old records),
     # or the whole window ran slow/fast relative to where steady runs
     # historically sit (level vs median) — a uniformly loaded window
-    # keeps ratio ~1.0 while inflating every timing
-    ambient = not (SCHED_STEADY_LO <= sched_ratio <= SCHED_STEADY_HI)
+    # keeps spread ~1.0 while inflating every timing
+    ambient = not _within_run_steady(record["calibration"])
     if level_median is not None:
         record["calibration"]["sched_level_vs_median"] = round(
             run_level / level_median, 3
@@ -447,9 +488,11 @@ def main() -> None:
         # the driver snapshots (ADVICE r10)
         label = BAND_SHORT.get(label, label)
         band_counts[label] = band_counts.get(label, 0) + 1
-    # diagnostic keys are shortened (cal/sched/lvl — full names live in
-    # the bench_history.jsonl record) to hold the worst-case line under
-    # the ~200-byte tail budget with every feasible label present
+    # diagnostic keys are shortened (cal/spread/lvl — full names live
+    # in the bench_history.jsonl record) to hold the worst-case line
+    # under the ~200-byte tail budget with every feasible label
+    # present; spread and lvl are the two ambient axes (the sched
+    # ratio stays in the full record only)
     compact = {
         "metric": record["metric"],
         "value": total,
@@ -457,7 +500,7 @@ def main() -> None:
         "sf": sf_val,
         "n": len(timings),
         "cal": record["calibration"]["ratio"],
-        "sched": record["calibration"]["sched_ratio"],
+        "spread": pass_spread,
         "bands": band_counts,
         "seeding": len(record["seeding"]),
     }

@@ -108,7 +108,7 @@ def test_compact_summary_fits_tail_capture_with_all_labels(labels):
             "sf": 0.1,
             "n": 73,
             "cal": 1.099,
-            "sched": 0.705,
+            "spread": 9.999,
             "bands": {bench.BAND_SHORT[k]: 73 for k in labels},
             "seeding": 73,
             "lvl": 9.999,
@@ -118,16 +118,47 @@ def test_compact_summary_fits_tail_capture_with_all_labels(labels):
     assert len(line) < 200
 
 
-def _hist_rec(q=None, sched=None, levels=None, sf=0.1):
+def _hist_rec(q=None, sched=None, levels=None, spread=None, sf=0.1):
     row = {"sf": sf, "queries": {"q": q} if q is not None else {}}
     cal = {}
     if sched is not None:
         cal["sched_ratio"] = sched
     if levels is not None:
         cal["sched_pre"], cal["sched_post"] = levels
+    if spread is not None:
+        cal["pass_spread"] = spread
     if cal:
         row["calibration"] = cal
     return json.dumps(row)
+
+
+def test_within_run_steady_prefers_pass_spread_over_ratio():
+    """Flat pass totals override a decayed probe ratio (the probes sit
+    outside the measured window): three r11 same-code totals within
+    0.9% all carried sched_ratio 0.65-0.79. Conversely a moved window
+    is ambient even with a steady ratio; legacy records fall back."""
+    steady_spread_decayed_ratio = {"pass_spread": 1.02, "sched_ratio": 0.65}
+    assert bench._within_run_steady(steady_spread_decayed_ratio)
+    moved_window_steady_ratio = {"pass_spread": 1.3, "sched_ratio": 1.0}
+    assert not bench._within_run_steady(moved_window_steady_ratio)
+    assert bench._within_run_steady({"sched_ratio": 1.0})
+    assert not bench._within_run_steady({"sched_ratio": 0.5})
+    assert bench._within_run_steady({})  # pre-probe legacy record
+
+
+def test_history_for_bands_keeps_flat_pass_decayed_ratio_records():
+    lines = [
+        _hist_rec(q=1.0, sched=1.0, levels=(0.20, 0.22)),
+        # decayed ratio but flat passes: the r11 false-ambient case —
+        # kept now that the spread is the within-run axis
+        _hist_rec(q=1.1, sched=0.65, levels=(0.25, 0.17), spread=1.01),
+        # moved window, steady ratio: excluded
+        _hist_rec(q=5.0, sched=1.0, levels=(0.20, 0.21), spread=1.4),
+    ]
+    median = bench._steady_sched_median(lines)
+    assert bench._history_for_bands(lines, 0.1, median) == {
+        "q": [1.0, 1.1]
+    }
 
 
 def test_steady_sched_median_pools_only_ratio_steady_records():
