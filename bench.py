@@ -134,29 +134,34 @@ BAND_SHORT = {
 SCHED_STEADY_LO = 0.8
 SCHED_STEADY_HI = 1.25
 
-# the three interleaved passes ARE the measured window: when their
-# totals disagree by more than this factor, at least two passes saw
-# different machine states and the per-query medians are untrustworthy.
-# Pass-total noise on a steady box is a few percent (73 queries summed
-# per pass); r7-class drift inflates short queries 1.7-1.9x, far above
+# the two WARM passes (2-3) drive every per-query median: pass 1
+# additionally pays the structural fill of the session memos and page
+# cache at the measured sf (the warmup phase runs at sf0.001), so a
+# per-query median of (inflated s1, s2, s3) resolves to max(s2, s3) —
+# measured r11: pass-1 totals run 1.18-1.24x the warm passes on same
+# code. When the warm totals disagree by more than this factor, the
+# two passes the medians rest on saw different machine states and the
+# record is ambient. Warm-pass noise on a steady box is a few percent
+# (73 queries summed per pass); r7-class drift inflates short queries
+# 1.7-1.9x, far above
 PASS_SPREAD_STEADY_HI = 1.15
 
 
 def _within_run_steady(cal) -> bool:
     """Was the record's measured window internally steady?
 
-    Prefers the pass-total spread when the record carries it: the
+    Prefers the warm-pass-total spread when the record carries it: the
     probes sit OUTSIDE the measured passes (pre right after the
     73-query warmup burst, post right after the passes), so the sched
     RATIO also reads the decay of the harness's own just-finished load
     — observed r11: three same-code totals agreeing within 0.9% all
     carried sched_ratio 0.65-0.79 (pre decay-inflated, post settled).
-    Flat pass totals mean the medians are trustworthy regardless of
-    what the surrounding probes read (the per-query median-of-3 over
-    interleaved passes already absorbs one divergent pass); a spread
-    above PASS_SPREAD_STEADY_HI means the window itself moved. Records
-    that predate pass totals fall back to the sched ratio; records
-    that predate both cannot be assessed and count as steady.
+    Flat warm totals mean the medians are trustworthy regardless of
+    what the surrounding probes read (the medians rest on the warm
+    passes — see PASS_SPREAD_STEADY_HI); a spread above the threshold
+    means the window the medians measure moved. Records that predate
+    pass totals fall back to the sched ratio; records that predate
+    both cannot be assessed and count as steady.
     """
     spread = cal.get("pass_spread")
     if spread is not None:
@@ -196,6 +201,24 @@ def _classify(t: float, past: list[float], ambient: bool):
     else:
         label = "below_band_ambient" if ambient else "below_band"
     return label, p25, p75
+
+
+def _pass_drift(pass_totals: list[float]) -> tuple[float, float]:
+    """(pass_spread, warm_fill) from the in-time-order pass totals.
+
+    pass_spread compares only the WARM passes (all but the first):
+    pass 1 additionally pays the structural memo/page-cache fill at
+    the measured sf, and an inflated first sample only lowers a
+    per-query median-of-3, never raises it (median of inflated s1
+    with s2, s3 = max(s2, s3)) — so the medians rest on the warm
+    passes and their agreement is the drift signal. warm_fill records
+    pass 1's structural overhang separately (measured 1.18-1.24x on
+    steady same-code runs).
+    """
+    warm = pass_totals[1:]
+    spread = round(max(warm) / min(warm), 3)
+    fill = round(pass_totals[0] / min(warm), 3)
+    return spread, fill
 
 
 def _sched_level(cal) -> float | None:
@@ -371,13 +394,12 @@ def main() -> None:
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
     timings = {n: round(sorted(rs)[1], 3) for n, rs in samples.items()}
-    # each pass's total: the direct within-run drift signal — the three
-    # passes sample every query early/mid/late, so totals that disagree
-    # mean the machine state moved between passes (see _within_run_steady)
+    # each pass's total: the direct within-run drift signal (warm-pass
+    # spread + structural pass-1 overhang — see _pass_drift)
     pass_totals = [
         round(sum(samples[n][i] for n in names), 3) for i in range(3)
     ]
-    pass_spread = round(max(pass_totals) / min(pass_totals), 3)
+    pass_spread, warm_fill = _pass_drift(pass_totals)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -414,6 +436,7 @@ def main() -> None:
             "sched_ratio": round(sched_post / sched_pre, 3),
             "pass_totals": pass_totals,
             "pass_spread": pass_spread,
+            "warm_fill": warm_fill,
         },
     }
     hist_path = os.path.join(

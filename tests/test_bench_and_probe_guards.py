@@ -146,6 +146,19 @@ def test_within_run_steady_prefers_pass_spread_over_ratio():
     assert bench._within_run_steady({})  # pre-probe legacy record
 
 
+def test_pass_drift_uses_warm_passes_only():
+    """Pass 1 pays the structural memo/page-cache fill at the measured
+    sf (median of an inflated s1 with s2, s3 = max(s2, s3)), so the
+    spread ignores it — the r11 89.7/72.2/72.6 record is steady
+    (warm spread 1.006) with the overhang in warm_fill."""
+    spread, fill = bench._pass_drift([89.676, 72.191, 72.648])
+    assert spread == pytest.approx(1.006, abs=1e-3)
+    assert fill == pytest.approx(1.242, abs=1e-3)
+    # drift between the warm passes IS flagged
+    spread, _ = bench._pass_drift([60.0, 50.0, 65.0])
+    assert spread == 1.3
+
+
 def test_history_for_bands_keeps_flat_pass_decayed_ratio_records():
     lines = [
         _hist_rec(q=1.0, sched=1.0, levels=(0.20, 0.22)),
