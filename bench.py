@@ -230,6 +230,34 @@ def _sched_level(cal) -> float | None:
     return (pre + post) / 2.0
 
 
+def _host_snapshot() -> dict:
+    """Host contention diagnostics: loadavg and cumulative steal/iowait
+    jiffies. Recorded pre/post as evidence only — no classification
+    reads them. Motivation (r11): a same-code run read 15% high with
+    EVERY axis steady (probes normal, warm spread 1.08, level 0.93)
+    while the 5-min loadavg sat at 4.95 — contention that slows the
+    IO/memory-heavy measured passes can miss the short pure-CPU
+    probes entirely, and without a host snapshot in the record that
+    forensic is unrecoverable after the fact."""
+    snap = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        snap["load1"], snap["load5"] = float(parts[0]), float(parts[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            cpu = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        snap["iowait_j"] = int(cpu[5])
+        if len(cpu) > 8:
+            snap["steal_j"] = int(cpu[8])
+    except (OSError, ValueError, IndexError):
+        pass
+    return snap
+
+
 def _steady_sched_median(lines) -> float | None:
     """Median absolute sched-probe LEVEL across ratio-steady history
     records, pooled over every sf (the probe is a fixed JVM job,
@@ -381,6 +409,7 @@ def main() -> None:
     # did, passes 2-3 run warm.
     import random
 
+    host_pre = _host_snapshot()
     cal_pre = _calibrate(spark)
     sched_pre = _calibrate_sched(spark)
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -393,6 +422,7 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
+    host_post = _host_snapshot()
     timings = {n: round(sorted(rs)[1], 3) for n, rs in samples.items()}
     # each pass's total: the direct within-run drift signal (warm-pass
     # spread + structural pass-1 overhang — see _pass_drift)
@@ -437,6 +467,17 @@ def main() -> None:
             "pass_totals": pass_totals,
             "pass_spread": pass_spread,
             "warm_fill": warm_fill,
+            # diagnostics only (see _host_snapshot): loadavg at each
+            # end plus steal/iowait jiffy DELTAS over the whole run
+            "host": {
+                "pre": host_pre,
+                "post": host_post,
+                **{
+                    f"d_{k}": host_post[k] - host_pre[k]
+                    for k in ("steal_j", "iowait_j")
+                    if k in host_pre and k in host_post
+                },
+            },
         },
     }
     hist_path = os.path.join(
