@@ -468,73 +468,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-11 sweep prefix (driver checks the first 50 queries() entries).
-# Prescribed by VERDICT r10 item 1 / SURVEY §7.13 — the steady-state
-# round-robin, recomputed from the CORRECTNESS_r01-r10 union (latest
-# green round per query) and verified to match the verdict's staging
+# Round-12 sweep prefix (driver checks the first 50 queries() entries).
+# Prescribed by SURVEY §7.14 — the steady-state 3-round round-robin,
+# recomputed from the CORRECTNESS_r01-r11 union (latest green round per
+# query; 194/194 green, 0 red) and verified to match the §7.14 staging
 # set-for-set before rotating:
-# Slots 1-44: the ENTIRE remaining r6-latest cohort (exactly 44 rows),
-#   alphabetical — the oldest cohort in the ledger (the dedup/MinHash/
-#   SimHash families, the inverted-index text core, sessionization,
-#   and the relational point-lookup/grouping-sets rows).
-# Slots 45-50: the six alphabetically-first r8-latest rows
-#   (`ann_topk_ivf_multiprobe` .. `boilerplate_coverage`), continuing
-#   the round-robin into the r8 cohort.
-# After this sweep the ledger is r11:50, r10:50, r9:50, r8:44 — nothing
-# older than r8, cadence now <=3 rounds.
+# Slots 1-44: the ENTIRE remaining r8-latest cohort (exactly 44 rows),
+#   alphabetical — the oldest cohort in the ledger (the streaming
+#   runner family, the BPE/quality/text-curation rows, the media
+#   roundtrip features, and zorder_layout_skipping).
+# Slots 45-50: the six alphabetically-first r9-latest rows
+#   (`attribution_range_join` .. `corpus_report`), continuing the
+#   round-robin into the r9 cohort.
+# After this sweep the ledger is r12:50, r11:50, r10:50, r9:44 —
+# nothing older than r9, steady-state cadence <=3 rounds.
 _SWEEP_PRIORITY = [
-    # (1) the entire r6-latest cohort (44 rows), alphabetical
-    "chunk_documents",
-    "compact_small_files",
-    "const_score_order",
-    "continuous_hourly_rollup",
-    "dataset_splits",
-    "dedup_clusters",
-    "distinct_pairs",
-    "doc_fingerprints",
-    "embedding_neardup_pairs",
-    "embedding_norms_pandas",
-    "embedding_quantize_int8",
-    "event_funnel",
-    "exact_dedup",
-    "incremental_ingest_dedup",
-    "inverted_index_str",
-    "jsonl_roundtrip_stats",
-    "key_skew_report",
-    "kmeans_step",
-    "label_centroids",
-    "lsh_hyperplane_buckets",
-    "minhash_jaccard_estimate",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "neardup_pagerank",
-    "ngram_jaccard_pairs",
-    "null_filter_empty",
-    "order_grouping_sets",
-    "orders_audit",
-    "packed_sequences",
-    "phrase_search",
-    "pii_canary_scrub",
-    "point_lookup",
-    "positional_postings",
-    "posting_list_tf_str",
-    "prefix_filter_jaccard_pairs_banded",
-    "salted_top_words",
-    "scd2_intervals",
-    "semantic_dedup",
-    "session_window_rollup",
-    "simhash_fingerprints",
-    "simhash_neardup_pairs",
-    "stratified_sample",
-    "term_freq",
-    "wav_roundtrip_features",
-    # (2) the six alphabetically-first r8-latest rows
-    "ann_topk_ivf_multiprobe",
-    "asof_last_click",
-    "asof_last_click_cogroup",
-    "avi_roundtrip_features",
-    "bigram_logprob_scores",
-    "boilerplate_coverage",
+    # (1) the entire r8-latest cohort (44 rows), alphabetical
+    "boilerplate_ngrams",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "cdc_apply",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "contrastive_negatives",
+    "curated_corpus",
+    "curation_summary",
+    "customer_balance_quartiles",
+    "dedup_cluster_representatives",
+    "hourly_anomaly_scores",
+    "hourly_event_rollup",
+    "incoming_batch_dedup",
+    "media_features",
+    "media_features_wide",
+    "media_type_stats",
+    "neardup_triangles",
+    "ngram_containment_pairs",
+    "per_source_caps",
+    "png_roundtrip_features",
+    "quality_dup_calibration",
+    "quality_weighted_sample",
+    "semantic_dedup_multiprobe",
+    "sliding_wau",
+    "sliding_window_counts",
+    "source_overlap_matrix",
+    "source_vocab_overlap",
+    "streaming_attribution",
+    "streaming_attribution_full_outer",
+    "streaming_attribution_outer",
+    "streaming_dedup",
+    "streaming_enriched_rollup",
+    "streaming_hourly_rollup",
+    "streaming_sliding_counts",
+    "streaming_upsert_sink",
+    "tfidf_top_terms",
+    "unigram_logprob_scores",
+    "user_path_trigrams",
+    "user_value_trend",
+    "vocab_coverage",
+    "word_counts",
+    "zorder_layout_skipping",
+    # (2) the six alphabetically-first r9-latest rows
+    "attribution_range_join",
+    "blocklist_scrub",
+    "bpe_pair_counts",
+    "broadcast_dim_join",
+    "clipped_value_stats",
+    "corpus_report",
 ]
 
 
