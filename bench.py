@@ -208,10 +208,11 @@ def _pass_drift(pass_totals: list[float]) -> tuple[float, float]:
 
     pass_spread compares only the WARM passes (all but the first):
     pass 1 additionally pays the structural memo/page-cache fill at
-    the measured sf, and an inflated first sample only lowers a
-    per-query median-of-3, never raises it (median of inflated s1
-    with s2, s3 = max(s2, s3)) — so the medians rest on the warm
-    passes and their agreement is the drift signal. warm_fill records
+    the measured sf, and a per-query median of (inflated s1, s2, s3)
+    resolves to max(s2, s3): pass-1 inflation can only nudge the
+    median UP to the worse warm sample, never past either warm value
+    — so the medians rest entirely on the warm passes and THEIR
+    agreement is the drift signal. warm_fill records
     pass 1's structural overhang separately (measured 1.18-1.24x on
     steady same-code runs).
     """
@@ -272,6 +273,17 @@ def _steady_sched_median(lines) -> float | None:
     load spike that ended right after). The level median gives the
     second axis: a run is only trustworthy when its probe both held
     steady AND sat near the level steady runs historically occupy.
+
+    The within-run filter admits exactly the records the level axis
+    exists to catch (steady ratio, inflated level), so a run of slow
+    boots would drag the pooled median toward drifted levels and
+    weaken the filter over time (ADVICE r11). One refinement pass
+    fixes that as long as drifted records stay a minority (<50% of
+    steady-ratio history — the observed base rate is 1/16): take the
+    raw median, drop levels outside the [SCHED_STEADY_LO,
+    SCHED_STEADY_HI] window around it, and re-take the median over
+    the survivors. A majority-drifted history has no trustworthy
+    anchor at all; no pooled statistic can recover one.
     """
     levels = []
     for line in lines:
@@ -288,7 +300,13 @@ def _steady_sched_median(lines) -> float | None:
     if not levels:
         return None
     levels.sort()
-    return levels[(len(levels) - 1) // 2]
+    raw = levels[(len(levels) - 1) // 2]
+    kept = [
+        lv
+        for lv in levels
+        if SCHED_STEADY_LO * raw <= lv <= SCHED_STEADY_HI * raw
+    ]
+    return kept[(len(kept) - 1) // 2]
 
 
 def _history_for_bands(
@@ -496,7 +514,17 @@ def main() -> None:
     # kept as a recorded diagnostic and the fallback for old records),
     # or the whole window ran slow/fast relative to where steady runs
     # historically sit (level vs median) — a uniformly loaded window
-    # keeps spread ~1.0 while inflating every timing
+    # keeps spread ~1.0 while inflating every timing.
+    # Known blind spot (ADVICE r11, accepted): a load spike confined
+    # to the measured passes that inflates both warm passes uniformly
+    # and ends before the post probe passes every axis (spread ~1.0,
+    # ratio ok, level only half-moved since pre was clean). The
+    # calibration.host snapshot (loadavg pre/post + steal/iowait jiffy
+    # deltas) exists to make such a record forensically attributable
+    # after the fact; it stays diagnostics-only. If this mode is ever
+    # observed in the band history, promote a coarse host check
+    # (d_steal_j or load5 above a boot-calibrated bound) to a third
+    # ambient axis.
     ambient = not _within_run_steady(record["calibration"])
     if level_median is not None:
         record["calibration"]["sched_level_vs_median"] = round(

@@ -148,9 +148,10 @@ def test_within_run_steady_prefers_pass_spread_over_ratio():
 
 def test_pass_drift_uses_warm_passes_only():
     """Pass 1 pays the structural memo/page-cache fill at the measured
-    sf (median of an inflated s1 with s2, s3 = max(s2, s3)), so the
-    spread ignores it — the r11 89.7/72.2/72.6 record is steady
-    (warm spread 1.006) with the overhang in warm_fill."""
+    sf; the median of (inflated s1, s2, s3) resolves to max(s2, s3) —
+    inflation can only nudge the median up to the worse warm sample —
+    so the spread ignores pass 1: the r11 89.7/72.2/72.6 record is
+    steady (warm spread 1.006) with the overhang in warm_fill."""
     spread, fill = bench._pass_drift([89.676, 72.191, 72.648])
     assert spread == pytest.approx(1.006, abs=1e-3)
     assert fill == pytest.approx(1.242, abs=1e-3)
@@ -184,6 +185,28 @@ def test_steady_sched_median_pools_only_ratio_steady_records():
     ]
     assert bench._steady_sched_median(lines) == pytest.approx(0.21)
     assert bench._steady_sched_median([_hist_rec(sched=0.5)]) is None
+
+
+def test_steady_sched_median_refinement_drops_drifted_levels():
+    """Uniformly-slow boots keep a steady ratio, so their inflated
+    levels pass the within-run filter and pool into the raw median —
+    exactly what the level axis exists to catch (ADVICE r11). The
+    refinement pass (raw median -> drop levels outside the steady
+    window around it -> re-median) keeps the anchor on the steady
+    cluster as long as drifted records stay a minority."""
+    steady = [
+        _hist_rec(sched=1.0, levels=(lv, lv))
+        for lv in (0.19, 0.20, 0.21, 0.22)
+    ]
+    assert bench._steady_sched_median(steady) == pytest.approx(0.20)
+    # three slow-boot records: raw median moves to 0.22 (the steady
+    # cluster's top edge); the refinement re-anchors at 0.20
+    drifted = [
+        _hist_rec(sched=1.0, levels=(lv, lv)) for lv in (0.38, 0.39, 0.40)
+    ]
+    assert bench._steady_sched_median(steady + drifted) == pytest.approx(
+        0.20
+    )
 
 
 def test_history_for_bands_filters_level_elevated_records():

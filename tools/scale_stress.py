@@ -343,8 +343,12 @@ def main() -> None:
         }
         # the fixed passes ARE a plain-probe measurement of the same
         # ops on this boot; refresh the sibling plain section from them
-        # so the file never holds two disagreeing fixed series from
-        # different boots (ADVICE r10)
+        # so the SAME OP never holds disagreeing fixed/plain rows from
+        # different boots (ADVICE r10). Only the ops measured THIS run
+        # are refreshed — a plain section can still mix rows from
+        # different boots ACROSS ops (each row's `run` stamp carries
+        # its provenance; compare exponents, not absolute seconds,
+        # across differently-stamped rows).
         plain_report = {
             name: {
                 "sec_at": {str(k): times[name][k] for k in factors},
