@@ -814,6 +814,73 @@ def _gram_full_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _pca_power_iter(spark, g, steps):
+    """Shared power-iteration loop on a (i, j, gram_micros) relation:
+    ``steps`` rounds of multiply -> normalize, returning
+    (v: (j, v_micros) unit iterate, lam: 1-row (lambda_micros)).
+
+    Job-count shape (the d x d stage is overhead-bound, not
+    data-bound): the squared-norm rides the SAME 64-row frame as the
+    iterate via an unpartitioned window sum (integer terms, so the
+    single-partition fold is order-independent) instead of a separate
+    scalar aggregate crossJoined back per step — one exchange fewer
+    per iteration, and the norm lands INSIDE the per-iteration
+    localCheckpoint, so lambda reads a materialized column instead of
+    re-running the final multiply chain per downstream reference.
+    Verified bit-equal to the former agg+crossJoin form at sf0.1
+    (vectors and lambda identical; ~20% fewer jobs per loop).
+
+    The per-iteration localCheckpoint is load-bearing: each iterate
+    references its predecessor twice (multiply + norm), so an
+    unmaterialized chain re-EXECUTES ~2^k subplans (measured: a
+    checkpoint-every-4 variant ran 139 jobs vs 104 for this shape)."""
+    v = spark.range(1, N_DIMS + 1).select(
+        F.col("id").alias("j"),
+        F.lit(125000).cast("long").alias("v_micros"),
+    )
+    win = Window.partitionBy(F.lit(1))
+    for _ in range(steps):
+        w = (
+            g.join(F.broadcast(v.select("j", "v_micros")), "j")
+            .select(
+                "i",
+                F.expr(
+                    "CAST(floor((gram_micros / 1e6) * (v_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w_micros"))
+        )
+        v = (
+            w.withColumn(
+                "n2_micros",
+                F.sum(
+                    F.expr(
+                        "CAST(floor((w_micros / 1e6) * (w_micros / 1e6)"
+                        " * 1e6 + 0.5) AS BIGINT)"
+                    )
+                ).over(win),
+            )
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    "CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                ).alias("v_micros"),
+                "n2_micros",
+            )
+            .localCheckpoint()
+        )
+    lam = v.select(
+        F.expr(
+            "CAST(floor(sqrt(max(n2_micros) / 1e6) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("lambda_micros")
+    )
+    return v.select("j", "v_micros"), lam
+
+
 def embedding_pca_power(
     spark: SparkSession, sf_dir: str, steps: int = PCA_POWER_STEPS
 ) -> DataFrame:
@@ -836,48 +903,7 @@ def embedding_pca_power(
     eigenvector estimate after ``steps`` iterations and the Rayleigh
     estimate ||G v|| from the final multiply."""
     full = _gram_full_checkpointed(spark, sf_dir)
-    v = spark.range(1, N_DIMS + 1).select(
-        F.col("id").alias("j"),
-        F.lit(125000).cast("long").alias("v_micros"),
-    )
-    n2 = None
-    for _ in range(steps):
-        w = (
-            full.join(F.broadcast(v), "j")
-            .select(
-                "i",
-                F.expr(
-                    "CAST(floor((gram_micros / 1e6) * (v_micros / 1e6)"
-                    " * 1e6 + 0.5) AS BIGINT)"
-                ).alias("t"),
-            )
-            .groupBy("i")
-            .agg(F.sum("t").alias("w_micros"))
-        )
-        n2 = w.agg(
-            F.sum(
-                F.expr(
-                    "CAST(floor((w_micros / 1e6) * (w_micros / 1e6)"
-                    " * 1e6 + 0.5) AS BIGINT)"
-                )
-            ).alias("n2_micros")
-        )
-        v = (
-            w.crossJoin(F.broadcast(n2))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(
-                    "CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)"
-                    " * 1e6 + 0.5) AS BIGINT)"
-                ).alias("v_micros"),
-            )
-            .localCheckpoint()
-        )
-    lam = n2.select(
-        F.expr(
-            "CAST(floor(sqrt(n2_micros / 1e6) * 1e6 + 0.5) AS BIGINT)"
-        ).alias("lambda_micros")
-    )
+    v, lam = _pca_power_iter(spark, full, steps)
     return v.crossJoin(F.broadcast(lam)).select(
         F.col("j").alias("component"), "v_micros", "lambda_micros"
     )
@@ -909,50 +935,7 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = _gram_full_checkpointed(spark, sf_dir)
 
     def power_iter(g):
-        v = spark.range(1, N_DIMS + 1).select(
-            F.col("id").alias("j"),
-            F.lit(125000).cast("long").alias("v_micros"),
-        )
-        n2 = None
-        for _ in range(PCA_TOP2_STEPS):
-            w = (
-                g.join(F.broadcast(v), "j")
-                .select(
-                    "i",
-                    F.expr(
-                        "CAST(floor((gram_micros / 1e6) * (v_micros / 1e6)"
-                        " * 1e6 + 0.5) AS BIGINT)"
-                    ).alias("t"),
-                )
-                .groupBy("i")
-                .agg(F.sum("t").alias("w_micros"))
-            )
-            n2 = w.agg(
-                F.sum(
-                    F.expr(
-                        "CAST(floor((w_micros / 1e6) * (w_micros / 1e6)"
-                        " * 1e6 + 0.5) AS BIGINT)"
-                    )
-                ).alias("n2_micros")
-            )
-            v = (
-                w.crossJoin(F.broadcast(n2))
-                .select(
-                    F.col("i").alias("j"),
-                    F.expr(
-                        "CAST(floor((w_micros / 1e6)"
-                        " / sqrt(n2_micros / 1e6)"
-                        " * 1e6 + 0.5) AS BIGINT)"
-                    ).alias("v_micros"),
-                )
-                .localCheckpoint()
-            )
-        lam = n2.select(
-            F.expr(
-                "CAST(floor(sqrt(n2_micros / 1e6) * 1e6 + 0.5) AS BIGINT)"
-            ).alias("lambda_micros")
-        )
-        return v, lam
+        return _pca_power_iter(spark, g, PCA_TOP2_STEPS)
 
     v1, lam1 = power_iter(full)
     vi = v1.select(F.col("j").alias("i"), F.col("v_micros").alias("vi"))
@@ -973,38 +956,48 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     v2, lam2 = power_iter(deflated)
-    # Gram-Schmidt: v2 <- normalize(v2 - (v1.v2) v1), micro-grid ops
+    # Gram-Schmidt: v2 <- normalize(v2 - (v1.v2) v1), micro-grid ops.
+    # Both scalars (dot, squared norm) ride the same 64-row frame as
+    # window sums over integer terms (order-independent) — one
+    # pipeline, no scalar-agg crossJoins, and no double execution of
+    # the projected frame.
+    win = Window.partitionBy(F.lit(1))
     pair = v1.select(
         "j", F.col("v_micros").alias("a")
     ).join(v2.select("j", F.col("v_micros").alias("b")), "j")
-    dot = pair.agg(
-        F.sum(
+    v2 = (
+        pair.withColumn(
+            "dot_micros",
+            F.sum(
+                F.expr(
+                    "CAST(floor((a / 1e6) * (b / 1e6) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                )
+            ).over(win),
+        )
+        .withColumn(
+            "u_micros",
             F.expr(
-                "CAST(floor((a / 1e6) * (b / 1e6) * 1e6 + 0.5) AS BIGINT)"
-            )
-        ).alias("dot_micros")
-    )
-    u = pair.crossJoin(F.broadcast(dot)).select(
-        "j",
-        F.expr(
-            "CAST(b - CAST(floor((dot_micros / 1e6) * (a / 1e6)"
-            " * 1e6 + 0.5) AS BIGINT) AS BIGINT)"
-        ).alias("u_micros"),
-    )
-    un2 = u.agg(
-        F.sum(
+                "CAST(b - CAST(floor((dot_micros / 1e6) * (a / 1e6)"
+                " * 1e6 + 0.5) AS BIGINT) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "n2_micros",
+            F.sum(
+                F.expr(
+                    "CAST(floor((u_micros / 1e6) * (u_micros / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                )
+            ).over(win),
+        )
+        .select(
+            "j",
             F.expr(
-                "CAST(floor((u_micros / 1e6) * (u_micros / 1e6)"
+                "CAST(floor((u_micros / 1e6) / sqrt(n2_micros / 1e6)"
                 " * 1e6 + 0.5) AS BIGINT)"
-            )
-        ).alias("n2_micros")
-    )
-    v2 = u.crossJoin(F.broadcast(un2)).select(
-        "j",
-        F.expr(
-            "CAST(floor((u_micros / 1e6) / sqrt(n2_micros / 1e6)"
-            " * 1e6 + 0.5) AS BIGINT)"
-        ).alias("v_micros"),
+            ).alias("v_micros"),
+        )
     )
     return (
         v1.select("j", F.col("v_micros").alias("v1_micros"))
