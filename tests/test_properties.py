@@ -934,6 +934,41 @@ def test_prefix_filter_recall_is_exact(spark, tmp_path_factory, docs):
     assert got == brute, (got, brute)
 
 
+def test_positional_prune_boundary_is_exact(spark):
+    """The PPJoin positional filter's alpha compare is cross-multiplied
+    integer arithmetic; a pair whose overlap bound EQUALS alpha must
+    survive (>=, never >), including when (n_a + n_b) is divisible by
+    p+q — the knife-edge a float ceil could over-prune."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.operators.dedup import _positional_prune
+
+    # t = 0.5 -> p, q = (1, 2): keep iff 3 * (1 + min(na-pa, nb-pb))
+    # >= (na + nb).  Cases: exactly-at-alpha (divisible sum), one past,
+    # and first positions (bound maximal).
+    cases = [
+        # (n_a, n_b, pa, pb, expected)
+        (3, 3, 2, 2, True),   # bound 2, alpha 2: boundary survives
+        (3, 3, 3, 3, False),  # bound 1, alpha 2: pruned
+        (3, 3, 1, 1, True),   # first shared token: maximal bound
+        (300, 300, 101, 101, True),   # bound 200 = alpha exactly
+        (300, 300, 102, 102, False),  # bound 199 < alpha 200
+    ]
+    df = spark.createDataFrame(
+        [(na, nb, pa, pb) for na, nb, pa, pb, _ in cases],
+        "n_a long, n_b long, pa long, pb long",
+    )
+    got = [
+        r["keep"]
+        for r in df.select(
+            _positional_prune(
+                F.col("n_a"), F.col("n_b"), F.col("pa"), F.col("pb")
+            ).alias("keep")
+        ).collect()
+    ]
+    assert got == [e for *_, e in cases], got
+
+
 @settings(
     max_examples=8,
     deadline=None,
