@@ -262,6 +262,17 @@ def main() -> None:
                 f"({BASE}, {FACTORS}); re-run a full measurement instead"
             )
 
+    # host contention context per run stamp (same forensic bench.py
+    # records): probe absolutes swing ~30% across boots AND within a
+    # loaded boot — without the snapshot, a steal-quiet and a
+    # contended probe run are indistinguishable in SCALING.json after
+    # the fact (observed r12: two same-code 32x probes read doubling
+    # exponents 1.263 and 0.582 while the 1-min loadavg sat at 25-28
+    # from co-tenant steal). Diagnostics only; nothing reads them.
+    from bench import _host_snapshot
+
+    host_pre = _host_snapshot()
+
     spark = get_spark(app_name="gbs-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -325,6 +336,14 @@ def main() -> None:
     # times swing up to ~30% across VM boots (same code), so two probe
     # sections are only comparable when their stamps match (ADVICE r10)
     run_stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    host_post = _host_snapshot()
+    host_ctx = {"pre": host_pre, "post": host_post}
+    if "steal_j" in host_pre and "steal_j" in host_post:
+        host_ctx["d_steal_j"] = host_post["steal_j"] - host_pre["steal_j"]
+    if "iowait_j" in host_pre and "iowait_j" in host_post:
+        host_ctx["d_iowait_j"] = (
+            host_post["iowait_j"] - host_pre["iowait_j"]
+        )
     plain_report = None
     if scale_partitions:
         report = {
@@ -377,6 +396,7 @@ def main() -> None:
             out.setdefault(probe_key, {}).update(plain_report)
         else:
             out.setdefault(probe_key, {}).update(report)
+        out.setdefault("runs", {})[run_stamp] = host_ctx
         line = json.dumps(out)
         if path:
             with open(path, "w") as fh:
@@ -389,6 +409,7 @@ def main() -> None:
             prior = json.load(fh)  # grid match asserted before measuring
         prior["ops"].update(report)
         out = prior
+    out.setdefault("runs", {})[run_stamp] = host_ctx
     line = json.dumps(out)
     if path:
         with open(path, "w") as fh:
