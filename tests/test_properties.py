@@ -934,6 +934,52 @@ def test_prefix_filter_recall_is_exact(spark, tmp_path_factory, docs):
     assert got == brute, (got, brute)
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "lime", "gray", "teal"]),
+            min_size=3,
+            max_size=16,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_banded_tier_matches_flat_tier(spark, tmp_path_factory, docs):
+    """The length-banded tier must emit BIT-EQUAL pairs to the flat
+    tier on arbitrary corpora — the band split (each probe hits band
+    and band+1 of the power-of-2 size bands) plus the smaller-side
+    pair orientation must never lose or duplicate a candidate across
+    a band boundary. Wider size range than the recall property
+    (max_size 16) so documents actually straddle bands."""
+    from geektime_bigdata_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_banded,
+    )
+
+    d = tmp_path_factory.mktemp("pfxb")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    flat = sorted(
+        map(tuple, prefix_filter_jaccard_pairs(spark, str(d)).collect())
+    )
+    banded = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_pairs_banded(spark, str(d)).collect(),
+        )
+    )
+    assert flat == banded, (flat, banded)
+
+
 def test_positional_prune_boundary_is_exact(spark):
     """The PPJoin positional filter's alpha compare is cross-multiplied
     integer arithmetic; a pair whose overlap bound EQUALS alpha must
