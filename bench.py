@@ -134,6 +134,50 @@ BAND_SHORT = {
 SCHED_STEADY_LO = 0.8
 SCHED_STEADY_HI = 1.25
 
+# third ambient axis (VERDICT r12 item 2 — the documented promotion
+# trigger fired): hypervisor steal DURING the measured window inflates
+# timings while every probe-based axis can pass — BENCH_r12's own
+# window read cal 1.128 with 42 CPU-s of steal (d_steal_j 4199) and 19
+# uniformly ~1.1-1.2x above-band labels, and two earlier records
+# passed both spread (1.004/1.001) and level (1.243/1.121) while
+# carrying d_steal_j 2655/9273. The axis is a RATE (steal jiffies per
+# wall-second of the measured window) so one bound serves both the
+# ~200s sf0.001 and ~300s sf0.1 windows. Empirical separation across
+# every steal-bearing history record (10 records, this boot family):
+# steal-quiet reads <= 2.7 j/s (max: 454 j over a 171 s window);
+# contaminated reads >= 8.6 j/s (min: the 2655 j record) — the 5.0
+# bound sits ~1.9x from each cluster. 5 j/s = 5% of ONE cpu stolen
+# (0.16% of the 32-cpu box) — tiny in throughput terms, but steal
+# lands on scheduling latency, which is exactly the quantity the r7
+# forensics showed drifts first.
+STEAL_AMBIENT_J_PER_SEC = 5.0
+
+
+def _steal_rate(cal) -> float | None:
+    """Steal jiffies per wall-second over the record's measured window,
+    or None when the record predates the host snapshot.
+
+    Wall prefers the recorded window length (host.wall, new in r13);
+    records that predate it fall back to sum(pass_totals), which
+    UNDERestimates the probe-to-probe window (it excludes the four
+    calibration probes) and therefore OVERestimates the rate —
+    conservative toward flagging a borderline old record, never toward
+    trusting it."""
+    host = cal.get("host", {})
+    steal = host.get("d_steal_j")
+    if steal is None:
+        return None
+    wall = host.get("wall")
+    if wall is None:
+        totals = cal.get("pass_totals")
+        if not totals:
+            return None
+        wall = sum(totals)
+    if wall <= 0:
+        return None
+    return steal / wall
+
+
 # the two WARM passes (2-3) drive every per-query median: pass 1
 # additionally pays the structural fill of the session memos and page
 # cache at the measured sf (the warmup phase runs at sf0.001), so a
@@ -162,7 +206,16 @@ def _within_run_steady(cal) -> bool:
     means the window the medians measure moved. Records that predate
     pass totals fall back to the sched ratio; records that predate
     both cannot be assessed and count as steady.
+
+    Third axis (promoted r13 — see STEAL_AMBIENT_J_PER_SEC): measured
+    hypervisor steal above the rate bound marks the window ambient
+    regardless of what the probes read, because steal confined to the
+    passes can leave spread ~1.0 and only half-move the level. Records
+    that predate the host snapshot skip the check.
     """
+    rate = _steal_rate(cal)
+    if rate is not None and rate > STEAL_AMBIENT_J_PER_SEC:
+        return False
     spread = cal.get("pass_spread")
     if spread is not None:
         return spread <= PASS_SPREAD_STEADY_HI
@@ -259,7 +312,7 @@ def _host_snapshot() -> dict:
     return snap
 
 
-def _steady_sched_median(lines) -> float | None:
+def _steady_sched_median(lines, stats: dict | None = None) -> float | None:
     """Median absolute sched-probe LEVEL across ratio-steady history
     records, pooled over every sf (the probe is a fixed JVM job,
     independent of the measured data, so all records calibrate the
@@ -284,6 +337,12 @@ def _steady_sched_median(lines) -> float | None:
     SCHED_STEADY_HI] window around it, and re-take the median over
     the survivors. A majority-drifted history has no trustworthy
     anchor at all; no pooled statistic can recover one.
+
+    With ``stats`` given (a dict), fills it with {"pooled", "kept"}
+    counts so the caller can surface how much of the pool the
+    refinement discarded — the anchor flips silently once drifted
+    records reach a majority, so an approaching-majority dropped
+    fraction must be visible in the record before that (ADVICE r12).
     """
     levels = []
     for line in lines:
@@ -298,6 +357,8 @@ def _steady_sched_median(lines) -> float | None:
         if level is not None:
             levels.append(level)
     if not levels:
+        if stats is not None:
+            stats.update(pooled=0, kept=0)
         return None
     levels.sort()
     raw = levels[(len(levels) - 1) // 2]
@@ -306,6 +367,8 @@ def _steady_sched_median(lines) -> float | None:
         for lv in levels
         if SCHED_STEADY_LO * raw <= lv <= SCHED_STEADY_HI * raw
     ]
+    if stats is not None:
+        stats.update(pooled=len(levels), kept=len(kept))
     return kept[(len(kept) - 1) // 2]
 
 
@@ -427,6 +490,7 @@ def main() -> None:
     # did, passes 2-3 run warm.
     import random
 
+    win_t0 = time.perf_counter()
     host_pre = _host_snapshot()
     cal_pre = _calibrate(spark)
     sched_pre = _calibrate_sched(spark)
@@ -441,6 +505,9 @@ def main() -> None:
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
     host_post = _host_snapshot()
+    # wall length of the probe-to-probe window the host deltas span —
+    # the denominator of the steal-rate ambient axis (_steal_rate)
+    win_wall = round(time.perf_counter() - win_t0, 3)
     timings = {n: round(sorted(rs)[1], 3) for n, rs in samples.items()}
     # each pass's total: the direct within-run drift signal (warm-pass
     # spread + structural pass-1 overhang — see _pass_drift)
@@ -485,11 +552,14 @@ def main() -> None:
             "pass_totals": pass_totals,
             "pass_spread": pass_spread,
             "warm_fill": warm_fill,
-            # diagnostics only (see _host_snapshot): loadavg at each
-            # end plus steal/iowait jiffy DELTAS over the whole run
+            # loadavg at each end plus steal/iowait jiffy DELTAS over
+            # the measured window; d_steal_j / wall is the third
+            # ambient axis (promoted r13 — see STEAL_AMBIENT_J_PER_SEC;
+            # iowait and loadavg remain diagnostics only)
             "host": {
                 "pre": host_pre,
                 "post": host_post,
+                "wall": win_wall,
                 **{
                     f"d_{k}": host_post[k] - host_pre[k]
                     for k in ("steal_j", "iowait_j")
@@ -506,26 +576,44 @@ def main() -> None:
             hist_lines = fh.readlines()
     except OSError:
         hist_lines = []
-    level_median = _steady_sched_median(hist_lines)
+    pool_stats: dict = {}
+    level_median = _steady_sched_median(hist_lines, pool_stats)
     history = _history_for_bands(hist_lines, sf_val, level_median)
     run_level = _sched_level(record["calibration"])
-    # ambient on either axis: the measured window itself moved
+    # ambient on any of three axes: the measured window itself moved
     # (pass-total spread — see _within_run_steady; the sched ratio is
     # kept as a recorded diagnostic and the fallback for old records),
-    # or the whole window ran slow/fast relative to where steady runs
+    # the whole window ran slow/fast relative to where steady runs
     # historically sit (level vs median) — a uniformly loaded window
-    # keeps spread ~1.0 while inflating every timing.
-    # Known blind spot (ADVICE r11, accepted): a load spike confined
-    # to the measured passes that inflates both warm passes uniformly
-    # and ends before the post probe passes every axis (spread ~1.0,
-    # ratio ok, level only half-moved since pre was clean). The
-    # calibration.host snapshot (loadavg pre/post + steal/iowait jiffy
-    # deltas) exists to make such a record forensically attributable
-    # after the fact; it stays diagnostics-only. If this mode is ever
-    # observed in the band history, promote a coarse host check
-    # (d_steal_j or load5 above a boot-calibrated bound) to a third
-    # ambient axis.
+    # keeps spread ~1.0 while inflating every timing — or measured
+    # hypervisor steal exceeded the rate bound (promoted from the
+    # ADVICE-r11 "blind spot" diagnostics in r13 after its trigger
+    # fired: BENCH_r12's window carried 42 CPU-s of steal with 19
+    # uniform above-band labels, and two prior records passed spread
+    # AND level while carrying d_steal_j 2655/9273 — see
+    # STEAL_AMBIENT_J_PER_SEC for the empirical separation).
     ambient = not _within_run_steady(record["calibration"])
+    if pool_stats.get("pooled"):
+        # refinement-pass visibility (ADVICE r12): the anchor flips
+        # silently once drifted levels reach a majority of the pool,
+        # so the record carries the discarded fraction and a stderr
+        # warning fires while drift is still a (large) minority
+        drop_frac = round(
+            1.0 - pool_stats["kept"] / pool_stats["pooled"], 3
+        )
+        record["calibration"]["level_pool"] = {
+            "pooled": pool_stats["pooled"],
+            "kept": pool_stats["kept"],
+            "drop_frac": drop_frac,
+        }
+        if drop_frac > 0.3:
+            print(
+                f"WARNING: level-median refinement discarded "
+                f"{drop_frac:.0%} of {pool_stats['pooled']} pooled "
+                "levels — drifted boots approaching majority; the "
+                "anchor flips to the drifted cluster at >=50%",
+                file=sys.stderr,
+            )
     if level_median is not None:
         record["calibration"]["sched_level_vs_median"] = round(
             run_level / level_median, 3

@@ -834,6 +834,14 @@ def _pca_power_iter(spark, g, steps):
     references its predecessor twice (multiply + norm), so an
     unmaterialized chain re-EXECUTES ~2^k subplans (measured: a
     checkpoint-every-4 variant ran 139 jobs vs 104 for this shape)."""
+    if steps < 1:
+        # the n2_micros column (and hence lambda) only exists after at
+        # least one multiply -> normalize round; with steps=0 the
+        # initial iterate lacks it and the lam select below would fail
+        # with an opaque AnalysisException (ADVICE r12)
+        raise ValueError(
+            f"_pca_power_iter requires steps >= 1, got {steps}"
+        )
     v = spark.range(1, N_DIMS + 1).select(
         F.col("id").alias("j"),
         F.lit(125000).cast("long").alias("v_micros"),

@@ -229,6 +229,100 @@ def test_history_for_bands_filters_level_elevated_records():
     }
 
 
+def test_steal_rate_prefers_recorded_wall_over_pass_totals():
+    """New records carry the probe-to-probe window length (host.wall);
+    older steal-bearing records fall back to sum(pass_totals), which
+    underestimates the window and so overestimates the rate —
+    conservative toward flagging, never toward trusting."""
+    cal = {
+        "pass_totals": [100.0, 90.0, 90.0],
+        "host": {"d_steal_j": 560, "wall": 400.0},
+    }
+    assert bench._steal_rate(cal) == pytest.approx(1.4)
+    del cal["host"]["wall"]
+    assert bench._steal_rate(cal) == pytest.approx(2.0)
+    assert bench._steal_rate({"host": {}}) is None  # no steal delta
+    assert bench._steal_rate({}) is None  # pre-host legacy record
+    # steal but neither wall nor pass totals: unassessable
+    assert bench._steal_rate({"host": {"d_steal_j": 99}}) is None
+
+
+def test_within_run_steady_flags_steal_contaminated_window():
+    """The promoted third axis (VERDICT r12 item 2): the two real
+    history records that passed BOTH the spread and level axes while
+    hypervisor steal inflated their timings — d_steal_j 2655 (spread
+    1.004, lvl 1.243) and 9273 (spread 1.001, lvl 1.121) — must read
+    ambient on steal rate alone; the steal-quiet closing records
+    (d_steal_j 66-107 over similar windows) stay steady."""
+    contaminated = {
+        "pass_spread": 1.004,
+        "pass_totals": [100.661, 88.445, 88.065],
+        "host": {"d_steal_j": 2655},
+    }
+    assert not bench._within_run_steady(contaminated)
+    contaminated_2 = {
+        "pass_spread": 1.001,
+        "pass_totals": [124.123, 75.977, 76.085],
+        "host": {"d_steal_j": 9273},
+    }
+    assert not bench._within_run_steady(contaminated_2)
+    quiet = {
+        "pass_spread": 1.005,
+        "pass_totals": [79.567, 66.608, 66.928],
+        "host": {"d_steal_j": 66},
+    }
+    assert bench._within_run_steady(quiet)
+    # steal quiet but spread moved: still ambient (axes compose)
+    assert not bench._within_run_steady(
+        {"pass_spread": 1.3, "host": {"d_steal_j": 0}, "pass_totals": [1.0]}
+    )
+    # records predating the host snapshot skip the steal check
+    assert bench._within_run_steady({"pass_spread": 1.01})
+
+
+def test_history_for_bands_filters_steal_contaminated_records():
+    def rec(q, steal, totals):
+        return json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"q": q},
+                "calibration": {
+                    "pass_spread": 1.004,
+                    "pass_totals": totals,
+                    "host": {"d_steal_j": steal, "wall": sum(totals)},
+                },
+            }
+        )
+
+    lines = [
+        rec(1.0, 100, [90.0, 80.0, 80.0]),     # quiet: kept
+        rec(1.3, 2655, [100.0, 88.0, 88.0]),   # contaminated: excluded
+        rec(0.9, 454, [60.0, 57.0, 54.0]),     # quiet: kept
+    ]
+    assert bench._history_for_bands(lines, 0.1) == {"q": [1.0, 0.9]}
+
+
+def test_steady_sched_median_reports_pool_stats():
+    """ADVICE r12: the refinement pass must surface how much of the
+    pool it discarded — the caller records pooled/kept and warns as
+    drift approaches the majority flip."""
+    steady = [
+        _hist_rec(sched=1.0, levels=(lv, lv))
+        for lv in (0.19, 0.20, 0.21, 0.22)
+    ]
+    drifted = [
+        _hist_rec(sched=1.0, levels=(lv, lv)) for lv in (0.38, 0.39)
+    ]
+    stats: dict = {}
+    assert bench._steady_sched_median(
+        steady + drifted, stats
+    ) == pytest.approx(0.20)
+    assert stats == {"pooled": 6, "kept": 4}
+    stats = {}
+    assert bench._steady_sched_median([], stats) is None
+    assert stats == {"pooled": 0, "kept": 0}
+
+
 def _run_scale_stress(env_extra: dict[str, str], *argv: str):
     env = {**os.environ, **env_extra}
     return subprocess.run(

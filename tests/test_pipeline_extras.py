@@ -638,6 +638,18 @@ def test_pca_power_unit_norm_and_determinism(spark, sf_dir):
     assert r1[0][2] > 0  # lambda_micros positive on a PSD Gram
 
 
+def test_pca_power_iter_rejects_zero_steps(spark):
+    """steps=0 would return an iterate without the n2_micros column and
+    fail downstream with an opaque AnalysisException; the shared helper
+    rejects it up front (ADVICE r12)."""
+    import pytest
+
+    from geektime_bigdata_spark.operators.similarity import _pca_power_iter
+
+    with pytest.raises(ValueError, match="steps >= 1"):
+        _pca_power_iter(spark, None, 0)
+
+
 def test_edit_distance_pairs_blocking_and_threshold(spark, monkeypatch):
     """Blocked Levenshtein linkage: same-16-char-prefix docs pair when
     their 64-char heads are within the threshold; a doc differing
