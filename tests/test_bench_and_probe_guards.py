@@ -323,6 +323,45 @@ def test_steady_sched_median_reports_pool_stats():
     assert stats == {"pooled": 0, "kept": 0}
 
 
+def _scale_stress_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_stress_under_test",
+        os.path.join(HERE, "tools", "scale_stress.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # module level is constants only
+    return mod
+
+
+def test_scale_stress_steal_ctx_rate():
+    ss = _scale_stress_module()
+    ctx = ss._steal_ctx(
+        {"steal_j": 100, "load1": 1.0}, {"steal_j": 700}, 60.0
+    )
+    assert ctx == {"wall": 60.0, "d_steal_j": 600, "rate": 10.0}
+    # missing counter (no /proc steal field): no rate, no delta
+    assert ss._steal_ctx({}, {"steal_j": 5}, 60.0) == {"wall": 60.0}
+    # degenerate window: delta recorded, rate omitted
+    assert "rate" not in ss._steal_ctx(
+        {"steal_j": 1}, {"steal_j": 2}, 0.0
+    )
+
+
+def test_scale_stress_prune_runs_keeps_newest():
+    ss = _scale_stress_module()
+    runs = {
+        f"2026-01-{d:02d}T00:00:00Z": {"n": d} for d in range(1, 26)
+    }
+    pruned = ss._prune_runs(runs, cap=20)
+    assert len(pruned) == 20
+    assert "2026-01-25T00:00:00Z" in pruned  # newest kept
+    assert "2026-01-05T00:00:00Z" not in pruned  # oldest dropped
+    small = {"2026-01-01T00:00:00Z": {}}
+    assert ss._prune_runs(small, cap=20) is small  # under cap: untouched
+
+
 def _run_scale_stress(env_extra: dict[str, str], *argv: str):
     env = {**os.environ, **env_extra}
     return subprocess.run(

@@ -112,6 +112,29 @@ OPS = [
 ]
 
 
+def _steal_ctx(pre: dict, post: dict, wall: float) -> dict:
+    """Steal context of one measured window: jiffy delta, wall length,
+    and rate (j/s) — the same quantity bench.py's third ambient axis
+    reads (bench.STEAL_AMBIENT_J_PER_SEC). Rate None when the host
+    lacks a steal counter or the window is degenerate."""
+    ctx: dict = {"wall": round(wall, 1)}
+    if "steal_j" in pre and "steal_j" in post:
+        ctx["d_steal_j"] = post["steal_j"] - pre["steal_j"]
+        if wall > 0:
+            ctx["rate"] = round(ctx["d_steal_j"] / wall, 2)
+    return ctx
+
+
+def _prune_runs(runs: dict, cap: int = 20) -> dict:
+    """Keep only the newest ``cap`` run stamps (ISO-8601 keys sort
+    chronologically). The 'runs' section otherwise grows without bound
+    across merge invocations (ADVICE r12); 20 covers every stamp a
+    round of probing produces while keeping SCALING.json reviewable."""
+    if len(runs) <= cap:
+        return runs
+    return {k: runs[k] for k in sorted(runs)[-cap:]}
+
+
 def build_scaled(spark, k: int) -> str:
     out = os.path.join(OUT_ROOT, f"x{k}")
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_OK")):
@@ -262,16 +285,7 @@ def main() -> None:
                 f"({BASE}, {FACTORS}); re-run a full measurement instead"
             )
 
-    # host contention context per run stamp (same forensic bench.py
-    # records): probe absolutes swing ~30% across boots AND within a
-    # loaded boot — without the snapshot, a steal-quiet and a
-    # contended probe run are indistinguishable in SCALING.json after
-    # the fact (observed r12: two same-code 32x probes read doubling
-    # exponents 1.263 and 0.582 while the 1-min loadavg sat at 25-28
-    # from co-tenant steal). Diagnostics only; nothing reads them.
-    from bench import _host_snapshot
-
-    host_pre = _host_snapshot()
+    from bench import STEAL_AMBIENT_J_PER_SEC, _host_snapshot
 
     spark = get_spark(app_name="gbs-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
@@ -287,17 +301,52 @@ def main() -> None:
         run(queries[name](spark, dirs[factors[0]]))
         release_caches(spark)
 
+    # host contention context per run stamp (same forensic bench.py
+    # records): probe absolutes swing ~30% across boots AND within a
+    # loaded boot — without the snapshot, a steal-quiet and a
+    # contended probe run are indistinguishable in SCALING.json after
+    # the fact (observed r12: two same-code 32x probes read doubling
+    # exponents 1.263 and 0.582 while the 1-min loadavg sat at 25-28
+    # from co-tenant steal). Taken AFTER warmup so the delta spans only
+    # the timed loop, not JVM boot / dataset materialization / warmup
+    # (ADVICE r12). The per-POINT steal windows below are what the
+    # retry policy reads; this whole-run pair is coarse context.
+    host_pre = _host_snapshot()
+
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def measure(name: str, k: int) -> float:
+    def _timed_point(name: str, k: int) -> tuple[float, dict]:
+        pre = _host_snapshot()
+        t0 = time.perf_counter()
         runs = []
         for _ in range(3):
-            t0 = time.perf_counter()
+            t1 = time.perf_counter()
             run(queries[name](spark, dirs[k]))
-            runs.append(time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t1)
             release_caches(spark)  # no cross-run cache reuse
-        return round(sorted(runs)[1], 3)
+        ctx = _steal_ctx(pre, _host_snapshot(), time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3), ctx
 
+    def measure(name: str, k: int, grid: str = "") -> float:
+        """Median-of-3 with the promoted steal policy (VERDICT r12
+        item 2b): a point whose own window shows steal above the bench
+        ambient bound is re-measured ONCE; the retry is canonical and
+        BOTH windows land in steal_retries so a still-contended retry
+        stays visible rather than silently trusted. ``grid`` suffixes
+        the retry key ("@scaled") so fixed/scaled passes at the same
+        factor never collide."""
+        sec, ctx = _timed_point(name, k)
+        rate = ctx.get("rate")
+        if rate is not None and rate > STEAL_AMBIENT_J_PER_SEC:
+            sec2, ctx2 = _timed_point(name, k)
+            steal_retries.setdefault(name, {})[str(k) + grid] = {
+                "first": {"sec": sec, **ctx},
+                "retry": {"sec": sec2, **ctx2},
+            }
+            return sec2
+        return sec
+
+    steal_retries: dict[str, dict[str, dict]] = {}
     times: dict[str, dict[int, float]] = {n: {} for n in ops}
     times_scaled: dict[str, dict[int, float]] = {n: {} for n in ops}
     parts_at: dict[int, int] = {}
@@ -318,7 +367,7 @@ def main() -> None:
                     run(queries[name](spark, dirs[k]))
                     release_caches(spark)
                 for name in ops:
-                    times_scaled[name][k] = measure(name, k)
+                    times_scaled[name][k] = measure(name, k, "@scaled")
             finally:
                 spark.conf.set(
                     "spark.sql.shuffle.partitions", str(default_parts)
@@ -357,6 +406,11 @@ def main() -> None:
                 "exponent_fixed": exponent(times[name]),
                 "exponent_scaled": exponent(times_scaled[name]),
                 "run": run_stamp,
+                **(
+                    {"steal_retries": steal_retries[name]}
+                    if name in steal_retries
+                    else {}
+                ),
             }
             for name in ops
         }
@@ -373,6 +427,11 @@ def main() -> None:
                 "sec_at": {str(k): times[name][k] for k in factors},
                 "exponent": exponent(times[name]),
                 "run": run_stamp,
+                **(
+                    {"steal_retries": steal_retries[name]}
+                    if name in steal_retries
+                    else {}
+                ),
             }
             for name in ops
         }
@@ -382,6 +441,11 @@ def main() -> None:
                 "sec_at": {str(k): times[name][k] for k in factors},
                 "exponent": exponent(times[name]),
                 "run": run_stamp,
+                **(
+                    {"steal_retries": steal_retries[name]}
+                    if name in steal_retries
+                    else {}
+                ),
             }
             for name in ops
         }
@@ -397,6 +461,7 @@ def main() -> None:
         else:
             out.setdefault(probe_key, {}).update(report)
         out.setdefault("runs", {})[run_stamp] = host_ctx
+        out["runs"] = _prune_runs(out["runs"])
         line = json.dumps(out)
         if path:
             with open(path, "w") as fh:
@@ -410,6 +475,7 @@ def main() -> None:
         prior["ops"].update(report)
         out = prior
     out.setdefault("runs", {})[run_stamp] = host_ctx
+    out["runs"] = _prune_runs(out["runs"])
     line = json.dumps(out)
     if path:
         with open(path, "w") as fh:
