@@ -131,6 +131,25 @@ BAND_SHORT = {
 # sched probe moved outside this window during the bench; the bounds
 # are multiplicatively symmetric (1/0.8 = 1.25 — the same ±25% factor
 # in either direction), matching how drift scales timings
+#
+# Known residual (observed r13, promotion condition below): a boot
+# whose LEVEL sits just inside the window still moves timings — three
+# same-code closing records on a lvl 1.135/1.178/1.237 boot passed all
+# three ambient axes yet read 40-45/73 above_band each, totals ~1.31x
+# the (itself fast, lvl 0.84) r12 anchor. Scalar residual
+# normalization was prototyped against the full real history and
+# REJECTED: the inflation is NON-uniform per query (word_counts read
+# 1.31-1.37x and ngram_jaccard_pairs 1.43-1.50x their cross-boot
+# normalized medians on all three records while other queries read
+# 0.8x), so dividing every timing by the record's median shift still
+# left 20-29/73 out-of-band at a ±20% tolerance — no scalar restores
+# comparability across boots with different per-query-shape costs.
+# PROMOTE if a round again needs code-level adjudication from a boot
+# reading lvl outside ~[0.91, 1.10]: tighten the CURRENT-RUN ambient
+# decision (not history admission) to that empirically separable
+# window and accept that off-level boots yield only *_amb labels —
+# the honest reading; round-over-round claims then rest on same-level
+# records, as r12's per-query win audit already did in practice.
 SCHED_STEADY_LO = 0.8
 SCHED_STEADY_HI = 1.25
 
