@@ -830,10 +830,20 @@ def _pca_power_iter(spark, g, steps):
     Verified bit-equal to the former agg+crossJoin form at sf0.1
     (vectors and lambda identical; ~20% fewer jobs per loop).
 
-    The per-iteration localCheckpoint is load-bearing: each iterate
-    references its predecessor twice (multiply + norm), so an
-    unmaterialized chain re-EXECUTES ~2^k subplans (measured: a
-    checkpoint-every-4 variant ran 139 jobs vs 104 for this shape)."""
+    The per-iteration localCheckpoint is load-bearing, but the reason
+    changed with the window-norm rewrite: each iterate is now
+    referenced ONCE by the next step (the norm rides the frame), so
+    the old 2^k re-execution argument (139 vs 104 jobs measured on
+    the agg+crossJoin shape, where each iterate was referenced twice)
+    no longer applies. Re-measured r13 on the single-reference shape:
+    sparser cadences do cut jobs (per-step 35, every-2 31, every-4
+    29, final-only 28 for an 8-step loop, all bit-equal) but NOT wall
+    — interleaved same-boot medians read 2.05s (per-step) vs 2.15s
+    (every-4) with fully overlapping scatter, and final-only is the
+    SLOWEST variant (deeper nested broadcast/window plans shift the
+    cost to driver planning). Per-step keeps the plan shallow at
+    equal wall; cadence changes were REJECTED for lack of a
+    repeatable win."""
     if steps < 1:
         # the n2_micros column (and hence lambda) only exists after at
         # least one multiply -> normalize round; with steps=0 the
