@@ -20,6 +20,7 @@ summary, and the final line is one JSON object for machine consumption.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -30,6 +31,13 @@ def _queries():
     return entrymod.queries()
 
 
+def _default_sf_dir() -> str:
+    # same env var the bench surface honors (SPARK_GRAFT_SF_DIR), so a
+    # shell exporting it once drives every CLI subcommand and bench at
+    # the same scale; --sf-dir still overrides per invocation
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="geektime_bigdata_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -38,12 +46,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p_run = sub.add_parser("run", help="run a query and show rows")
     p_run.add_argument("name")
-    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_run.add_argument("--sf-dir", default=_default_sf_dir())
     p_run.add_argument("--limit", type=int, default=20)
 
     p_exp = sub.add_parser("explain", help="print the formatted physical plan")
     p_exp.add_argument("name")
-    p_exp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_exp.add_argument("--sf-dir", default=_default_sf_dir())
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
@@ -51,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         "publish",
         help="run the curation job: partitioned corpus + summary sink",
     )
-    p_pub.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_pub.add_argument("--sf-dir", default=_default_sf_dir())
     p_pub.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)

@@ -16,6 +16,18 @@ def test_cli_unknown_query(capsys):
     assert main(["run", "nope_not_real"]) == 2
 
 
+def test_cli_sf_dir_honors_bench_env_var(monkeypatch):
+    """SPARK_GRAFT_SF_DIR drives the CLI default exactly as it drives
+    bench.py, so one exported var sets the scale for both surfaces;
+    an explicit --sf-dir still wins."""
+    from geektime_bigdata_spark.cli import _default_sf_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    assert _default_sf_dir() == "/root/testdata/sf0.01"
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assert _default_sf_dir() == "/root/testdata/sf0.001"
+
+
 def test_cli_explain(spark, capsys):
     assert main(["explain", "flow_stats", "--sf-dir",
                  "/root/testdata/sf0.001"]) == 0
