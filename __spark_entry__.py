@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geektime_bigdata_spark import streaming
-from geektime_bigdata_spark.sources import pyds, textio
+from geektime_bigdata_spark.sources import columnar, pyds, textio
 from geektime_bigdata_spark.operators import (
     dedup,
     etl,
@@ -124,7 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry frozen at 194 and every entry ever driver-green, the
+    registry at 195 (ORC roundtrip added r13) and every prior entry
+    ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
     query, recomputed from the CORRECTNESS_r* union before rotating).
@@ -297,6 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: JSONL source/sink end-to-end (the LLM-corpus
         # interchange format) with a text-integrity checksum
         "jsonl_roundtrip_stats": textio.jsonl_roundtrip_stats,
+        # round-13: ORC source/sink end-to-end — the Hive-default
+        # columnar layout of the reference's Hadoop stack, carrying the
+        # types JSONL cannot (TIMESTAMP micros, DOUBLE); heads the r13
+        # sweep prefix so it gets its driver row the round it shipped
+        "orc_roundtrip_stats": columnar.orc_roundtrip_stats,
         # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
         # via the stdlib `wave` module (closes the audio third of the
         # multimodal codec debt with zero installs); heads the r6 sweep
@@ -482,14 +488,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   alphabetical — the oldest cohort in the ledger (9 streaming
 #   runners, both pyds round-trips, the graph family, the media
 #   digests, and the profiling/reporting rows).
-# Slots 48-50: the three alphabetically-first r10-latest rows
-#   (`ann_topk_bruteforce`, `ann_topk_ivf`, `benchmark_contamination`),
-#   continuing the round-robin into the r10 cohort; the two rows the
-#   modified block displaces (`bm25_top_terms`, `bow_dedup`) become
-#   the alphabetically-first r10 rows of the r14 rotation.
-# After this sweep the ledger is r13:50, r12:48, r11:49, r10:47 —
-# nothing older than r10, steady-state cadence <=3 rounds.
+# Slots 48-50: continuing the round-robin into the r10 cohort. The
+#   NEW r13 surface (`orc_roundtrip_stats`, slot 1) displaced the
+#   third of these (`benchmark_contamination`) to the r14 head,
+#   joining the two rows the modified block displaced
+#   (`bm25_top_terms`, `bow_dedup`).
+# After this sweep the ledger is r13:50, r12:48, r11:49, r10:48
+# (195 total with the new ORC row) — nothing older than r10,
+# steady-state cadence <=3 rounds.
 _SWEEP_PRIORITY = [
+    # (0) NEW surface this round (ORC source/sink roundtrip) — new and
+    # modified ops take the head per the ordering contract, displacing
+    # the rotation tail (benchmark_contamination moves to the r14 head
+    # alongside bm25_top_terms / bow_dedup)
+    "orc_roundtrip_stats",
     # (1) operator file modified this round (steps guard in the shared
     # PCA power-iteration helper)
     "embedding_pca_power",
@@ -540,10 +552,11 @@ _SWEEP_PRIORITY = [
     "value_histogram",
     "walk_skipgram_pairs",
     "winnow_neardup_pairs",
-    # (3) the three alphabetically-first r10-latest rows
+    # (3) the alphabetically-first r10-latest rows (the third,
+    # benchmark_contamination, was displaced to the r14 head by the
+    # new ORC surface)
     "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "benchmark_contamination",
 ]
 
 

@@ -112,6 +112,63 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_orc_events_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    """write_orc/read_orc on events must reproduce TIMESTAMP and DOUBLE
+    columns bit-exactly — the types JSONL cannot carry, and precisely
+    what the ORC surface exists for (str() of a float is shortest
+    round-trip repr, so the compare is bit-faithful)."""
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.columnar import read_orc, write_orc
+
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(ev, out)
+    back = read_orc(spark, out, schema=ev.schema)
+    a = sorted(tuple(map(str, r)) for r in ev.collect())
+    b = sorted(tuple(map(str, r)) for r in back.collect())
+    assert a == b
+
+
+def test_orc_roundtrip_stats_matches_direct(spark, sf_dir):
+    """The registered ORC-roundtrip aggregate must equal the same
+    aggregate computed straight off the parquet (the DuckDB oracle's
+    view of truth) — any loss in the ORC trip flips a sum."""
+    from pyspark.sql import functions as F
+
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.columnar import orc_roundtrip_stats
+
+    got = sorted(
+        tuple(map(str, r))
+        for r in orc_roundtrip_stats(spark, sf_dir).collect()
+    )
+    direct = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min(F.unix_micros("ts")).cast("long").alias("ts_min_micros"),
+            F.max(F.unix_micros("ts")).cast("long").alias("ts_max_micros"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(unix_micros(ts) AS"
+                    " STRING)), 1, 8), 16, 10) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("ts_checksum"),
+            F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("value_micros_sum"),
+            F.sum("event_id").cast("long").alias("event_id_sum"),
+        )
+    )
+    want = sorted(tuple(map(str, r)) for r in direct.collect())
+    assert got == want and len(got) == 3
+
+
 def test_compact_parquet(spark, sf_dir, tmp_path):
     """Compaction must preserve every row while collapsing the file count."""
     from geektime_bigdata_spark.operators.scale import write_date_partitioned
