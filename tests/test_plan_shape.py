@@ -288,3 +288,27 @@ def test_recursive_cte_uses_union_loop(spark, sf_dir):
 
     text = explain_str(neardup_reach_rcte(spark, sf_dir), "formatted")
     assert "UnionLoop" in text, text[:500]
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir, tmp_path):
+    """The ORC source must give the same scan-level scale guarantees the
+    parquet path pins above: a selective predicate reaches the ORC scan
+    as a pushed filter, and a narrow projection prunes the read schema
+    — the properties that make the format usable at 100 TB, not just a
+    roundtrip curiosity."""
+    from geektime_bigdata_spark.sources.columnar import read_orc, write_orc
+
+    out = str(tmp_path / "events_orc")
+    write_orc(table(spark, sf_dir, "events"), out)
+    df = (
+        read_orc(spark, out)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "event_type")
+    )
+    text = explain_str(df, "formatted")
+    assert "PushedFilters" in text, text
+    pushed = [l for l in text.splitlines() if "PushedFilters" in l][0]
+    assert "event_type" in pushed, pushed
+    read_schema = [l for l in text.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
