@@ -109,6 +109,10 @@ OPS = [
     "png_roundtrip_features",
     "avi_roundtrip_features",
     "zorder_layout_skipping",
+    # round 13: ORC source/sink roundtrip (write + schema'd re-read of
+    # the scaled events table — linear by construction, measured to
+    # keep the new-surface evidence rule)
+    "orc_roundtrip_stats",
 ]
 
 
