@@ -303,6 +303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # types JSONL cannot (TIMESTAMP micros, DOUBLE); heads the r13
         # sweep prefix so it gets its driver row the round it shipped
         "orc_roundtrip_stats": columnar.orc_roundtrip_stats,
+        # round-14: CSV source/sink end-to-end — text interchange made
+        # lossless by explicit option discipline (microsecond
+        # timestampFormat, shortest-repr doubles); same straight-off-
+        # parquet oracle as ORC (_ORACLE_TWINS) — two formats, one truth
+        "csv_roundtrip_stats": textio.csv_roundtrip_stats,
         # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
         # via the stdlib `wave` module (closes the audio third of the
         # multimodal codec debt with zero installs); heads the r6 sweep
@@ -612,4 +617,5 @@ _ORACLE_TWINS = {
     "salted_top_words": "word_counts",
     "asof_last_click_cogroup": "asof_last_click",
     "prefix_filter_jaccard_pairs_banded": "prefix_filter_jaccard_pairs",
+    "csv_roundtrip_stats": "orc_roundtrip_stats",
 }

@@ -46,12 +46,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p_run = sub.add_parser("run", help="run a query and show rows")
     p_run.add_argument("name")
-    p_run.add_argument("--sf-dir", default=_default_sf_dir())
+    p_run.add_argument(
+        "--sf-dir",
+        default=_default_sf_dir(),
+        help="data dir (default: $SPARK_GRAFT_SF_DIR if set, else /root/testdata/sf0.01)",
+    )
     p_run.add_argument("--limit", type=int, default=20)
 
     p_exp = sub.add_parser("explain", help="print the formatted physical plan")
     p_exp.add_argument("name")
-    p_exp.add_argument("--sf-dir", default=_default_sf_dir())
+    p_exp.add_argument(
+        "--sf-dir",
+        default=_default_sf_dir(),
+        help="data dir (default: $SPARK_GRAFT_SF_DIR if set, else /root/testdata/sf0.01)",
+    )
 
     sub.add_parser("bench", help="run the headline bench (one JSON line)")
 
@@ -59,7 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         "publish",
         help="run the curation job: partitioned corpus + summary sink",
     )
-    p_pub.add_argument("--sf-dir", default=_default_sf_dir())
+    p_pub.add_argument(
+        "--sf-dir",
+        default=_default_sf_dir(),
+        help="data dir (default: $SPARK_GRAFT_SF_DIR if set, else /root/testdata/sf0.01)",
+    )
     p_pub.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)

@@ -43,25 +43,55 @@ def read_orc(
     return reader.orc(path)
 
 
+def event_interchange_aggs() -> list:
+    """The canonical per-event-type interchange-integrity aggregate list,
+    shared by every events-table roundtrip surface (ORC here, CSV in
+    :mod:`...sources.textio`) AND by the pytest that compares a
+    roundtrip against the direct parquet read (ADVICE r13: the test
+    previously duplicated these expressions verbatim, so the copies
+    could silently drift — one definition now serves operator and
+    test, while the DuckDB oracle stays the independent twin).
+
+    Integrity signals per column class: counts + distinct users
+    (row/key identity), min/max ``unix_micros`` plus an
+    order-independent md5-derived checksum over the per-row epoch
+    string (flips if the trip shifts ANY timestamp; 8-hex terms stay
+    <= 4.3e9/row — summing raw epoch micros overflows int64 past
+    ~5400 rows, caught by ANSI at sf0.1 in r13), the micro-grid value
+    sum (flips if any double moves by >= 1e-6), and the event-id sum.
+    All-integer output per the float contract."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.min(F.unix_micros("ts")).cast("long").alias("ts_min_micros"),
+        F.max(F.unix_micros("ts")).cast("long").alias("ts_max_micros"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(unix_micros(ts) AS"
+                " STRING)), 1, 8), 16, 10) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("ts_checksum"),
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+        .cast("long")
+        .alias("value_micros_sum"),
+        F.sum("event_id").cast("long").alias("event_id_sum"),
+    ]
+
+
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface proving the ORC source/sink end-to-end on the
-    types text interchange cannot carry: write the events table
-    (BIGINT ids, TIMESTAMP micros, DOUBLE value) through the native
-    ORC sink, read it back with an explicit schema and an event-type
-    filter, and aggregate per type — counts, distinct users, the
-    epoch-micros RANGE (min/max ``unix_micros``) plus an
-    order-independent md5-derived checksum over the per-row epoch
-    string (flips if the trip shifts ANY timestamp), and the
-    micro-grid value sum (flips if any double moves by >= 1e-6;
-    bit-exactness of the double trip is pinned separately by the
-    pytest golden, which the aggregate contract cannot see below the
-    grid). The checksum form is deliberate scale hygiene: summing raw
-    epoch micros (~1.7e15 per row) overflows int64 past ~5400 rows —
-    ANSI mode caught exactly that at sf0.1 — while md5-derived 8-hex
-    terms stay <= 4.3e9 per row, the same bound every other checksum
-    aggregate in the engine rides. All-integer output per the float
-    contract. The DuckDB oracle computes the same aggregate straight
-    off the parquet (``epoch_us`` — verified equal to ``unix_micros``
+    types text interchange cannot carry NATIVELY: write the events
+    table (BIGINT ids, TIMESTAMP micros, DOUBLE value) through the
+    native ORC sink, read it back with an explicit schema and an
+    event-type filter, and apply the shared per-type integrity
+    aggregate (:func:`event_interchange_aggs` — one definition serves
+    this operator, the CSV twin, and the direct-vs-trip pytest).
+    Bit-exactness of the double trip is pinned separately by the
+    pytest golden, which the aggregate's micro-grid cannot see below
+    1e-6. The DuckDB oracle computes the same aggregate straight off
+    the parquet (``epoch_us`` — verified equal to ``unix_micros``
     under the UTC session). Scratch lifecycle mirrors
     :func:`...sources.textio.jsonl_roundtrip_stats`."""
     import shutil
@@ -87,26 +117,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = read_orc(spark, scratch, schema).filter(
             F.col("event_type").isin("click", "purchase", "signup")
         )
-        out = back.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.min(F.unix_micros("ts")).cast("long").alias("ts_min_micros"),
-            F.max(F.unix_micros("ts")).cast("long").alias("ts_max_micros"),
-            F.sum(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(unix_micros(ts) AS"
-                    " STRING)), 1, 8), 16, 10) AS BIGINT)"
-                )
-            )
-            .cast("long")
-            .alias("ts_checksum"),
-            F.sum(
-                F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")
-            )
-            .cast("long")
-            .alias("value_micros_sum"),
-            F.sum("event_id").cast("long").alias("event_id_sum"),
-        )
+        out = back.groupBy("event_type").agg(*event_interchange_aggs())
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -88,6 +88,86 @@ def read_jsonl(
     return reader.json(path)
 
 
+# CSV timestamp format carrying full microsecond precision: text
+# interchange only round-trips TIMESTAMP when the fraction width is
+# explicit — Spark's default ("yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+# silently truncates to millis on write, a real-world lossy default.
+CSV_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink with lossless option discipline: header row for
+    schema-on-read ergonomics, microsecond ``timestampFormat`` (see
+    :data:`CSV_TS_FORMAT`), and the default quote/escape handling for
+    embedded delimiters. Doubles are written via the JVM's
+    shortest-round-trip repr, so the text form parses back to the
+    identical bits. One file per partition — 100 TB writes scale with
+    partition count exactly like the parquet/ORC/JSONL sinks."""
+    df.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", CSV_TS_FORMAT
+    ).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """CSV source. An explicit schema is mandatory at scale (inference
+    is a second full scan); the timestampFormat must match the sink's
+    or sub-millisecond precision silently parses away."""
+    reader = spark.read.option("header", True).option(
+        "timestampFormat", CSV_TS_FORMAT
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface proving the CSV source/sink round-trips the
+    lossy-by-default types when the format options are explicit: write
+    the events table (TIMESTAMP micros, DOUBLE value) through the
+    native CSV sink with a microsecond ``timestampFormat``, read it
+    back with an explicit schema and an event-type filter, and apply
+    the shared per-type integrity aggregate
+    (:func:`...sources.columnar.event_interchange_aggs` — the same
+    definition the ORC surface and the direct-vs-trip pytest use, so
+    the three cannot drift apart). The DuckDB oracle is byte-identical
+    to the ORC one (``_ORACLE_TWINS``): both compute the aggregate
+    straight off the parquet, which is the point — two interchange
+    formats, one truth. Scratch lifecycle mirrors
+    :func:`jsonl_roundtrip_stats`."""
+    import shutil
+    import tempfile
+
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.columnar import (
+        event_interchange_aggs,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="gbs_csv_")
+    try:
+        events = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_csv(events, scratch)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        back = read_csv(spark, scratch, schema).filter(
+            F.col("event_type").isin("click", "purchase", "signup")
+        )
+        out = back.groupBy("event_type").agg(*event_interchange_aggs())
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface proving the JSONL source/sink end-to-end — the
     interchange format public LLM corpora actually ship in: write the

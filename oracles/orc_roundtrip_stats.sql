@@ -8,6 +8,12 @@
 -- ~5400 rows, while the 8-hex checksum terms stay <= 4.3e9/row — the
 -- same bound every checksum aggregate in the engine rides. The
 -- micro-grid value sum mirrors the engine's floor form exactly.
+-- The '0x…'::BIGINT hex cast is engine-version-sensitive (verified
+-- on the container's DuckDB 1.0.0; pinned by
+-- tests/test_oracle_types.py::test_duckdb_hex_cast_canary, which
+-- names the cause if an engine upgrade ever changes string->int
+-- parsing). Shared verbatim by csv_roundtrip_stats (_ORACLE_TWINS):
+-- both trips aggregate back to this same straight-off-parquet truth.
 SELECT event_type,
        count(*) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

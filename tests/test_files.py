@@ -129,44 +129,54 @@ def test_orc_events_roundtrip_bit_exact(spark, sf_dir, tmp_path):
     assert a == b
 
 
-def test_orc_roundtrip_stats_matches_direct(spark, sf_dir):
-    """The registered ORC-roundtrip aggregate must equal the same
-    aggregate computed straight off the parquet (the DuckDB oracle's
-    view of truth) — any loss in the ORC trip flips a sum."""
+@pytest.mark.parametrize("fmt", ["orc", "csv"])
+def test_roundtrip_stats_matches_direct(spark, sf_dir, fmt):
+    """Each registered roundtrip aggregate must equal the same aggregate
+    computed straight off the parquet — any loss in the trip flips a
+    sum. The direct side reuses the operator's own shared aggregate
+    helper (event_interchange_aggs), so this test pins the TRIP is
+    lossless while the independent DuckDB oracle pins the aggregate
+    itself (ADVICE r13: the former verbatim copy of the expressions
+    could silently drift from the operator)."""
     from pyspark.sql import functions as F
 
     from geektime_bigdata_spark.registry import table
-    from geektime_bigdata_spark.sources.columnar import orc_roundtrip_stats
-
-    got = sorted(
-        tuple(map(str, r))
-        for r in orc_roundtrip_stats(spark, sf_dir).collect()
+    from geektime_bigdata_spark.sources.columnar import (
+        event_interchange_aggs,
+        orc_roundtrip_stats,
     )
+    from geektime_bigdata_spark.sources.textio import csv_roundtrip_stats
+
+    op = {"orc": orc_roundtrip_stats, "csv": csv_roundtrip_stats}[fmt]
+    got = sorted(tuple(map(str, r)) for r in op(spark, sf_dir).collect())
     direct = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase", "signup"))
         .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.min(F.unix_micros("ts")).cast("long").alias("ts_min_micros"),
-            F.max(F.unix_micros("ts")).cast("long").alias("ts_max_micros"),
-            F.sum(
-                F.expr(
-                    "CAST(conv(substr(md5(CAST(unix_micros(ts) AS"
-                    " STRING)), 1, 8), 16, 10) AS BIGINT)"
-                )
-            )
-            .cast("long")
-            .alias("ts_checksum"),
-            F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
-            .cast("long")
-            .alias("value_micros_sum"),
-            F.sum("event_id").cast("long").alias("event_id_sum"),
-        )
+        .agg(*event_interchange_aggs())
     )
     want = sorted(tuple(map(str, r)) for r in direct.collect())
     assert got == want and len(got) == 3
+
+
+def test_csv_events_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    """write_csv/read_csv on events must reproduce TIMESTAMP micros and
+    DOUBLE bit-exactly — CSV's defaults are lossy (millisecond
+    timestampFormat), so this pins that the explicit option discipline
+    in the sink/source pair actually restores losslessness (str() of a
+    float is shortest round-trip repr, so the compare is bit-faithful)."""
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.textio import read_csv, write_csv
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_csv")
+    write_csv(ev, out)
+    back = read_csv(spark, out, schema=ev.schema)
+    a = sorted(tuple(map(str, r)) for r in ev.collect())
+    b = sorted(tuple(map(str, r)) for r in back.collect())
+    assert a == b
 
 
 def test_compact_parquet(spark, sf_dir, tmp_path):

@@ -90,3 +90,21 @@ def test_sweep_priority_is_consistent():
     # and the reorder actually applied: the prefix of queries() is
     # exactly the priority list, in order
     assert list(q)[: len(prio)] == prio
+
+
+def test_duckdb_hex_cast_canary(con):
+    """Pin the implicit '0x…' VARCHAR→BIGINT hex cast 20 oracles ride
+    (the house md5-checksum idiom, e.g. oracles/orc_roundtrip_stats.sql).
+    It is engine-version-sensitive behavior (ADVICE r13): the container
+    ships DuckDB 1.0.0 where it parses as hex; if an engine upgrade ever
+    changes string→int parsing, this canary names the cause instead of
+    letting 20 oracles hash-mismatch mysteriously. Checked against
+    Python's int(h, 16) on fixed vectors spanning leading zeros, the
+    full 8-hex width, and case."""
+    for h in ("deadbeef", "00000001", "ffffffff", "0abc123f", "7F"):
+        got = con.sql(f"SELECT ('0x' || '{h}')::BIGINT").fetchone()[0]
+        assert got == int(h, 16), (
+            f"DuckDB implicit hex cast changed: '0x{h}' -> {got}, "
+            f"expected {int(h, 16)} — every md5-checksum oracle "
+            "depends on this; see oracles/orc_roundtrip_stats.sql"
+        )
