@@ -782,7 +782,7 @@ def embedding_norms_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 PCA_POWER_STEPS = 3
-PCA_TOP2_STEPS = 8  # deflation needs a converged v1; see embedding_pca_top2
+PCA_TOP2_STEPS = 8  # block-iteration rounds; see embedding_pca_top2
 
 
 # one materialized symmetric Gram per (session, sf_dir) — see
@@ -928,113 +928,149 @@ def embedding_pca_power(
 
 
 def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top TWO principal directions by power iteration + Hotelling
-    DEFLATION: after :func:`embedding_pca_power` converges on v1, the
-    dominant direction is subtracted from the Gram matrix
-    (G2 = G - λ1 v1 v1^T, each outer-product term micro-grid-quantized
-    with the same left-associative multiply order in both engines) and
-    the same 3-step iteration runs on the deflated matrix — the
-    classic sequential-eigenvector recipe, kept entirely on the d x d
-    relation so the corpus-scale cost is still the one Gram pass.
-    Runs ``PCA_TOP2_STEPS`` = 8 iterations per vector (vs the 3-step
-    mechanism demo in :func:`embedding_pca_power`), then applies ONE
-    explicit Gram-Schmidt projection of v2 against v1 before the final
-    normalize: this corpus's eigengap is narrow (lam2/lam1 ~ 0.90), so
-    deflation alone leaves v2 with a measurable v1 component (0.24 at
-    3 steps, 0.07 at 8); the mirrored projection removes it exactly up
-    to grid rounding regardless of the gap.
-    Caveat (inherent to truncated iteration, not an engine artifact):
-    on a NEAR-DEGENERATE spectrum the two Rayleigh estimates can
-    order either way (observed at sf0.001, ratio ~1.02) — a consumer
-    needing strict ordering runs more steps or a block method; both
-    engines agree bit-exactly either way.
+    """Top TWO principal directions by BLOCK power iteration: a
+    2-column iterate with per-step Gram-Schmidt (orthogonal/subspace
+    iteration, the textbook block generalization of the power method)
+    — both directions advance in the SAME join + groupBy per step, so
+    the sequential chain is ``PCA_TOP2_STEPS`` = 8 checkpointed steps
+    instead of the prior 16 (8 per vector) plus a deflation
+    materialization. Kept entirely on the d x d relation: the
+    corpus-scale cost is still the one Gram pass.
+
+    Adopted r14 over the sequential power + Hotelling-deflation shape
+    after a measured win (VERDICT r13 item 4, house discipline —
+    interleaved same-boot warm medians at sf0.1): wall 2.04s vs 3.18s
+    with NON-overlapping scatter (block max 2.58 < sequential min
+    2.84), Spark jobs 39 vs 79 — the job census outlier this op was,
+    halved. The r13 cadence sweep already showed per-step jobs are
+    not the cost; the sequential LOOP COUNT was, and the block shape
+    is the structural fix. v1's trajectory is expression-identical to
+    plain power iteration (Gram-Schmidt never alters column 1), so v1
+    and lambda1 are bit-equal to the former shape; v2 differs on this
+    near-degenerate spectrum (lam2/lam1 ~ 0.993) as truncated
+    iteration must — the block v2 reads the HIGHER Rayleigh quotient
+    (38.689M vs the deflation shape's 37.440M at sf0.1), i.e. it is
+    the better second direction, not a numerics regression. The
+    DuckDB oracle mirrors the block recipe step-for-step (regenerated
+    in tandem; every hashed edge identical IEEE ops).
+
+    Per-step Gram-Schmidt on the 64-row frame: normalize w1 -> u1;
+    project w2 against u1 (dot and both squared norms ride the frame
+    as window sums over integer terms — order-independent, no
+    scalar-agg crossJoins); normalize. v2_0 alternates sign by
+    component parity (unit norm, not parallel to v1_0). lambda1 =
+    ||G v1|| from the final multiply; lambda2 = the Rayleigh quotient
+    v2^T G v2 (one more d x d pass, the same cost class as the final
+    sequential step it replaces).
     Output: (component, v1_micros, v2_micros, lambda1_micros,
     lambda2_micros) — 64 rows, both unit vectors on the micro grid."""
-    full = _gram_full_checkpointed(spark, sf_dir)
-
-    def power_iter(g):
-        return _pca_power_iter(spark, g, PCA_TOP2_STEPS)
-
-    v1, lam1 = power_iter(full)
-    vi = v1.select(F.col("j").alias("i"), F.col("v_micros").alias("vi"))
-    vj = v1.select("j", F.col("v_micros").alias("vj"))
-    deflated = (
-        full.join(F.broadcast(vi), "i")
-        .join(F.broadcast(vj), "j")
-        .crossJoin(F.broadcast(lam1))
-        .select(
-            "i",
-            "j",
-            F.expr(
-                "CAST(gram_micros - CAST(floor((lambda_micros / 1e6)"
-                " * (vi / 1e6) * (vj / 1e6) * 1e6 + 0.5) AS BIGINT)"
-                " AS BIGINT)"
-            ).alias("gram_micros"),
-        )
-        .localCheckpoint()
-    )
-    v2, lam2 = power_iter(deflated)
-    # Gram-Schmidt: v2 <- normalize(v2 - (v1.v2) v1), micro-grid ops.
-    # Both scalars (dot, squared norm) ride the same 64-row frame as
-    # window sums over integer terms (order-independent) — one
-    # pipeline, no scalar-agg crossJoins, and no double execution of
-    # the projected frame.
+    g = _gram_full_checkpointed(spark, sf_dir)
     win = Window.partitionBy(F.lit(1))
-    pair = v1.select(
-        "j", F.col("v_micros").alias("a")
-    ).join(v2.select("j", F.col("v_micros").alias("b")), "j")
-    v2 = (
-        pair.withColumn(
-            "dot_micros",
-            F.sum(
+    v = spark.range(1, N_DIMS + 1).select(
+        F.col("id").alias("j"),
+        F.lit(125000).cast("long").alias("v1"),
+        F.expr(
+            "CAST(CASE WHEN id % 2 = 0 THEN 125000 ELSE -125000 END"
+            " AS BIGINT)"
+        ).alias("v2"),
+    )
+    for _ in range(PCA_TOP2_STEPS):
+        w = (
+            g.join(F.broadcast(v.select("j", "v1", "v2")), "j")
+            .select(
+                "i",
                 F.expr(
-                    "CAST(floor((a / 1e6) * (b / 1e6) * 1e6 + 0.5)"
-                    " AS BIGINT)"
-                )
-            ).over(win),
-        )
-        .withColumn(
-            "u_micros",
-            F.expr(
-                "CAST(b - CAST(floor((dot_micros / 1e6) * (a / 1e6)"
-                " * 1e6 + 0.5) AS BIGINT) AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "n2_micros",
-            F.sum(
-                F.expr(
-                    "CAST(floor((u_micros / 1e6) * (u_micros / 1e6)"
+                    "CAST(floor((gram_micros / 1e6) * (v1 / 1e6)"
                     " * 1e6 + 0.5) AS BIGINT)"
-                )
-            ).over(win),
+                ).alias("t1"),
+                F.expr(
+                    "CAST(floor((gram_micros / 1e6) * (v2 / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT)"
+                ).alias("t2"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t1").alias("w1"), F.sum("t2").alias("w2"))
         )
+        v = (
+            w.withColumn(
+                "n1",
+                F.sum(
+                    F.expr(
+                        "CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).over(win),
+            )
+            .withColumn(
+                "u1",
+                F.expr(
+                    "CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "dot",
+                F.sum(
+                    F.expr(
+                        "CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).over(win),
+            )
+            .withColumn(
+                "p2",
+                F.expr(
+                    "CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6)"
+                    " * 1e6 + 0.5) AS BIGINT) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "n2",
+                F.sum(
+                    F.expr(
+                        "CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).over(win),
+            )
+            .select(
+                F.col("i").alias("j"),
+                F.col("u1").alias("v1"),
+                F.expr(
+                    "CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                ).alias("v2"),
+                "n1",
+            )
+            .localCheckpoint()
+        )
+    lam1 = v.select(
+        F.expr(
+            "CAST(floor(sqrt(max(n1) / 1e6) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lambda1_micros")
+    )
+    lam2 = (
+        g.join(
+            F.broadcast(
+                v.select(F.col("j").alias("i"), F.col("v2").alias("a"))
+            ),
+            "i",
+        )
+        .join(F.broadcast(v.select("j", F.col("v2").alias("b"))), "j")
         .select(
-            "j",
             F.expr(
-                "CAST(floor((u_micros / 1e6) / sqrt(n2_micros / 1e6)"
+                "CAST(floor((gram_micros / 1e6) * (a / 1e6) * (b / 1e6)"
                 " * 1e6 + 0.5) AS BIGINT)"
-            ).alias("v_micros"),
+            ).alias("t")
         )
+        .agg(F.sum("t").cast("long").alias("lambda2_micros"))
     )
     return (
-        v1.select("j", F.col("v_micros").alias("v1_micros"))
-        .join(v2.select("j", F.col("v_micros").alias("v2_micros")), "j")
-        .crossJoin(
-            F.broadcast(
-                lam1.select(F.col("lambda_micros").alias("lambda1_micros"))
-            )
-        )
-        .crossJoin(
-            F.broadcast(
-                lam2.select(F.col("lambda_micros").alias("lambda2_micros"))
-            )
-        )
-        .select(
+        v.select(
             F.col("j").alias("component"),
-            "v1_micros",
-            "v2_micros",
-            "lambda1_micros",
-            "lambda2_micros",
+            F.col("v1").alias("v1_micros"),
+            F.col("v2").alias("v2_micros"),
         )
+        .crossJoin(F.broadcast(lam1))
+        .crossJoin(F.broadcast(lam2))
     )

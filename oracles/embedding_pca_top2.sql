@@ -1,3 +1,13 @@
+-- Top-2 PCA by BLOCK power iteration (2-column iterate + per-step
+-- Gram-Schmidt), mirroring operators/similarity.embedding_pca_top2
+-- step-for-step on the micro grid (r14: adopted over sequential
+-- power + Hotelling deflation after a measured 39-vs-79-job,
+-- 2.0-vs-3.2s win; see SURVEY §7.17). v1's trajectory is plain power
+-- iteration (Gram-Schmidt never alters column 1). Every hashed edge
+-- is identical IEEE ops in both engines: micro-grid floor products,
+-- integer sums (each CAST AS BIGINT against HUGEINT widening), and
+-- the correctly-rounded sqrt. Iterative CTEs are MATERIALIZED (the
+-- house rule: DuckDB inlines plain CTEs per reference).
 WITH comp AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,
@@ -17,274 +27,301 @@ WITH comp AS (
     SELECT j AS i, i AS j, gram_micros FROM tri WHERE i < j
 ), v0 AS (
     SELECT unnest(generate_series(1, 64)) AS j,
-           CAST(125000 AS BIGINT) AS v_micros
+           CAST(125000 AS BIGINT) AS v1,
+           CAST(CASE WHEN unnest(generate_series(1, 64)) % 2 = 0
+                THEN 125000 ELSE -125000 END AS BIGINT) AS v2
 ), w1 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v0 v ON g.j = v.j GROUP BY g.i
-), m1 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n1a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w1
+), u1 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w1, n1a
+), d1 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u1
+), p1 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u1, d1
+), n1b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p1
 ), v1 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w1, m1
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p1, n1b
 ), w2 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v1 v ON g.j = v.j GROUP BY g.i
-), m2 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n2a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w2
+), u2 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w2, n2a
+), d2 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u2
+), p2 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u2, d2
+), n2b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p2
 ), v2 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w2, m2
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p2, n2b
 ), w3 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v2 v ON g.j = v.j GROUP BY g.i
-), m3 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n3a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w3
+), u3 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w3, n3a
+), d3 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u3
+), p3 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u3, d3
+), n3b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p3
 ), v3 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w3, m3
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p3, n3b
 ), w4 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v3 v ON g.j = v.j GROUP BY g.i
-), m4 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n4a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w4
+), u4 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w4, n4a
+), d4 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u4
+), p4 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u4, d4
+), n4b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p4
 ), v4 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w4, m4
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p4, n4b
 ), w5 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v4 v ON g.j = v.j GROUP BY g.i
-), m5 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n5a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w5
+), u5 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w5, n5a
+), d5 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u5
+), p5 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u5, d5
+), n5b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p5
 ), v5 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w5, m5
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p5, n5b
 ), w6 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v5 v ON g.j = v.j GROUP BY g.i
-), m6 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n6a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w6
+), u6 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w6, n6a
+), d6 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u6
+), p6 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u6, d6
+), n6b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p6
 ), v6 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w6, m6
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p6, n6b
 ), w7 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v6 v ON g.j = v.j GROUP BY g.i
-), m7 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n7a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w7
+), u7 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w7, n7a
+), d7 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u7
+), p7 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u7, d7
+), n7b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p7
 ), v7 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w7, m7
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p7, n7b
 ), w8 AS MATERIALIZED (
     SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v1 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w1,
+           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v2 / 1e6)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w2
     FROM g g JOIN v7 v ON g.j = v.j GROUP BY g.i
-), m8 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
+), n8a AS (
+    SELECT CAST(sum(CAST(floor((w1 / 1e6) * (w1 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n1
     FROM w8
+), u8 AS MATERIALIZED (
+    SELECT i, w2, n1,
+           CAST(floor((w1 / 1e6) / sqrt(n1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS u1
+    FROM w8, n8a
+), d8 AS (
+    SELECT CAST(sum(CAST(floor((u1 / 1e6) * (w2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS dot
+    FROM u8
+), p8 AS MATERIALIZED (
+    SELECT i, u1, n1,
+           CAST(w2 - CAST(floor((dot / 1e6) * (u1 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS BIGINT) AS p2
+    FROM u8, d8
+), n8b AS (
+    SELECT CAST(sum(CAST(floor((p2 / 1e6) * (p2 / 1e6) * 1e6 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS n2
+    FROM p8
 ), v8 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w8, m8
+    SELECT i AS j, u1 AS v1,
+           CAST(floor((p2 / 1e6) / sqrt(n2 / 1e6) * 1e6 + 0.5)
+                AS BIGINT) AS v2,
+           n1
+    FROM p8, n8b
 ), lam1 AS (
-    SELECT CAST(floor(sqrt(n2_micros / 1e6) * 1e6 + 0.5) AS BIGINT)
-        AS lambda_micros FROM m8
-), g2 AS MATERIALIZED (
-    SELECT g.i, g.j,
-           CAST(g.gram_micros - CAST(floor((l.lambda_micros / 1e6)
-                * (vi.v_micros / 1e6) * (vj.v_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS BIGINT) AS gram_micros
-    FROM g
-    JOIN v8 vi ON vi.j = g.i
-    JOIN v8 vj ON vj.j = g.j
-    CROSS JOIN lam1 l
-), v0b AS (
-    SELECT unnest(generate_series(1, 64)) AS j,
-           CAST(125000 AS BIGINT) AS v_micros
-), w9 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v0b v ON g.j = v.j GROUP BY g.i
-), m9 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w9
-), v9 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w9, m9
-), w10 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v9 v ON g.j = v.j GROUP BY g.i
-), m10 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w10
-), v10 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w10, m10
-), w11 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v10 v ON g.j = v.j GROUP BY g.i
-), m11 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w11
-), v11 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w11, m11
-), w12 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v11 v ON g.j = v.j GROUP BY g.i
-), m12 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w12
-), v12 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w12, m12
-), w13 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v12 v ON g.j = v.j GROUP BY g.i
-), m13 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w13
-), v13 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w13, m13
-), w14 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v13 v ON g.j = v.j GROUP BY g.i
-), m14 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w14
-), v14 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w14, m14
-), w15 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v14 v ON g.j = v.j GROUP BY g.i
-), m15 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w15
-), v15 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w15, m15
-), w16 AS MATERIALIZED (
-    SELECT g.i,
-           CAST(sum(CAST(floor((g.gram_micros / 1e6) * (v.v_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w_micros
-    FROM g2 g JOIN v15 v ON g.j = v.j GROUP BY g.i
-), m16 AS (
-    SELECT CAST(sum(CAST(floor((w_micros / 1e6) * (w_micros / 1e6)
-                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM w16
-), v16 AS MATERIALIZED (
-    SELECT i AS j,
-           CAST(floor((w_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM w16, m16
+    SELECT CAST(floor(sqrt(max(n1) / 1e6) * 1e6 + 0.5) AS BIGINT)
+        AS lambda1_micros FROM v8
 ), lam2 AS (
-    SELECT CAST(floor(sqrt(n2_micros / 1e6) * 1e6 + 0.5) AS BIGINT)
-        AS lambda_micros FROM m16
-), pair AS MATERIALIZED (
-    SELECT a.j, a.v_micros AS a, b.v_micros AS b
-    FROM v8 a JOIN v16 b ON a.j = b.j
-), dotp AS (
-    SELECT CAST(sum(CAST(floor((a / 1e6) * (b / 1e6) * 1e6 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS dot_micros
-    FROM pair
-), u AS MATERIALIZED (
-    SELECT j,
-           CAST(b - CAST(floor((dot_micros / 1e6) * (a / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS BIGINT) AS u_micros
-    FROM pair, dotp
-), un2 AS (
-    SELECT CAST(sum(CAST(floor((u_micros / 1e6) * (u_micros / 1e6)
-                    * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n2_micros
-    FROM u
-), v2f AS MATERIALIZED (
-    SELECT j,
-           CAST(floor((u_micros / 1e6) / sqrt(n2_micros / 1e6)
-                * 1e6 + 0.5) AS BIGINT) AS v_micros
-    FROM u, un2
+    SELECT CAST(sum(CAST(floor((g.gram_micros / 1e6) * (a.v2 / 1e6)
+                          * (b.v2 / 1e6) * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS lambda2_micros
+    FROM g g JOIN v8 a ON g.i = a.j JOIN v8 b ON g.j = b.j
 )
-SELECT a.j AS component,
-       a.v_micros AS v1_micros,
-       b.v_micros AS v2_micros,
-       (SELECT lambda_micros FROM lam1) AS lambda1_micros,
-       (SELECT lambda_micros FROM lam2) AS lambda2_micros
-FROM v8 a JOIN v2f b ON a.j = b.j
+SELECT j AS component,
+       v1 AS v1_micros,
+       v2 AS v2_micros,
+       (SELECT lambda1_micros FROM lam1) AS lambda1_micros,
+       (SELECT lambda2_micros FROM lam2) AS lambda2_micros
+FROM v8

@@ -680,9 +680,10 @@ def test_edit_distance_pairs_blocking_and_threshold(spark, monkeypatch):
 
 
 def test_pca_top2_orthogonal_unit_vectors(spark, sf_dir):
-    """Deflation + the final Gram-Schmidt projection must leave v2
+    """Block iteration's per-step Gram-Schmidt must leave v2
     orthogonal to v1 up to grid rounding, both unit-norm, with
-    lambda1 >= lambda2 > 0."""
+    lambda1 >= lambda2 > 0 (ordering up to truncated-iteration slack
+    on a near-degenerate spectrum)."""
     from geektime_bigdata_spark.operators.similarity import (
         embedding_pca_top2,
     )
