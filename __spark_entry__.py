@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 195 (ORC roundtrip added r13) and every prior entry
+    registry at 196 (CSV roundtrip added r14) and every prior entry
     ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -479,89 +479,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-13 sweep prefix (driver checks the first 50 queries() entries).
-# Rotation recomputed from the CORRECTNESS_r01-r12 union (latest green
-# round per query: r12:50, r11:49, r10:50, r9:45 — 194/194 green, 0
-# red) and verified to match the SURVEY §7.15 precomputed staging
-# set-for-set, then adjusted for this round's operator edits per the
-# ordering contract (modified ops first):
-# Slots 1-2: the two queries whose operator file CHANGED this round —
-#   similarity.py's `_pca_power_iter` gained a steps>=1 guard (ADVICE
-#   r12; no plan change for registered callers, but the driver row is
-#   the gate that counts).
-# Slots 3-47: the ENTIRE r9-latest cohort (exactly 45 rows),
-#   alphabetical — the oldest cohort in the ledger (9 streaming
-#   runners, both pyds round-trips, the graph family, the media
-#   digests, and the profiling/reporting rows).
-# Slots 48-50: continuing the round-robin into the r10 cohort. The
-#   NEW r13 surface (`orc_roundtrip_stats`, slot 1) displaced the
-#   third of these (`benchmark_contamination`) to the r14 head,
-#   joining the two rows the modified block displaced
-#   (`bm25_top_terms`, `bow_dedup`).
-# After this sweep the ledger is r13:50, r12:48, r11:49, r10:48
-# (195 total with the new ORC row) — nothing older than r10,
-# steady-state cadence <=3 rounds.
+# Round-14 sweep prefix (driver checks the first 50 queries() entries).
+# Ledger recomputed from the raw CORRECTNESS_r01-r13 union before
+# rotating (latest green round per query: r13:50, r12:48, r11:49,
+# r10:48 — 195/195 green, 0 red; matches the SURVEY §7.16 precomputed
+# staging), then adjusted per the ordering contract (new/modified ops
+# first):
+# Slots 1-3: the round-14 changed surfaces — csv_roundtrip_stats (NEW:
+#   lossless CSV interchange, oracle twin of ORC), orc_roundtrip_stats
+#   (columnar.py refactored onto the shared event_interchange_aggs
+#   helper — plan-identical, but the ordering contract binds on code
+#   modification), embedding_pca_top2 (REWRITTEN as block power
+#   iteration; oracle regenerated in tandem).
+# Slots 4-50: the first 47 of the 48-row r10-latest cohort,
+#   alphabetical (includes all 22 TPC-H rows; note true sort order
+#   puts benchmark_contamination BEFORE bm25_top_terms — the §7.16
+#   listing had them swapped). The 3 head slots displace the cohort
+#   tail `window_topn_orders` plus the two staged r11 rows
+#   (`ann_topk_ivf_multiprobe`, `asof_last_click`) to the r15 head.
+# Expected post-r14 ledger: r14:50, r13:48, r12:48, r11:49, r10:1
+# (196 total with the new CSV row); the single r10 leftover
+# (window_topn_orders) plus the two r11 rows lead the precomputed r15
+# prefix, restoring the <=3-round staleness floor next round.
 _SWEEP_PRIORITY = [
-    # (0) NEW surface this round (ORC source/sink roundtrip) — new and
-    # modified ops take the head per the ordering contract, displacing
-    # the rotation tail (benchmark_contamination moves to the r14 head
-    # alongside bm25_top_terms / bow_dedup)
+    # (0) NEW surface this round (CSV roundtrip, oracle twin of ORC)
+    "csv_roundtrip_stats",
+    # (1) operator code modified this round
     "orc_roundtrip_stats",
-    # (1) operator file modified this round (steps guard in the shared
-    # PCA power-iteration helper)
-    "embedding_pca_power",
     "embedding_pca_top2",
-    # (2) the entire r9-latest cohort (45 rows), alphabetical
-    "bpe_pair_counts",
-    "broadcast_dim_join",
-    "clipped_value_stats",
-    "corpus_report",
-    "corpus_snapshot_diff",
-    "curation_funnel",
-    "doc_quality_scores",
-    "edit_distance_pairs",
-    "edit_distance_pairs_snm",
-    "embedding_gram_matrix",
-    "embedding_norms_arrow",
-    "embedding_norms_arrow_udf",
-    "event_type_melt",
-    "event_type_stats_pipe",
-    "frame_sample_digest",
-    "gap_filled_hourly",
-    "json_props_extract",
-    "json_props_variant",
-    "lang_source_listagg",
-    "media_resize_digest",
-    "mixture_allocation",
-    "neardup_detector_matrix",
-    "neardup_kcore",
-    "neardup_pair_features",
-    "neardup_random_walks",
-    "neardup_reach_rcte",
-    "ngram_novelty_scores",
-    "orders_column_profile",
-    "pyds_stream_roundtrip",
-    "pyds_tsv_roundtrip",
-    "quality_logreg_step",
-    "running_user_totals",
-    "sessionize",
-    "simhash_doc_pairs",
-    "sketch_error_bounds",
-    "source_mix_weights",
-    "sql_udf_lang_stats",
-    "streaming_session_windows",
-    "streaming_sessionization",
-    "token_entropy_scores",
-    "truncation_report",
-    "user_recency_scores",
-    "value_histogram",
-    "walk_skipgram_pairs",
-    "winnow_neardup_pairs",
-    # (3) the alphabetically-first r10-latest rows (the third,
-    # benchmark_contamination, was displaced to the r14 head by the
-    # new ORC surface)
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
+    # (2) the first 47 of the 48-row r10-latest cohort, alphabetical
+    "benchmark_contamination",
+    "bm25_top_terms",
+    "bow_dedup",
+    "cast_filter",
+    "doc_repetition_scores",
+    "event_type_pivot",
+    "except_anti",
+    "flow_stats",
+    "intersect_segments",
+    "lang_id_heuristic",
+    "length_bucket_stats",
+    "nation_full_outer",
+    "order_price_quantiles",
+    "order_status_cube",
+    "orders_by_month",
+    "prefix_scan_desc",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_heavy_shippers",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_fingerprints",
+    "sales_rollup",
+    "semi_anti_join",
+    "sql_catalog_query",
+    "student_q2",
+    "token_counts",
+    "top_k_orders",
+    "upsert_latest",
+    "versioned_cells",
 ]
 
 
