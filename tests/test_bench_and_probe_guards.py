@@ -440,3 +440,55 @@ def test_scaling_json_probe_grids_match_declared_depth(key):
         assert set(row["sec_at_fixed"]) == expected, (key, op)
         assert set(row["sec_at_scaled"]) == expected, (key, op)
         assert set(row["partitions"]) == expected, (key, op)
+
+
+def test_headline_set_versioning():
+    """v2 must be exactly v1 + the audited additions, duplicate-free,
+    and every member must be a registered query — bench.py silently
+    drops unknown names (names = [n for n in HEADLINE if n in queries]),
+    so a typo here would shrink the measured set without an error."""
+    assert bench.HEADLINE == bench.HEADLINE_V1 + bench.HEADLINE_ADDED_V2
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert bench.HEADLINE_SET_VERSION == 2
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"headline names not in queries(): {missing}"
+
+
+def test_current_level_window_nests_inside_history_admission():
+    """The r14-promoted CURRENT-run gate must be strictly tighter than
+    history admission: a run can be history-admissible yet yield only
+    *_ambient labels, never the reverse."""
+    assert bench.SCHED_STEADY_LO < bench.SCHED_CURRENT_LO
+    assert bench.SCHED_CURRENT_HI < bench.SCHED_STEADY_HI
+    assert bench.SCHED_CURRENT_LO < 1.0 < bench.SCHED_CURRENT_HI
+
+
+def test_current_level_window_flags_the_r13_boot():
+    """Replay the promotion trigger: the r13 closing records read lvl
+    1.135/1.178/1.237 — inside history admission (their timings feed
+    bands) but outside the current-run window (claims on that boot
+    must read ambient). A steady-history-typical level passes."""
+    for lvl in (1.135, 1.178, 1.237, 1.267):
+        assert not bench._level_in_current_window(lvl, 1.0)
+        # 1.267 was outside even the wide window; the rest are the
+        # formally-steady slow-boot records the tighter gate exists for
+    for lvl in (0.95, 1.0, 1.09):
+        assert bench._level_in_current_window(lvl, 1.0)
+    # history admission unchanged: the 1.2-level record stays in bands
+    line = json.dumps(
+        {
+            "sf": 0.1,
+            "queries": {"q": 1.0},
+            "calibration": {
+                "pass_totals": [12.0, 10.0, 10.1],
+                "pass_spread": 1.01,
+                "sched_pre": 1.2,
+                "sched_post": 1.2,
+            },
+        }
+    )
+    hist = bench._history_for_bands([line], 0.1, level_median=1.0)
+    assert hist == {"q": [1.0]}
