@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 196 (CSV roundtrip added r14) and every prior entry
+    registry at 197 (CSV + XML roundtrips added r14) and every prior entry
     ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -308,6 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # timestampFormat, shortest-repr doubles); same straight-off-
         # parquet oracle as ORC (_ORACLE_TWINS) — two formats, one truth
         "csv_roundtrip_stats": textio.csv_roundtrip_stats,
+        # round-14: XML source/sink end-to-end — built into Spark 4
+        # (spark-xml merged upstream; zero installs), same shared
+        # aggregate + straight-off-parquet oracle as ORC/CSV
+        "xml_roundtrip_stats": textio.xml_roundtrip_stats,
         # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
         # via the stdlib `wave` module (closes the audio third of the
         # multimodal codec debt with zero installs); heads the r6 sweep
@@ -485,25 +489,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r10:48 — 195/195 green, 0 red; matches the SURVEY §7.16 precomputed
 # staging), then adjusted per the ordering contract (new/modified ops
 # first):
-# Slots 1-3: the round-14 changed surfaces — csv_roundtrip_stats (NEW:
-#   lossless CSV interchange, oracle twin of ORC), orc_roundtrip_stats
-#   (columnar.py refactored onto the shared event_interchange_aggs
-#   helper — plan-identical, but the ordering contract binds on code
-#   modification), embedding_pca_top2 (REWRITTEN as block power
-#   iteration; oracle regenerated in tandem).
-# Slots 4-50: the first 47 of the 48-row r10-latest cohort,
+# Slots 1-4: the round-14 changed surfaces — csv_roundtrip_stats and
+#   xml_roundtrip_stats (NEW: lossless text interchange with explicit
+#   microsecond timestampFormat; oracle twins of ORC),
+#   orc_roundtrip_stats (columnar.py refactored onto the shared
+#   event_interchange_aggs helper — plan-identical, but the ordering
+#   contract binds on code modification), embedding_pca_top2
+#   (REWRITTEN as block power iteration; oracle regenerated in
+#   tandem).
+# Slots 5-50: the first 46 of the 48-row r10-latest cohort,
 #   alphabetical (includes all 22 TPC-H rows; note true sort order
 #   puts benchmark_contamination BEFORE bm25_top_terms — the §7.16
-#   listing had them swapped). The 3 head slots displace the cohort
-#   tail `window_topn_orders` plus the two staged r11 rows
-#   (`ann_topk_ivf_multiprobe`, `asof_last_click`) to the r15 head.
-# Expected post-r14 ledger: r14:50, r13:48, r12:48, r11:49, r10:1
-# (196 total with the new CSV row); the single r10 leftover
-# (window_topn_orders) plus the two r11 rows lead the precomputed r15
-# prefix, restoring the <=3-round staleness floor next round.
+#   listing had them swapped). The 4 head slots displace the cohort
+#   tail rows `versioned_cells` and `window_topn_orders` plus the two
+#   staged r11 rows (`ann_topk_ivf_multiprobe`, `asof_last_click`) to
+#   the r15 head.
+# Expected post-r14 ledger: r14:50, r13:48, r12:48, r11:49, r10:2
+# (197 total with the new CSV/XML rows); the two r10 leftovers
+# (versioned_cells, window_topn_orders) plus the two r11 rows lead
+# the precomputed r15 prefix, restoring the <=3-round staleness floor
+# next round.
 _SWEEP_PRIORITY = [
-    # (0) NEW surface this round (CSV roundtrip, oracle twin of ORC)
+    # (0) NEW surfaces this round (CSV + XML roundtrips, oracle twins
+    # of ORC)
     "csv_roundtrip_stats",
+    "xml_roundtrip_stats",
     # (1) operator code modified this round
     "orc_roundtrip_stats",
     "embedding_pca_top2",
@@ -554,7 +564,6 @@ _SWEEP_PRIORITY = [
     "token_counts",
     "top_k_orders",
     "upsert_latest",
-    "versioned_cells",
 ]
 
 
@@ -611,4 +620,5 @@ _ORACLE_TWINS = {
     "asof_last_click_cogroup": "asof_last_click",
     "prefix_filter_jaccard_pairs_banded": "prefix_filter_jaccard_pairs",
     "csv_roundtrip_stats": "orc_roundtrip_stats",
+    "xml_roundtrip_stats": "orc_roundtrip_stats",
 }

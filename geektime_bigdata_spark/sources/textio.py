@@ -168,6 +168,77 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (built into Spark since 4.0 — the spark-xml package
+    merged upstream, so this needs zero installs unlike avro). Same
+    lossless option discipline as CSV: explicit microsecond
+    ``timestampFormat`` (see :data:`CSV_TS_FORMAT`); one file per
+    partition, scales with partition count."""
+    df.write.mode("overwrite").format("xml").option(
+        "rowTag", row_tag
+    ).option("timestampFormat", CSV_TS_FORMAT).save(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source. An explicit schema skips the inference scan; the
+    timestampFormat must match the sink's or sub-millisecond precision
+    silently parses away (same trap as CSV)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).option(
+        "timestampFormat", CSV_TS_FORMAT
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface proving the built-in XML source/sink end-to-end
+    (the third text interchange format next to JSONL and CSV; legacy
+    enterprise feeds still ship XML): write the events table through
+    the native XML sink with a microsecond ``timestampFormat``, read
+    it back with an explicit schema and an event-type filter, and
+    apply the shared per-type integrity aggregate
+    (:func:`...sources.columnar.event_interchange_aggs`). Oracle is
+    the same straight-off-parquet SQL as ORC/CSV (``_ORACLE_TWINS``)
+    — three interchange formats, one truth. Scratch lifecycle mirrors
+    :func:`jsonl_roundtrip_stats`."""
+    import shutil
+    import tempfile
+
+    from geektime_bigdata_spark.registry import table
+    from geektime_bigdata_spark.sources.columnar import (
+        event_interchange_aggs,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="gbs_xml_")
+    try:
+        events = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_xml(events, scratch, row_tag="event")
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        back = read_xml(spark, scratch, schema, row_tag="event").filter(
+            F.col("event_type").isin("click", "purchase", "signup")
+        )
+        out = back.groupBy("event_type").agg(*event_interchange_aggs())
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface proving the JSONL source/sink end-to-end — the
     interchange format public LLM corpora actually ship in: write the

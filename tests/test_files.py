@@ -129,7 +129,7 @@ def test_orc_events_roundtrip_bit_exact(spark, sf_dir, tmp_path):
     assert a == b
 
 
-@pytest.mark.parametrize("fmt", ["orc", "csv"])
+@pytest.mark.parametrize("fmt", ["orc", "csv", "xml"])
 def test_roundtrip_stats_matches_direct(spark, sf_dir, fmt):
     """Each registered roundtrip aggregate must equal the same aggregate
     computed straight off the parquet — any loss in the trip flips a
@@ -145,9 +145,16 @@ def test_roundtrip_stats_matches_direct(spark, sf_dir, fmt):
         event_interchange_aggs,
         orc_roundtrip_stats,
     )
-    from geektime_bigdata_spark.sources.textio import csv_roundtrip_stats
+    from geektime_bigdata_spark.sources.textio import (
+        csv_roundtrip_stats,
+        xml_roundtrip_stats,
+    )
 
-    op = {"orc": orc_roundtrip_stats, "csv": csv_roundtrip_stats}[fmt]
+    op = {
+        "orc": orc_roundtrip_stats,
+        "csv": csv_roundtrip_stats,
+        "xml": xml_roundtrip_stats,
+    }[fmt]
     got = sorted(tuple(map(str, r)) for r in op(spark, sf_dir).collect())
     direct = (
         table(spark, sf_dir, "events")
@@ -159,21 +166,27 @@ def test_roundtrip_stats_matches_direct(spark, sf_dir, fmt):
     assert got == want and len(got) == 3
 
 
-def test_csv_events_roundtrip_bit_exact(spark, sf_dir, tmp_path):
-    """write_csv/read_csv on events must reproduce TIMESTAMP micros and
-    DOUBLE bit-exactly — CSV's defaults are lossy (millisecond
-    timestampFormat), so this pins that the explicit option discipline
-    in the sink/source pair actually restores losslessness (str() of a
-    float is shortest round-trip repr, so the compare is bit-faithful)."""
+@pytest.mark.parametrize("fmt", ["csv", "xml"])
+def test_text_events_roundtrip_bit_exact(spark, sf_dir, tmp_path, fmt):
+    """write_csv/read_csv and write_xml/read_xml on events must
+    reproduce TIMESTAMP micros and DOUBLE bit-exactly — both formats'
+    defaults are lossy (millisecond timestampFormat), so this pins
+    that the explicit option discipline in each sink/source pair
+    actually restores losslessness (str() of a float is shortest
+    round-trip repr, so the compare is bit-faithful)."""
     from geektime_bigdata_spark.registry import table
-    from geektime_bigdata_spark.sources.textio import read_csv, write_csv
+    from geektime_bigdata_spark.sources import textio
 
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    out = str(tmp_path / "events_csv")
-    write_csv(ev, out)
-    back = read_csv(spark, out, schema=ev.schema)
+    out = str(tmp_path / f"events_{fmt}")
+    if fmt == "csv":
+        textio.write_csv(ev, out)
+        back = textio.read_csv(spark, out, schema=ev.schema)
+    else:
+        textio.write_xml(ev, out, row_tag="event")
+        back = textio.read_xml(spark, out, schema=ev.schema, row_tag="event")
     a = sorted(tuple(map(str, r)) for r in ev.collect())
     b = sorted(tuple(map(str, r)) for r in back.collect())
     assert a == b
