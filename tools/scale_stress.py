@@ -113,6 +113,11 @@ OPS = [
     # the scaled events table — linear by construction, measured to
     # keep the new-surface evidence rule)
     "orc_roundtrip_stats",
+    # round 14: CSV + XML roundtrips (explicit-format lossless text
+    # interchange; same shared aggregate and linear-by-construction
+    # write + schema'd re-read shape as ORC)
+    "csv_roundtrip_stats",
+    "xml_roundtrip_stats",
 ]
 
 
