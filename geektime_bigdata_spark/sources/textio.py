@@ -96,27 +96,52 @@ CSV_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    """CSV sink with lossless option discipline: header row for
-    schema-on-read ergonomics, microsecond ``timestampFormat`` (see
-    :data:`CSV_TS_FORMAT`), and the default quote/escape handling for
-    embedded delimiters. Doubles are written via the JVM's
-    shortest-round-trip repr, so the text form parses back to the
-    identical bits. One file per partition — 100 TB writes scale with
-    partition count exactly like the parquet/ORC/JSONL sinks."""
+    """CSV sink with lossless option discipline — every option below
+    exists because its default silently mangles a value class
+    (measured r14 on an adversarial corpus, pinned by
+    tests/test_files.py::test_interchange_adversarial_strings):
+    header row; microsecond ``timestampFormat`` (the default truncates
+    to millis); ``ignoreLeading/TrailingWhiteSpace`` FALSE (the WRITE
+    defaults are true — univocity trims ``' padded '`` to
+    ``'padded'``); ``emptyValue`` of a quoted empty string so ``''``
+    serializes as ``""``; ``nullValue`` of ``\\N`` (the Hive/MySQL
+    in-file null marker) so NULL stays distinguishable from ``''``
+    (the defaults write both as an empty field, which reads back as
+    NULL). Known INHERENT boundary, pinned by
+    test_csv_null_sentinel_is_reserved: CSV must reserve SOME byte
+    representation for NULL, and univocity matches it post-unescape —
+    a field whose DATA is the literal two characters backslash-N
+    reads back as NULL (quoting does not protect it); payloads that
+    may legitimately contain the marker belong in a binary format.
+    Doubles are written via the JVM's shortest-round-trip repr, so the
+    text form parses back to the identical bits. One file per
+    partition — 100 TB writes scale with partition count exactly like
+    the parquet/ORC/JSONL sinks."""
     df.write.mode("overwrite").option("header", True).option(
         "timestampFormat", CSV_TS_FORMAT
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
+    ).option("emptyValue", '""').option(
+        "nullValue", "\\N"
     ).csv(path)
 
 
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """CSV source. An explicit schema is mandatory at scale (inference
-    is a second full scan); the timestampFormat must match the sink's
-    or sub-millisecond precision silently parses away."""
+    """CSV source matching the sink's option discipline. An explicit
+    schema is mandatory at scale (inference is a second full scan);
+    the timestampFormat must match the sink's or sub-millisecond
+    precision silently parses away; ``multiLine`` so quoted embedded
+    newlines re-parse as one record (the default splits mid-field).
+    Scale note on multiLine: it disables INTRA-file splitting — each
+    file parses whole — but the sink writes one file per partition,
+    so a corpus written by :func:`write_csv` still reads with
+    file-granularity parallelism; only a single giant externally-
+    produced CSV would serialize."""
     reader = spark.read.option("header", True).option(
         "timestampFormat", CSV_TS_FORMAT
-    )
+    ).option("multiLine", True).option("nullValue", "\\N")
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
@@ -187,10 +212,19 @@ def read_xml(
 ) -> DataFrame:
     """XML source. An explicit schema skips the inference scan; the
     timestampFormat must match the sink's or sub-millisecond precision
-    silently parses away (same trap as CSV)."""
+    silently parses away (same trap as CSV);
+    ``ignoreSurroundingSpaces`` FALSE or leading/trailing whitespace in
+    text content is trimmed (the default is true). With that one
+    option the trip is exact even for the classically-dangerous
+    classes — measured r14 on an adversarial corpus (embedded
+    ``<>&``, ``]]>``, quotes, newlines, AND carriage returns: the
+    writer character-reference-escapes CR, sidestepping the XML-spec
+    line-ending normalization that would otherwise eat it; NULL and
+    ``''`` are structurally distinct elements) — pinned by
+    tests/test_files.py::test_interchange_adversarial_strings."""
     reader = spark.read.format("xml").option("rowTag", row_tag).option(
         "timestampFormat", CSV_TS_FORMAT
-    )
+    ).option("ignoreSurroundingSpaces", False)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)

@@ -243,3 +243,79 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+# The value classes text interchange classically mangles: delimiters,
+# quotes, newlines/CR, XML metacharacters and CDATA terminators,
+# whitespace padding, empty-vs-null, unicode, escape characters, and
+# strings that look like format keywords. Each of these broke at least
+# one DEFAULT option during the r14 probe that produced the option
+# discipline in write_csv/read_csv and write_xml/read_xml.
+ADVERSARIAL_STRINGS = [
+    "a,b",
+    'q"uote"',
+    "line\nbreak",
+    "crlf\r\n",
+    "\rsolo\r",
+    "tab\there",
+    "<xml>&amp;</xml>",
+    "apos'trophe",
+    "]]>",
+    "unié中文",
+    " lead/trail ",
+    "  double  space",
+    "",
+    None,
+    "\\backslash\\",
+    "null",
+    "NaN",
+    '"--"',
+    "&#x27;",
+]
+
+
+@pytest.mark.parametrize("fmt", ["csv", "xml"])
+def test_interchange_adversarial_strings(spark, tmp_path, fmt):
+    """The CSV and XML sink/source pairs must round-trip the classic
+    text-interchange hazard classes byte-exactly — embedded
+    delimiters, quotes, newlines AND carriage returns (the XML writer
+    character-reference-escapes CR, sidestepping XML-spec line-ending
+    normalization), metacharacters, padding, empty-vs-NULL. Measured
+    r14: with DEFAULT options, CSV mangled four of these classes and
+    XML two; the explicit option discipline in textio restores all of
+    them. The one documented exception is CSV's reserved NULL marker
+    (see test_csv_null_sentinel_is_reserved)."""
+    from geektime_bigdata_spark.sources import textio
+
+    df = spark.createDataFrame(
+        list(enumerate(ADVERSARIAL_STRINGS)), "id long, s string"
+    )
+    out = str(tmp_path / f"adv_{fmt}")
+    if fmt == "csv":
+        textio.write_csv(df, out)
+        back = textio.read_csv(spark, out, schema=df.schema)
+    else:
+        textio.write_xml(df, out, row_tag="r")
+        back = textio.read_xml(spark, out, schema=df.schema, row_tag="r")
+    want = {r["id"]: r["s"] for r in df.collect()}
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == want
+
+
+def test_csv_null_sentinel_is_reserved(spark, tmp_path):
+    """The documented CSV boundary: NULL needs SOME in-file byte
+    representation, ours is the Hive/MySQL '\\N' marker, and univocity
+    matches it post-unescape — so a DATA value of exactly
+    backslash-N reads back as NULL (quoting does not protect it).
+    Pinning the collision keeps the boundary visible instead of
+    latent; everything else in the adversarial corpus round-trips."""
+    from geektime_bigdata_spark.sources import textio
+
+    df = spark.createDataFrame(
+        [(0, "\\N"), (1, None), (2, "x")], "id long, s string"
+    )
+    out = str(tmp_path / "sentinel_csv")
+    textio.write_csv(df, out)
+    back = textio.read_csv(spark, out, schema=df.schema)
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {0: None, 1: None, 2: "x"}
