@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geektime_bigdata_spark import streaming
-from geektime_bigdata_spark.sources import columnar, pyds, textio
+from geektime_bigdata_spark.sources import binfiles, columnar, pyds, textio
 from geektime_bigdata_spark.operators import (
     dedup,
     etl,
@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 197 (CSV + XML roundtrips added r14) and every prior entry
+    registry at 198 (CSV/XML roundtrips + binary ingest added r14) and every prior entry
     ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -312,6 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (spark-xml merged upstream; zero installs), same shared
         # aggregate + straight-off-parquet oracle as ORC/CSV
         "xml_roundtrip_stats": textio.xml_roundtrip_stats,
+        # round-14: binary-file export -> binaryFile ingest loop (the
+        # media-shard filesystem boundary the in-engine codecs never
+        # crossed); oracle rebuilds the payloads straight off documents
+        "binary_ingest_digests": binfiles.binary_ingest_digests,
         # round-6: REAL audio codec path — RIFF/WAVE PCM16 encode+decode
         # via the stdlib `wave` module (closes the audio third of the
         # multimodal codec debt with zero installs); heads the r6 sweep
@@ -489,31 +493,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r10:48 — 195/195 green, 0 red; matches the SURVEY §7.16 precomputed
 # staging), then adjusted per the ordering contract (new/modified ops
 # first):
-# Slots 1-4: the round-14 changed surfaces — csv_roundtrip_stats and
-#   xml_roundtrip_stats (NEW: lossless text interchange with explicit
-#   microsecond timestampFormat; oracle twins of ORC),
+# Slots 1-5: the round-14 changed surfaces — csv_roundtrip_stats,
+#   xml_roundtrip_stats, binary_ingest_digests (NEW: lossless text
+#   interchange with explicit microsecond timestampFormat, oracle
+#   twins of ORC; and the blob export -> binaryFile ingest loop),
 #   orc_roundtrip_stats (columnar.py refactored onto the shared
 #   event_interchange_aggs helper — plan-identical, but the ordering
 #   contract binds on code modification), embedding_pca_top2
 #   (REWRITTEN as block power iteration; oracle regenerated in
 #   tandem).
-# Slots 5-50: the first 46 of the 48-row r10-latest cohort,
+# Slots 6-50: the first 45 of the 48-row r10-latest cohort,
 #   alphabetical (includes all 22 TPC-H rows; note true sort order
 #   puts benchmark_contamination BEFORE bm25_top_terms — the §7.16
-#   listing had them swapped). The 4 head slots displace the cohort
-#   tail rows `versioned_cells` and `window_topn_orders` plus the two
-#   staged r11 rows (`ann_topk_ivf_multiprobe`, `asof_last_click`) to
-#   the r15 head.
-# Expected post-r14 ledger: r14:50, r13:48, r12:48, r11:49, r10:2
-# (197 total with the new CSV/XML rows); the two r10 leftovers
-# (versioned_cells, window_topn_orders) plus the two r11 rows lead
-# the precomputed r15 prefix, restoring the <=3-round staleness floor
-# next round.
+#   listing had them swapped). The 5 head slots displace the cohort
+#   tail rows `upsert_latest`, `versioned_cells`,
+#   `window_topn_orders` plus the two staged r11 rows
+#   (`ann_topk_ivf_multiprobe`, `asof_last_click`) to the r15 head.
+# Expected post-r14 ledger: r14:50, r13:48, r12:48, r11:49, r10:3
+# (198 total with the three new rows); the three r10 leftovers plus
+# the two r11 rows lead the precomputed r15 prefix, restoring the
+# <=3-round staleness floor over r15-r16.
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round (CSV + XML roundtrips, oracle twins
     # of ORC)
     "csv_roundtrip_stats",
     "xml_roundtrip_stats",
+    "binary_ingest_digests",
     # (1) operator code modified this round
     "orc_roundtrip_stats",
     "embedding_pca_top2",
@@ -563,7 +568,6 @@ _SWEEP_PRIORITY = [
     "student_q2",
     "token_counts",
     "top_k_orders",
-    "upsert_latest",
 ]
 
 

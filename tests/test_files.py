@@ -319,3 +319,56 @@ def test_csv_null_sentinel_is_reserved(spark, tmp_path):
     back = textio.read_csv(spark, out, schema=df.schema)
     got = {r["id"]: r["s"] for r in back.collect()}
     assert got == {0: None, 1: None, 2: "x"}
+
+
+def test_binary_export_ingest_roundtrip(spark, tmp_path):
+    """export_blobs must write one file per row from the executors and
+    return the verified count; read_binary_files must reproduce the
+    exact bytes (binary AND string payloads) and prune non-matching
+    names at the LISTING via pathGlobFilter — the decoy costs a
+    directory entry, never a read."""
+    from geektime_bigdata_spark.sources.binfiles import (
+        export_blobs,
+        read_binary_files,
+    )
+
+    rows = [("a", "68656c6c6f"), ("b", "00ff10"), ("c", "")]
+    df = spark.createDataFrame(rows, "name string, payload string")
+    out = str(tmp_path / "blobs")
+    assert export_blobs(df, out) == 3
+    (tmp_path / "blobs" / "decoy.tmp").write_bytes(b"nope")
+    back = read_binary_files(spark, out)
+    got = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+        for r in back.collect()
+    }
+    # the zero-byte file exists on disk but the binaryFile source
+    # DROPS it (no empty split is ever planned) — the documented
+    # boundary in read_binary_files; pin it so a Spark version that
+    # changes the behavior surfaces here
+    assert (tmp_path / "blobs" / "c.bin").exists()
+    assert got == {
+        "a.bin": b"68656c6c6f",
+        "b.bin": b"00ff10",
+    }
+    # length column matches content without reading twice
+    lens = {r["path"].rsplit("/", 1)[-1]: r["length"] for r in back.collect()}
+    assert lens == {"a.bin": 10, "b.bin": 6}
+
+
+def test_binary_export_accepts_raw_bytes(spark, tmp_path):
+    """Binary payload columns (real media blobs) export byte-exact —
+    the string path is a convenience, not a constraint."""
+    from geektime_bigdata_spark.sources.binfiles import (
+        export_blobs,
+        read_binary_files,
+    )
+
+    blob = bytes(range(256))
+    df = spark.createDataFrame(
+        [("x", bytearray(blob))], "name string, payload binary"
+    )
+    out = str(tmp_path / "raw")
+    assert export_blobs(df, out) == 1
+    back = read_binary_files(spark, out).collect()
+    assert len(back) == 1 and bytes(back[0]["content"]) == blob
