@@ -221,7 +221,14 @@ SCHED_CURRENT_HI = 1.10
 # bounded whole-run retry (one re-run when the completed window read
 # above the bound, both records appended to history — the
 # scale_stress per-point retry policy at bench granularity, take-
-# second-not-take-better, never silently trusted).
+# second-not-take-better, never silently trusted). TRIGGER STATUS:
+# fired the same round it was documented (r14 ended with zero
+# steal-quiet records after 25 watched 120s probes spanning ~1.5h,
+# rates 1.8-77 j/s with only one sub-2 reading whose run was then
+# re-contaminated mid-flight) — but note the nuance for the r15
+# promotion: on a SUSTAINED-hostile day like this one a single
+# retry would also have been contaminated; the retry pays on
+# burst-days, so promote it as a cheap insurance, not a guarantee.
 STEAL_AMBIENT_J_PER_SEC = 5.0
 
 
