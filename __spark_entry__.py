@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_dfcapped": dedup.ngram_jaccard_pairs_dfcapped,
         "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
         "neardup_pagerank": dedup.neardup_pagerank,
         "dedup_clusters": dedup.dedup_clusters,

@@ -30,8 +30,16 @@ def export_blobs(
     """Write one binary file per row (``<name>.bin`` under ``path``),
     from the executors. Returns the number of files written (summed
     from per-batch counts, so the action that runs the export also
-    verifies it). Payload column may be string (written as ASCII
-    bytes) or binary."""
+    verifies it). Payload column may be string (utf-8 encoded) or
+    binary; a ``None`` payload or name is rejected with a ValueError
+    naming the row rather than silently serialized. Names containing
+    path separators or ``..`` segments are rejected — a name is a leaf
+    filename, never a path — so a hostile/dirty name column cannot
+    escape the export directory. Duplicate names overwrite each other
+    last-writer-wins (filesystem semantics); the returned count counts
+    ROWS WRITTEN, not distinct files — callers needing the file-set
+    invariant should reconcile against a distinct-name count, as the
+    registered surface's n_files aggregate does implicitly."""
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
@@ -40,7 +48,18 @@ def export_blobs(
         for pdf in it:
             n = 0
             for name, payload in zip(pdf[name_col], pdf[payload_col]):
-                data = payload if isinstance(payload, bytes) else str(payload).encode("ascii")
+                if name is None or payload is None:
+                    raise ValueError(
+                        f"export_blobs: NULL {'name' if name is None else 'payload'}"
+                        f" for row name={name!r}"
+                    )
+                name = str(name)
+                if os.sep in name or (os.altsep and os.altsep in name) or ".." in name:
+                    raise ValueError(
+                        f"export_blobs: name {name!r} contains a path"
+                        " separator or '..' — names must be leaf filenames"
+                    )
+                data = payload if isinstance(payload, bytes) else str(payload).encode("utf-8")
                 with open(os.path.join(path, f"{name}.bin"), "wb") as fh:
                     fh.write(data)
                 n += 1

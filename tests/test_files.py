@@ -372,3 +372,39 @@ def test_binary_export_accepts_raw_bytes(spark, tmp_path):
     assert export_blobs(df, out) == 1
     back = read_binary_files(spark, out).collect()
     assert len(back) == 1 and bytes(back[0]["content"]) == blob
+
+
+def test_binary_export_rejects_hostile_names_and_nulls(spark, tmp_path):
+    """export_blobs guards (ADVICE r14): a name is a leaf filename — a
+    path separator or '..' segment must raise rather than write outside
+    the export directory; NULL names/payloads raise a named ValueError
+    instead of serializing as the literal 'None'; non-ASCII string
+    payloads export utf-8 (no UnicodeEncodeError deep in a task)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from geektime_bigdata_spark.sources.binfiles import (
+        export_blobs,
+        read_binary_files,
+    )
+
+    out = str(tmp_path / "guard")
+    for bad in ["../escape", "a/b", "..", "x/../y"]:
+        df = spark.createDataFrame(
+            [(bad, "p")], "name string, payload string"
+        )
+        with pytest.raises(PythonException, match="path separator"):
+            export_blobs(df, out)
+    assert not (tmp_path / "escape.bin").exists()
+
+    for row in [(None, "p"), ("ok", None)]:
+        df = spark.createDataFrame([row], "name string, payload string")
+        with pytest.raises(PythonException, match="NULL"):
+            export_blobs(df, out)
+
+    df = spark.createDataFrame(
+        [("utf8", "héllo wörld 世界")], "name string, payload string"
+    )
+    assert export_blobs(df, out) == 1
+    back = read_binary_files(spark, out).collect()
+    assert bytes(back[0]["content"]).decode("utf-8") == "héllo wörld 世界"

@@ -1231,3 +1231,68 @@ def test_round_robin_repartition_file_count(spark, n, k, tmp_path_factory):
     )
     assert files == min(n, k)
     assert sorted(r["v"] for r in back.collect()) == list(range(n))
+
+
+def test_dfcapped_jaccard_bounds_skewed_postings(spark, tmp_path_factory):
+    """The df-capped similarity join on a DELIBERATELY SKEWED corpus —
+    the regime the cap exists for: one stopword shingle appears in all
+    40 docs (posting list = the whole corpus, uncapped pair expansion
+    C(40,2) = 780 from that shingle alone), while true near-dup pairs
+    share rare (df=2) shingles. Three claims: (1) after the cap no
+    posting list exceeds NGRAM_DF_CAP, so per-shingle expansion work is
+    bounded by a constant regardless of skew; (2) the recall split is
+    EXACTLY the documented one — every rare-shingle-sharing pair (the
+    20 identical-text pairs) survives the cap, and the pairs the cap
+    loses are precisely the hot-only pairs whose entire overlap is the
+    stopword shingle (jaccard 1/9, the boilerplate false-positive class
+    a curation pipeline wants gone); (3) the hot shingle really is the
+    skew it claims to be (uncapped max posting == corpus size), i.e.
+    the fixture tests the cap, not a vacuous case."""
+    from geektime_bigdata_spark.operators.dedup import (
+        NGRAM_DF_CAP,
+        _doc_shingles,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_dfcapped,
+    )
+
+    n_docs = 40
+    docs = [
+        (
+            i,
+            f"stop stop stop p{i // 2}a p{i // 2}b p{i // 2}c p{i // 2}d",
+        )
+        for i in range(n_docs)
+    ]
+    d = tmp_path_factory.mktemp("dfcap")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    sh = _doc_shingles(spark, str(d))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uncapped_max = dfreq.agg(F.max("df")).collect()[0][0]
+    assert uncapped_max == n_docs  # the stopword shingle hits every doc
+    capped_max = (
+        dfreq.filter(F.col("df") <= NGRAM_DF_CAP)
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
+    assert capped_max <= NGRAM_DF_CAP
+
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs_dfcapped(spark, str(d)).collect())
+    )
+    uncapped = sorted(
+        map(tuple, ngram_jaccard_pairs(spark, str(d)).collect())
+    )
+    # the capped output is exactly the identical-text pairs at 1.0 —
+    # each shares its four rare (df=2) tail shingles
+    assert capped == [
+        (2 * k, 2 * k + 1, 1.0) for k in range(n_docs // 2)
+    ]
+    # the cap loses ONLY the hot-only pairs: 5 shingles per doc, one
+    # shared -> jaccard 1/9 on the 1e-6 grid, C(40,2) - 20 = 760 pairs
+    lost = sorted(set(uncapped) - set(capped))
+    assert len(lost) == n_docs * (n_docs - 1) // 2 - n_docs // 2
+    assert {j for _, _, j in lost} == {0.111111}
