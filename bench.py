@@ -131,12 +131,36 @@ HEADLINE_ADDED_V2 = [
     "asof_last_click",
 ]
 
-HEADLINE_SET_VERSION = 2
-HEADLINE = HEADLINE_V1 + HEADLINE_ADDED_V2
-if os.environ.get("SPARK_GRAFT_BENCH_SET") == "v1":
-    # splice record at a version boundary: same code, old membership
-    HEADLINE_SET_VERSION = 1
-    HEADLINE = list(HEADLINE_V1)
+# round-15 additions (the v2->v3 audit, VERDICT r14 item 5): the three
+# r14 surfaces that were registered but unbenched, plus this round's
+# new df-capped similarity join (same-round admission, the r14 CSV
+# precedent). All four measured warm at sf0.1 before admission
+# (4.3 / 1.7 / 6.5 / 6.6 s medians on an ambient-noisy window —
+# ~19s added per pass).
+HEADLINE_ADDED_V3 = [
+    "xml_roundtrip_stats",
+    "binary_ingest_digests",
+    "pyds_stream_roundtrip",
+    "ngram_jaccard_pairs_dfcapped",
+]
+
+HEADLINE_SET_VERSION = 3
+HEADLINE = HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3
+
+
+def _resolve_headline_set() -> tuple[int, list[str]]:
+    """Resolve the headline membership for THIS run, reading the
+    SPARK_GRAFT_BENCH_SET override at call time from main() — not at
+    import (ADVICE r14: an exported =v1 mutated module state and made
+    an unrelated pytest assert fail spuriously; module constants now
+    stay pure). Unknown values fall through to the current set rather
+    than silently shrinking the measurement."""
+    v = os.environ.get("SPARK_GRAFT_BENCH_SET", "")
+    if v == "v1":
+        return 1, list(HEADLINE_V1)
+    if v == "v2":
+        return 2, HEADLINE_V1 + HEADLINE_ADDED_V2
+    return HEADLINE_SET_VERSION, list(HEADLINE)
 
 
 def _run(df) -> int:
@@ -229,6 +253,12 @@ SCHED_CURRENT_HI = 1.10
 # promotion: on a SUSTAINED-hostile day like this one a single
 # retry would also have been contaminated; the retry pays on
 # burst-days, so promote it as a cheap insurance, not a guarantee.
+# PROMOTED r15 (see main()): one bounded whole-run re-measure when the
+# completed window read above the bound, take-second-not-take-better,
+# both records in history, retry marked; alongside it the r15
+# steal-PROOF axes (per-query _tree_cpu_seconds medians +
+# value_level_norm) make adjudication possible even when both windows
+# are hostile.
 STEAL_AMBIENT_J_PER_SEC = 5.0
 
 
@@ -405,6 +435,54 @@ def _host_snapshot() -> dict:
     return snap
 
 
+def _tree_cpu_seconds() -> float | None:
+    """Total CPU seconds (utime+stime, plus reaped-child cutime/cstime)
+    consumed by THIS process and every live descendant — the Python
+    driver, the local[32] JVM it gatewayed, and the pyspark.daemon
+    worker pool. The steal-proof adjudication axis (VERDICT r14 item
+    2a): hypervisor steal freezes the guest's clocks from outside, so
+    stolen time never lands in any process's utime/stime — per-query
+    CPU deltas stay comparable across boots whose WALL readings differ
+    1.5x. Caveats, documented not hidden: jiffy (10 ms) resolution;
+    background JVM threads (GC, UI) attribute to whichever query is
+    running (wall has the same property); a short-lived worker that
+    dies between snapshots surfaces only via its reaper's cutime (the
+    default spark.python.worker.reuse keeps the pool stable). Returns
+    None when /proc is unreadable — the caller omits the cpu fields
+    rather than recording zeros."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        entries = os.listdir("/proc")
+    except (OSError, ValueError):
+        return None
+    procs: dict[int, tuple[int, int]] = {}
+    for entry in entries:
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                data = fh.read()
+            # comm (field 2) may contain spaces/parens; fields after
+            # the LAST ')' are fixed: state ppid ... utime stime
+            # cutime cstime at rest-indexes 1, 11, 12, 13, 14
+            rest = data[data.rindex(")") + 2:].split()
+            procs[int(entry)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
+        except (OSError, ValueError, IndexError):
+            continue  # pid exited mid-scan
+    tree = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    return sum(procs[p][1] for p in tree if p in procs) / hz
+
+
 def _steady_sched_median(lines, stats: dict | None = None) -> float | None:
     """Median absolute sched-probe LEVEL across ratio-steady history
     records, pooled over every sf (the probe is a fixed JVM job,
@@ -547,40 +625,35 @@ def _calibrate_sched(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="gbs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entrymod.queries()
-    names = [n for n in HEADLINE if n in queries]
+def _measure_once(
+    spark, queries, names, sf_dir: str, sf_val, set_version: int,
+    retry: bool = False,
+) -> tuple[dict, dict]:
+    """One full measured bench window (3 interleaved passes + probes),
+    returning (full record, compact summary). Extracted from main (r15)
+    so the promoted whole-run steal retry can re-measure without
+    duplicating the harness.
 
-    # warmup: run every headline query once at the smallest scale factor so
-    # JVM startup + whole-stage-codegen compilation of each query's
-    # operator pipeline is not attributed to the measured sf run. The
-    # warmup data (~6k lineitem rows) is negligible next to the measured
-    # scale, so this isolates steady-state engine throughput.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
-    for name in names:
-        _run(queries[name](spark, warm_dir))
+    median-of-3 per query (VERDICT r2: several apparent regressions were
+    single-run noise; medians make the round-over-round <=2x bar
+    auditable while still absorbing transient scheduler/GC swings).
 
-    # median-of-3 per query (VERDICT r2: several apparent regressions were
-    # single-run noise; medians make the round-over-round <=2x bar
-    # auditable while still absorbing transient scheduler/GC swings).
-    #
-    # INTERLEAVED PASSES (VERDICT r6 item 3): the three samples per query
-    # come from three full passes over the whole set, each pass in its own
-    # deterministic shuffle order — not three consecutive runs. Ambient
-    # machine drift within the bench (host contention, CPU steal — see
-    # the r7 forensics in SURVEY §7.11) is time-correlated, so with
-    # consecutive runs it lands entirely on whichever queries execute
-    # late and reads as per-query regression; with each query sampled
-    # early/mid/late, drift moves all medians uniformly and the band
-    # classification stays attributable. Cache-warmness structure is
-    # unchanged: pass 1 fills the session memos exactly as run 1 of 3
-    # did, passes 2-3 run warm.
+    INTERLEAVED PASSES (VERDICT r6 item 3): the three samples per query
+    come from three full passes over the whole set, each pass in its own
+    deterministic shuffle order — not three consecutive runs. Ambient
+    machine drift within the bench (host contention, CPU steal — see
+    the r7 forensics in SURVEY §7.11) is time-correlated, so with
+    consecutive runs it lands entirely on whichever queries execute
+    late and reads as per-query regression; with each query sampled
+    early/mid/late, drift moves all medians uniformly and the band
+    classification stays attributable. Cache-warmness structure is
+    unchanged: pass 1 fills the session memos exactly as run 1 of 3
+    did, passes 2-3 run warm.
+
+    Alongside wall, each query records its process-tree CPU delta
+    (VERDICT r14 item 2a — see _tree_cpu_seconds): CPU is
+    steal-invariant, so the cpu medians adjudicate code changes across
+    boots whose wall readings are hostage to the hypervisor."""
     import random
 
     win_t0 = time.perf_counter()
@@ -588,13 +661,22 @@ def main() -> None:
     cal_pre = _calibrate(spark)
     sched_pre = _calibrate_sched(spark)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    cpu_samples: dict[str, list[float]] = {n: [] for n in names}
+    cpu_ok = _tree_cpu_seconds() is not None
     for pass_idx in range(3):
         order = list(names)
         random.Random(pass_idx).shuffle(order)
         for name in order:
+            c0 = _tree_cpu_seconds() if cpu_ok else None
             t0 = time.perf_counter()
             _run(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            if c0 is not None:
+                c1 = _tree_cpu_seconds()
+                if c1 is None:
+                    cpu_ok = False
+                else:
+                    cpu_samples[name].append(c1 - c0)
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
     host_post = _host_snapshot()
@@ -610,7 +692,6 @@ def main() -> None:
     pass_spread, warm_fill = _pass_drift(pass_totals)
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     record = {
         "metric": "headline_queries_total",
         "value": total,
@@ -619,7 +700,7 @@ def main() -> None:
         "sf": sf_val,
         # headline-set version + size (VERDICT r13 item 2): totals are
         # comparable only within a version; bands splice across
-        "set": HEADLINE_SET_VERSION,
+        "set": set_version,
         "n": len(timings),
         # per-query historical p25-p75 band at this sf (VERDICT r4 item
         # 7): cross-boot noise swings same-code totals up to ~30%, so a
@@ -665,6 +746,18 @@ def main() -> None:
             },
         },
     }
+    # per-query process-tree CPU medians (VERDICT r14 item 2a): the
+    # steal-invariant twin of "queries". cpu_total is their sum — at
+    # local[32] expect cpu_total >> value (parallelism), and a code
+    # regression moves cpu where a hostile hypervisor cannot. Omitted
+    # entirely (never zero-filled) when /proc was unreadable or any
+    # query missed a sample.
+    if cpu_ok and all(len(cpu_samples[n]) == 3 for n in names):
+        cpu_medians = {
+            n: round(sorted(cs)[1], 3) for n, cs in cpu_samples.items()
+        }
+        record["cpu"] = cpu_medians
+        record["cpu_total"] = round(sum(cpu_medians.values()), 3)
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
     )
@@ -720,6 +813,16 @@ def main() -> None:
         # the wide window
         if not _level_in_current_window(run_level, level_median):
             ambient = True
+        # level-normalized TOTAL (VERDICT r14 item 2b): value divided
+        # by this run's sched-level ratio — committed ALONGSIDE the raw
+        # value, never instead of it. Scope note: the r13 prototype
+        # showed no scalar restores PER-QUERY comparability (inflation
+        # is non-uniform), so bands stay raw; what the scalar does
+        # support is the cross-boot TOTAL reading the r14 verdict had
+        # to hand-compute (102.7/1.455 => ~70).
+        record["value_level_norm"] = round(
+            total / record["calibration"]["sched_level_vs_median"], 3
+        )
     for name, t in timings.items():
         past = sorted(history.get(name, []))
         if len(past) < 6:
@@ -734,6 +837,10 @@ def main() -> None:
             "n": len(past),
         }
         record["classification"][name] = label
+    if retry:
+        # stamped BEFORE the history append so the historical record
+        # carries the marker too, not just the stdout lines
+        record["retry"] = 1
     # per-query history for round-over-round regression tracking (the
     # driver snapshots only the latest line as BENCH_r{N}.json)
     try:
@@ -750,10 +857,9 @@ def main() -> None:
             fh.write(json.dumps({"ts": time.time(), **core}) + "\n")
     except OSError:
         pass  # history is best-effort; the contract is the stdout line
-    print(json.dumps(record))
-    # LAST line: a compact (<200-byte) self-contained summary. The
-    # driver snapshots only the final ~200 chars of stdout into
-    # BENCH_r{N}.json; the full record above is far larger, so its tail
+    # compact (<200-byte) self-contained summary, printed LAST by the
+    # caller. The driver snapshots only the final ~200 chars of stdout
+    # into BENCH_r{N}.json; the full record is far larger, so its tail
     # lands mid-JSON and the driver's "parsed" field came back null in
     # r7/r8. This line fits the capture whole and carries the headline
     # numbers; the full per-query record persists in bench_history.jsonl.
@@ -764,26 +870,89 @@ def main() -> None:
         # the driver snapshots (ADVICE r10)
         label = BAND_SHORT.get(label, label)
         band_counts[label] = band_counts.get(label, 0) + 1
-    # diagnostic keys are shortened (cal/spread/lvl — full names live
-    # in the bench_history.jsonl record) to hold the worst-case line
-    # under the ~200-byte tail budget with every feasible label
-    # present; spread and lvl are the two ambient axes (the sched
-    # ratio stays in the full record only)
+    # diagnostic keys are shortened or trimmed to hold the worst-case
+    # line under the ~200-byte tail budget with every feasible label
+    # present (re-audited r15 when vnorm/cpu/retry joined: unit, cal
+    # and lvl moved to the full record only — the run's level ratio is
+    # recoverable from the tail as value / vnorm — and seeding
+    # shortened to seed; full names live in bench_history.jsonl).
+    # vnorm/cpu print at 1 decimal here, 3 in the full record.
     compact = {
         "metric": record["metric"],
         "value": total,
-        "unit": "sec",
         "sf": sf_val,
-        "set": HEADLINE_SET_VERSION,
+        "set": set_version,
         "n": len(timings),
-        "cal": record["calibration"]["ratio"],
         "spread": pass_spread,
         "bands": band_counts,
-        "seeding": len(record["seeding"]),
+        "seed": len(record["seeding"]),
     }
-    if "sched_level_vs_median" in record["calibration"]:
-        compact["lvl"] = record["calibration"]["sched_level_vs_median"]
-    print(json.dumps(compact, separators=(",", ":")))
+    if "value_level_norm" in record:
+        compact["vnorm"] = round(record["value_level_norm"], 1)
+    if "cpu_total" in record:
+        compact["cpu"] = round(record["cpu_total"], 1)
+    return record, compact
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    spark = get_spark(app_name="gbs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    set_version, headline = _resolve_headline_set()
+    names = [n for n in headline if n in queries]
+
+    # warmup: run every headline query once at the smallest scale factor so
+    # JVM startup + whole-stage-codegen compilation of each query's
+    # operator pipeline is not attributed to the measured sf run. The
+    # warmup data (~6k lineitem rows) is negligible next to the measured
+    # scale, so this isolates steady-state engine throughput.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        _run(queries[name](spark, warm_dir))
+
+    # Whole-run steal retry — PROMOTED r15 (the condition documented
+    # next to STEAL_AMBIENT_J_PER_SEC fired in r14: zero steal-quiet
+    # records after 25 watched 120s probes). When the COMPLETED window
+    # measured steal above the rate bound, re-measure ONCE and commit
+    # the second record — take-second-not-take-better, the scale_stress
+    # per-point policy at bench granularity: both records print in full
+    # and append to history; the retry is marked and is the one the
+    # driver's tail capture sees. On a sustained-hostile day the retry
+    # is also contaminated (r14's would have been) — it pays on
+    # BURST-days, insurance not guarantee. The steal-proof adjudication
+    # axes (per-query cpu medians, value_level_norm) ride every record
+    # either way. SPARK_GRAFT_BENCH_RETRY=0 disables (watched-probe
+    # launchers that manage their own retries).
+    retry_enabled = os.environ.get("SPARK_GRAFT_BENCH_RETRY") != "0"
+    for attempt in range(2):
+        record, compact = _measure_once(
+            spark, queries, names, sf_dir, sf_val, set_version,
+            retry=attempt == 1,
+        )
+        if attempt == 1:
+            compact["retry"] = 1
+        print(json.dumps(record))
+        rate = _steal_rate(record["calibration"])
+        if (
+            attempt == 0
+            and retry_enabled
+            and rate is not None
+            and rate > STEAL_AMBIENT_J_PER_SEC
+        ):
+            print(
+                f"steal {rate:.1f} j/s > {STEAL_AMBIENT_J_PER_SEC} during"
+                " the measured window — re-measuring once"
+                " (take-second-not-take-better)",
+                file=sys.stderr,
+            )
+            continue
+        print(json.dumps(compact, separators=(",", ":")))
+        break
     # drop the shared operator caches so a host embedding this bench in a
     # longer session does not keep the sf-scale relations pinned
     from geektime_bigdata_spark.session import release_caches

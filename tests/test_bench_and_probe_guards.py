@@ -99,19 +99,21 @@ def test_band_short_covers_every_emittable_label():
 )
 def test_compact_summary_fits_tail_capture_with_all_labels(labels):
     # worst case per feasible set: every label present, max-width
-    # value, full seeding
+    # values, full seeding, the r15 steal-proof keys (vnorm/cpu at
+    # their 1-decimal compact precision) AND the retry marker
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": 9999.999,
-            "unit": "sec",
             "sf": 0.1,
-            "n": 73,
-            "cal": 1.099,
+            "set": 3,
+            "n": 81,
             "spread": 9.999,
-            "bands": {bench.BAND_SHORT[k]: 73 for k in labels},
-            "seeding": 73,
-            "lvl": 9.999,
+            "bands": {bench.BAND_SHORT[k]: 81 for k in labels},
+            "seed": 81,
+            "vnorm": 9999.9,
+            "cpu": 99999.9,
+            "retry": 1,
         },
         separators=(",", ":"),
     )
@@ -443,18 +445,43 @@ def test_scaling_json_probe_grids_match_declared_depth(key):
 
 
 def test_headline_set_versioning():
-    """v2 must be exactly v1 + the audited additions, duplicate-free,
-    and every member must be a registered query — bench.py silently
-    drops unknown names (names = [n for n in HEADLINE if n in queries]),
-    so a typo here would shrink the measured set without an error."""
-    assert bench.HEADLINE == bench.HEADLINE_V1 + bench.HEADLINE_ADDED_V2
+    """v3 must be exactly v1 + the audited v2 + v3 additions,
+    duplicate-free, and every member must be a registered query —
+    bench.py silently drops unknown names (names = [n for n in headline
+    if n in queries]), so a typo here would shrink the measured set
+    without an error."""
+    assert (
+        bench.HEADLINE
+        == bench.HEADLINE_V1 + bench.HEADLINE_ADDED_V2 + bench.HEADLINE_ADDED_V3
+    )
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
-    assert bench.HEADLINE_SET_VERSION == 2
+    assert bench.HEADLINE_SET_VERSION == 3
     import __spark_entry__ as entry
 
     q = set(entry.queries())
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, f"headline names not in queries(): {missing}"
+
+
+def test_headline_set_resolver_reads_env_at_call_time(monkeypatch):
+    """The SPARK_GRAFT_BENCH_SET override is resolved inside main()
+    (ADVICE r14: the import-time mutation made this suite fail
+    spuriously under an exported =v1): module constants stay pure, each
+    splice version returns its exact historical membership, and an
+    unknown value falls through to the current set instead of silently
+    shrinking the measurement."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SET", raising=False)
+    assert bench._resolve_headline_set() == (3, bench.HEADLINE)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v1")
+    assert bench._resolve_headline_set() == (1, bench.HEADLINE_V1)
+    assert bench.HEADLINE_SET_VERSION == 3  # module state untouched
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v2")
+    assert bench._resolve_headline_set() == (
+        2,
+        bench.HEADLINE_V1 + bench.HEADLINE_ADDED_V2,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v9")
+    assert bench._resolve_headline_set() == (3, bench.HEADLINE)
 
 
 def test_current_level_window_nests_inside_history_admission():
@@ -492,3 +519,21 @@ def test_current_level_window_flags_the_r13_boot():
     )
     hist = bench._history_for_bands([line], 0.1, level_median=1.0)
     assert hist == {"q": [1.0]}
+
+
+def test_tree_cpu_seconds_counts_own_burn():
+    """_tree_cpu_seconds must return a positive, monotone reading that
+    registers CPU this process burns: ~0.3s of spin moves the tree
+    total by at least 0.1s (jiffy granularity is 10ms, so the check has
+    30x headroom) and never by more than the elapsed wall times the
+    core count."""
+    t0 = bench._tree_cpu_seconds()
+    assert t0 is not None and t0 > 0
+    import time as _t
+
+    spin_until = _t.process_time() + 0.3
+    while _t.process_time() < spin_until:
+        pass
+    t1 = bench._tree_cpu_seconds()
+    assert t1 is not None
+    assert t1 - t0 >= 0.1, (t0, t1)
