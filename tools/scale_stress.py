@@ -91,6 +91,8 @@ OPS = [
     # the class where quadratic blowup hides — candidate-PAIR emission.
     "prefix_filter_jaccard_pairs",
     "ngram_jaccard_pairs",
+    # round 15: the df-capped candidate tier (bounded postings by design)
+    "ngram_jaccard_pairs_dfcapped",
     "ngram_containment_pairs",
     "simhash_neardup_pairs",
     "simhash_doc_pairs",
