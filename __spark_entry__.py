@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_hourly_rollup": etl.continuous_hourly_rollup,
         "tfidf_top_terms": text.tfidf_top_terms,
         "bm25_top_terms": text.bm25_top_terms,
+        "bm25_topk_docs": text.bm25_topk_docs,
         "broadcast_dim_join": joins.broadcast_dim_join,
         # ---- (4b) driver-green in rounds 1-2, surface unchanged ----
         "doc_repetition_scores": textstats.doc_repetition_scores,
@@ -422,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pagerank": dedup.neardup_pagerank,
         "dedup_clusters": dedup.dedup_clusters,
         "benchmark_contamination": dedup.benchmark_contamination,
+        "duplicate_span_stats": dedup.duplicate_span_stats,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
         "label_centroids": similarity.label_centroids,
@@ -494,37 +496,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r11:49, r10:3 — 198/198 green, 0 red; matches the SURVEY §7.17
 # precomputed staging), then adjusted per the ordering contract
 # (new/modified ops first):
-# Slots 1-4: the round-15 changed surfaces — ngram_jaccard_pairs_dfcapped
-#   (NEW: df-capped candidate generation + exact verify, the
-#   stopword-skew defense), binary_ingest_digests (export_blobs
-#   hardened: name sanitization, utf-8, NULL rejection),
-#   prefix_filter_jaccard_pairs + prefix_filter_jaccard_pairs_banded
-#   (their shared _jaccard_verify gained the threshold parameter the
-#   df-capped tier rides — value-identical for them, but the ordering
-#   contract binds on code modification).
-# Slots 5-7: the three r10 leftovers (`upsert_latest`,
+# Slots 1-3: the round-15 NEW surfaces — ngram_jaccard_pairs_dfcapped
+#   (df-capped candidate generation + exact verify, the stopword-skew
+#   defense), duplicate_span_stats (Lee-et-al contiguous duplicated
+#   spans), bm25_topk_docs (query-side retrieval).
+# Slots 4-7: operator code modified this round —
+#   binary_ingest_digests (export_blobs hardened: name sanitization,
+#   utf-8, NULL rejection), prefix_filter_jaccard_pairs +
+#   prefix_filter_jaccard_pairs_banded (their shared _jaccard_verify
+#   gained the threshold parameter the df-capped tier rides),
+#   bm25_top_terms (refactored onto the shared _bm25_scored helper) —
+#   the last four all value-identical, but the ordering contract binds
+#   on code modification.
+# Slots 8-10: the three r10 leftovers (`upsert_latest`,
 #   `versioned_cells`, `window_topn_orders`) — the ledger's oldest rows.
-# Slots 8-50: the first 43 of the 47-row §7.17 r11-cohort staging,
-#   alphabetical. The 4 head slots displace the staging tail
-#   (`session_window_rollup`, `simhash_fingerprints`,
+# Slots 11-50: the first 40 of the 47-row §7.17 r11-cohort staging,
+#   alphabetical. The 7 head slots displace the staging tail
+#   (`salted_top_words`, `scd2_intervals`, `semantic_dedup`,
+#   `session_window_rollup`, `simhash_fingerprints`,
 #   `simhash_neardup_pairs`, `stratified_sample`) to the r16 head,
 #   joining the two already-staged r11 leftovers (`term_freq`,
 #   `wav_roundtrip_features`).
-# Expected post-r15 ledger: r15:50, r14:50, r13:48, r12:48, r11:6
-# (with dfcapped NEW, 199 total) — max staleness 4 rounds, held by the
-# six r11 rows that lead the r16 prefix.
+# Expected post-r15 ledger: r15:50, r14:48, r13:48, r12:46, r11:9
+# (with the three NEW rows, 201 total) — the nine r11 rows lead the
+# r16 prefix.
 _SWEEP_PRIORITY = [
-    # (0) NEW surface this round (df-capped similarity join)
+    # (0) NEW surfaces this round
     "ngram_jaccard_pairs_dfcapped",
+    "duplicate_span_stats",
+    "bm25_topk_docs",
     # (1) operator code modified this round
     "binary_ingest_digests",
     "prefix_filter_jaccard_pairs",
     "prefix_filter_jaccard_pairs_banded",
+    "bm25_top_terms",
     # (2) the three r10-latest leftovers
     "upsert_latest",
     "versioned_cells",
     "window_topn_orders",
-    # (3) the first 43 of the 47-row r11-latest staging, alphabetical
+    # (3) the first 40 of the 47-row r11-latest staging, alphabetical
     "ann_topk_ivf_multiprobe",
     "asof_last_click",
     "asof_last_click_cogroup",
@@ -565,9 +575,6 @@ _SWEEP_PRIORITY = [
     "point_lookup",
     "positional_postings",
     "posting_list_tf_str",
-    "salted_top_words",
-    "scd2_intervals",
-    "semantic_dedup",
 ]
 
 

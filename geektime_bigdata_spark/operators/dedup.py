@@ -1881,6 +1881,77 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS duplicated-span statistics per document — the
+    exact-substring dedup signal of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), whose remedy is to
+    CUT the duplicated span rather than drop the whole document. The
+    set-coverage siblings (boilerplate_coverage, ngram_novelty_scores)
+    measure HOW MUCH of a doc's shingle set is shared; this one
+    measures whether the sharing is CONTIGUOUS — a 50-token verbatim
+    quote and 50 scattered common trigrams have identical coverage but
+    completely different span profiles, and only the former is an
+    excisable substring.
+
+    Semantics: a POSITION p in a document is duplicated when the
+    3-gram starting there appears in at least one OTHER document
+    (cross-doc document frequency >= 2 — within-doc repetition is
+    doc_repetition_scores' job). Output, one row per document having
+    at least one duplicated position: total duplicated positions, the
+    number of maximal runs (spans), and the longest span in TOKENS
+    (run length + 2, the tokens its shingles cover). All-integer
+    output — nothing to hash-flake.
+
+    Scale shape: the positional shingle relation is a pure projection
+    (posexplode of an in-row transform, one row per token); df comes
+    off the cached distinct shingle relation; the duplicated-position
+    filter is one equi-join on shingle (left to AQE — at corpus scale
+    the duplicated-shingle side is NOT broadcastable, unlike the
+    df-capped hot set which is small by construction); runs are the
+    classic islands trick (pos - row_number() is constant within a
+    run) on a window PARTITIONED BY doc_id — no unpartitioned window
+    anywhere."""
+    docs = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    pos_sh = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> "
+                    "concat_ws(' ', element_at(toks, i), "
+                    "element_at(toks, i + 1), element_at(toks, i + 2)))"
+                )
+            ).alias("pos0", "shingle"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    )
+    shared = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    dup_pos = pos_sh.join(shared, "shingle", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    ).groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("dup_positions"),
+            F.count(F.lit(1)).alias("n_spans"),
+            (F.max("run_len") + F.lit(2)).cast("long").alias(
+                "longest_span_tokens"
+            ),
+        )
+    )
+
+
 def neardup_detector_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-DETECTOR overlap matrix over the five doc-pair near-dup
     families (MinHash-LSH banding, n-gram Jaccard, winnowing

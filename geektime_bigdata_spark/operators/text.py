@@ -273,6 +273,26 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every float op is written in the same order in the DuckDB oracle
     (literals 0.25/0.75/1.2/2.2, integer-ratio divisions) so the
     grid-rounded score is engine-identical."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "dl", "bm25", "rk")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, tf, df, dl, bm25) — the BM25-scored term-document
+    relation shared by the per-doc top-terms view (bm25_top_terms) and
+    the query-side retrieval view (bm25_topk_docs). Extracted r15 so
+    both read ONE definition of the scoring expression; the tf cache is
+    plan-canonical, so Spark's CacheManager dedups it across the two
+    operators within a session."""
     docs = parallel_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
     toks = _tokens(docs)
@@ -288,8 +308,6 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
 
-    from pyspark.sql import Window
-
     from geektime_bigdata_spark.functions import grid_round
 
     idf = F.log(
@@ -300,7 +318,7 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + F.lit(BM25_K1) * (
         F.lit(0.25) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "word")
         .join(F.broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(avg))
@@ -309,11 +327,72 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid_round((idf * (F.col("tf") * F.lit(2.2))) / denom, 6),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("bm25").desc(), F.col("word")
+
+
+# fixed retrieval workload for bm25_topk_docs: multi-term queries over
+# the corpus vocabulary, including one rare term (df ~5% of docs) so
+# idf separation is visible in the ranking
+BM25_QUERIES = [
+    ("q_hash_join", ["hash", "join"]),
+    ("q_sort_merge_join", ["sort", "merge", "join"]),
+    ("q_dup_scan", ["dup", "scan"]),
+    ("q_stream_window", ["stream", "window"]),
+]
+BM25_TOPK = 5
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side BM25 retrieval: top-k documents per query, the
+    search-engine half of the inverted-index family (bm25_top_terms
+    ranks terms WITHIN a doc; this ranks DOCS for a query — what a
+    training pipeline runs to decontaminate against eval queries or to
+    mine retrieval training pairs). Score(q, d) = sum over query terms
+    of the shared BM25 term score.
+
+    Plan shape: the query list is a tiny broadcast literal relation, so
+    the join against the scored term-document relation is a map-side
+    postings PROBE — only rows whose word appears in some query survive
+    the join, the classic term-at-a-time retrieval plan; the per-(query,
+    doc) sum and the top-k window (partitioned by query) then run on
+    query-term postings only, a sliver of the corpus.
+
+    Determinism: per-term scores are already on the 1e-6 grid; the
+    query score accumulates them as LONG micro-units (integer addition
+    is associative — partitioning can never flip a sum), ranking
+    compares the integer, and the emitted double is micros/1e6 — the
+    exact_sum contract end to end. Ties break on doc_id."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, w) for qid, ws in BM25_QUERIES for w in ws],
+        "query_id string, word string",
+    )
+    per_doc = (
+        scored.join(F.broadcast(qdf), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(
+                F.floor(F.col("bm25") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("score_micros"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "word", "tf", "df", "dl", "bm25", "rk")
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_hit",
+            (F.col("score_micros") / F.lit(1000000.0)).alias("score"),
+            "rk",
+        )
     )

@@ -1307,3 +1307,80 @@ def test_banded_tier_cuts_candidates_on_size_spread_corpus(
         assert flat_out == band_out
     finally:
         spark.catalog.clearCache()
+
+
+def test_duplicate_span_stats_contiguity_vs_scatter(spark, tmp_path):
+    """The claim that separates duplicate_span_stats from the coverage
+    family: a verbatim 10-token quote and the SAME amount of scattered
+    shared-trigram mass produce equal dup_positions but opposite span
+    profiles. Docs A/B share a contiguous quote (8 duplicated
+    positions, ONE span, longest 10 tokens); docs C/D share 8 isolated
+    trigram blocks separated by doc-unique fillers (8 duplicated
+    positions, EIGHT spans, longest 3 tokens)."""
+    from geektime_bigdata_spark.operators.dedup import duplicate_span_stats
+
+    quote = " ".join(f"q{i}" for i in range(1, 11))
+    doc_a = "pa1 pa2 pa3 " + quote + " sa1 sa2"
+    doc_b = "pb1 pb2 pb3 " + quote + " sb1 sb2"
+    blocks_c = " ".join(
+        f"x{k} y{k} z{k} fc{2 * k} fc{2 * k + 1}" for k in range(8)
+    )
+    blocks_d = " ".join(
+        f"x{k} y{k} z{k} fd{2 * k} fd{2 * k + 1}" for k in range(8)
+    )
+    rows = [(0, doc_a), (1, doc_b), (2, blocks_c), (3, blocks_d)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["doc_id"]: (
+            r["dup_positions"],
+            r["n_spans"],
+            r["longest_span_tokens"],
+        )
+        for r in duplicate_span_stats(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (8, 1, 10), out  # contiguous quote: one 10-token span
+    assert out[1] == (8, 1, 10), out
+    assert out[2] == (8, 8, 3), out   # scattered: 8 isolated 3-token spans
+    assert out[3] == (8, 8, 3), out
+    # equal duplicated mass, opposite profiles — the distinction the
+    # operator exists to draw
+    assert out[0][0] == out[2][0] and out[0][2] != out[2][2]
+
+
+def test_bm25_topk_docs_ranking_properties(spark, sf_dir):
+    """Structural retrieval invariants on top of the DuckDB value
+    oracle: per query the ranks are exactly 1..k with scores
+    non-increasing, n_terms_hit never exceeds the query's term count,
+    and the rare-term query ranks a dup-containing document first
+    (idf separation is visible, not just computed)."""
+    from geektime_bigdata_spark.operators.text import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        bm25_topk_docs,
+    )
+
+    rows = bm25_topk_docs(spark, sf_dir).collect()
+    n_terms = dict(
+        (qid, len(ws)) for qid, ws in BM25_QUERIES
+    )
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(n_terms)
+    docs_txt = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(1 <= r["n_terms_hit"] <= n_terms[qid] for r in rs)
+    top_dup = by_q["q_dup_scan"][0]
+    assert " dup" in " " + docs_txt[top_dup["doc_id"]]

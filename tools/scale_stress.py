@@ -93,6 +93,8 @@ OPS = [
     "ngram_jaccard_pairs",
     # round 15: the df-capped candidate tier (bounded postings by design)
     "ngram_jaccard_pairs_dfcapped",
+    "duplicate_span_stats",
+    "bm25_topk_docs",
     "ngram_containment_pairs",
     "simhash_neardup_pairs",
     "simhash_doc_pairs",
