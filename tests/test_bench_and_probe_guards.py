@@ -537,3 +537,12 @@ def test_tree_cpu_seconds_counts_own_burn():
     t1 = bench._tree_cpu_seconds()
     assert t1 is not None
     assert t1 - t0 >= 0.1, (t0, t1)
+
+
+def test_retry_wall_budget_covers_observed_windows():
+    """The retry budget must admit every window length observed on the
+    r15 storm day (414-530s) with headroom, and stay under twice a
+    plausible external bench timeout so a retried run cannot exceed
+    ~2x budget + warmup."""
+    assert bench.RETRY_WALL_BUDGET_S >= 1.5 * 530
+    assert bench.RETRY_WALL_BUDGET_S <= 1800
