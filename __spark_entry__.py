@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_stats": textstats.length_bucket_stats,
         "semantic_dedup": similarity.semantic_dedup,
         "kmeans_step": similarity.kmeans_step,
+        "cluster_silhouette": similarity.cluster_silhouette,
         "bow_dedup": dedup.bow_dedup,
         "order_grouping_sets": relational.order_grouping_sets,
         "corpus_report": textstats.corpus_report,
@@ -444,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": textstats.token_counts,
         "lang_id_heuristic": textstats.lang_id_heuristic,
         "doc_quality_scores": textstats.doc_quality_scores,
+        "source_fair_quality_rank": textstats.source_fair_quality_rank,
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
         "stratified_sample": textstats.stratified_sample,
@@ -496,11 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r11:49, r10:3 — 198/198 green, 0 red; matches the SURVEY §7.17
 # precomputed staging), then adjusted per the ordering contract
 # (new/modified ops first):
-# Slots 1-3: the round-15 NEW surfaces — ngram_jaccard_pairs_dfcapped
+# Slots 1-5: the round-15 NEW surfaces — ngram_jaccard_pairs_dfcapped
 #   (df-capped candidate generation + exact verify, the stopword-skew
 #   defense), duplicate_span_stats (Lee-et-al contiguous duplicated
-#   spans), bm25_topk_docs (query-side retrieval).
-# Slots 4-7: operator code modified this round —
+#   spans), bm25_topk_docs (query-side retrieval), cluster_silhouette
+#   (simplified centroid silhouette), source_fair_quality_rank
+#   (per-source quality percentiles).
+# Slots 6-9: operator code modified this round —
 #   binary_ingest_digests (export_blobs hardened: name sanitization,
 #   utf-8, NULL rejection), prefix_filter_jaccard_pairs +
 #   prefix_filter_jaccard_pairs_banded (their shared _jaccard_verify
@@ -508,23 +512,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   bm25_top_terms (refactored onto the shared _bm25_scored helper) —
 #   the last four all value-identical, but the ordering contract binds
 #   on code modification.
-# Slots 8-10: the three r10 leftovers (`upsert_latest`,
+# Slots 10-12: the three r10 leftovers (`upsert_latest`,
 #   `versioned_cells`, `window_topn_orders`) — the ledger's oldest rows.
-# Slots 11-50: the first 40 of the 47-row §7.17 r11-cohort staging,
-#   alphabetical. The 7 head slots displace the staging tail
-#   (`salted_top_words`, `scd2_intervals`, `semantic_dedup`,
-#   `session_window_rollup`, `simhash_fingerprints`,
-#   `simhash_neardup_pairs`, `stratified_sample`) to the r16 head,
-#   joining the two already-staged r11 leftovers (`term_freq`,
+# Slots 13-50: the first 38 of the 47-row §7.17 r11-cohort staging,
+#   alphabetical. The 9 head slots displace the staging tail
+#   (`positional_postings`, `posting_list_tf_str`, `salted_top_words`,
+#   `scd2_intervals`, `semantic_dedup`, `session_window_rollup`,
+#   `simhash_fingerprints`, `simhash_neardup_pairs`,
+#   `stratified_sample`) to the r16 head, joining the two
+#   already-staged r11 leftovers (`term_freq`,
 #   `wav_roundtrip_features`).
-# Expected post-r15 ledger: r15:50, r14:48, r13:48, r12:46, r11:9
-# (with the three NEW rows, 201 total) — the nine r11 rows lead the
+# Expected post-r15 ledger: r15:50, r14:48, r13:48, r12:46, r11:11
+# (with the five NEW rows, 203 total) — the eleven r11 rows lead the
 # r16 prefix.
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
     "ngram_jaccard_pairs_dfcapped",
     "duplicate_span_stats",
     "bm25_topk_docs",
+    "cluster_silhouette",
+    "source_fair_quality_rank",
     # (1) operator code modified this round
     "binary_ingest_digests",
     "prefix_filter_jaccard_pairs",
@@ -573,8 +580,6 @@ _SWEEP_PRIORITY = [
     "phrase_search",
     "pii_canary_scrub",
     "point_lookup",
-    "positional_postings",
-    "posting_list_tf_str",
 ]
 
 

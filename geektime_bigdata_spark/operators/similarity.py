@@ -605,6 +605,68 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SIMPLIFIED silhouette — the clustering-quality gate a
+    curation pipeline runs after k-means/IVF training (is the semantic
+    partition real, or should the cell count change?). The classic
+    silhouette is all-pairs within and across clusters — O(n^2) and
+    dead at corpus scale; the simplified variant (Vendramin et al.'s
+    centroid formulation, what scikit-learn calls "simplified
+    silhouette") replaces mean pairwise distances with distances to
+    centroids: a(i) = d(x_i, centroid(own label)), b(i) = min over
+    OTHER labels of d(x_i, centroid_l), s(i) = (b-a)/max(a,b). That
+    makes the whole statistic one narrow map over the corpus against
+    the broadcast 10x64 centroid row (the same fold as _ivf_assigned)
+    plus one hash aggregate on label — no pair expansion anywhere.
+
+    Output per label: n_vecs, mean_silhouette, and n_negative (vectors
+    closer to a foreign centroid than their own — the misassignment
+    count, the actionable number). Determinism: per-element squared
+    deltas micro-quantize to LONG (the _D2_FOLD_SQL contract), sqrt and
+    the (b-a)/max(a,b) ratio are identical IEEE ops on exact integer
+    ratios, s quantizes back to micros before the group sum (integer —
+    associative), and the mean divides two exact integers. The d2s
+    array is STAGED in its own projection: HOF subtrees are not CSE'd,
+    so inlining the fold into both the own- and other-distance
+    expressions would re-evaluate it per consumer (round-5 lesson)."""
+    e = parallel_table(spark, sf_dir, "embeddings")
+    cells_one = _cells_one(spark, sf_dir)
+    d2s = F.expr(
+        "transform(cells, c -> named_struct("
+        f"'d2', {_D2_FOLD_SQL}, "
+        "'cell', c.cell))"
+    )
+    staged = e.crossJoin(F.broadcast(cells_one)).select(
+        "vec_id", "label", d2s.alias("d2s")
+    )
+    a = F.sqrt(
+        F.expr("element_at(filter(d2s, s -> s.cell = label), 1).d2")
+        / F.lit(1000000.0)
+    )
+    b = F.sqrt(
+        F.expr(
+            "array_min(transform(filter(d2s, s -> s.cell != label),"
+            " s -> s.d2))"
+        )
+        / F.lit(1000000.0)
+    )
+    sil = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    micros = F.floor(sil * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    per_vec = staged.select("label", micros.alias("sm"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        grid_round(
+            F.sum("sm").cast("double") / F.lit(1000000.0) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sm") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix X^T X over the embedding corpus — the
     d x d building block of PCA / whitening / linear probing, computed

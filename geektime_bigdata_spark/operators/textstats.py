@@ -157,6 +157,47 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_fair_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-FAIR quality ranking: each document's exact percentile of
+    quality_score WITHIN ITS SOURCE, plus the top-half selection flag —
+    the curation primitive that fixes the global-threshold failure mode
+    (one global quality cutoff guts low-resource sources whose score
+    distribution sits lower; per-source percentiles keep the mix while
+    still selecting the best of each — the Gopher/CCNet-style
+    per-bucket selection).
+
+    pct_rank is percent_rank() over (source, ORDER BY quality_score,
+    doc_id) — the doc_id tiebreak makes ranks unique, so the output is
+    fully deterministic and the value is an exact integer ratio
+    (rank-1)/(n-1), identical IEEE in both engines.
+
+    Scale honesty: a window PARTITIONED BY source sorts each source in
+    one task — exact per-doc ranks fundamentally need a per-source
+    ordering, so a handful of giant sources caps parallelism at the
+    source count. At 100 TB the production variant computes per-source
+    approx-quantile THRESHOLDS map-side (the order_price_quantiles
+    pattern) and joins them back — constant memory, no global sort —
+    trading exact per-doc ranks for bucketed ones; this operator is the
+    exact tier the approximate one is validated against."""
+    from pyspark.sql import Window
+
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    src = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        quality.join(src, "doc_id")
+        .withColumn(
+            "pct_rank", grid_round(F.percent_rank().over(w), 6)
+        )
+        .withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
+        .select("doc_id", "source", "quality_score", "pct_rank", "keep_top_half")
+    )
+
+
 KGRAM = 16  # rolling-window width (chars)
 WINNOW_BLOCK = 8  # positions per sampling block
 

@@ -1384,3 +1384,93 @@ def test_bm25_topk_docs_ranking_properties(spark, sf_dir):
         assert all(1 <= r["n_terms_hit"] <= n_terms[qid] for r in rs)
     top_dup = by_q["q_dup_scan"][0]
     assert " dup" in " " + docs_txt[top_dup["doc_id"]]
+
+
+def test_cluster_silhouette_separates_good_and_misassigned(spark, tmp_path):
+    """Hand-computable silhouette fixture: two tight, well-separated
+    label clusters give mean silhouette near 1 with zero negatives;
+    planting one vector whose LABEL says cluster 0 but whose position
+    sits at cluster 1's centroid makes it (and only it) negative."""
+    from geektime_bigdata_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)  # label_centroids memo/cache must not leak in
+    try:
+        dim = 64
+
+        def vec(base, jitter):
+            v = [0.0] * dim
+            v[0] = base + jitter
+            return v
+
+        rows = []
+        for i in range(10):  # cluster 0 at x=0.0..0.009
+            rows.append((i, vec(0.0, i * 0.001), 0))
+        for i in range(10):  # cluster 1 at x=1.0..1.009
+            rows.append((10 + i, vec(1.0, i * 0.001), 1))
+        # misassigned: label 0, but sitting inside cluster 1
+        rows.append((20, vec(1.0, 0.0005), 0))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+        out = {
+            r["label"]: r
+            for r in cluster_silhouette(spark, str(tmp_path)).collect()
+        }
+        assert out[0]["n_vecs"] == 11 and out[1]["n_vecs"] == 10
+        # the planted vector is the only negative in label 0
+        assert out[0]["n_negative"] == 1
+        assert out[1]["n_negative"] == 0
+        # tight, well-separated clusters: label 1's mean is near 1
+        assert out[1]["mean_silhouette"] > 0.9
+        # label 0's mean is dragged down by the misassigned point but
+        # the other ten still dominate
+        assert 0.5 < out[0]["mean_silhouette"] < 1.0
+    finally:
+        release_caches(spark)
+
+
+def test_source_fair_rank_keeps_half_of_every_source(spark, tmp_path):
+    """The selection-fairness claim: two sources with DISJOINT quality
+    ranges (a global median threshold would keep 100% of one and 0% of
+    the other) each retain exactly their top half under the per-source
+    percentile."""
+    from geektime_bigdata_spark.operators.textstats import (
+        source_fair_quality_rank,
+    )
+
+    # strong source: long, diverse docs; weak source: short, repetitive
+    rows = []
+    for i in range(10):
+        words = [f"w{i}x{j}" for j in range(40 + i)]
+        rows.append((i, " ".join(words), "en", "strong", 1))
+    for i in range(10):
+        words = ["the", "a"] * 3 + [f"v{i}"] * (2 + i)
+        rows.append((100 + i, " ".join(words), "en", "weak", 1))
+    spark.createDataFrame(
+        [(d, t, lg, s, n) for d, t, lg, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = source_fair_quality_rank(spark, str(tmp_path)).collect()
+    strong = [r for r in out if r["source"] == "strong"]
+    weak = [r for r in out if r["source"] == "weak"]
+    # disjoint ranges: every strong score beats every weak score
+    assert min(r["quality_score"] for r in strong) > max(
+        r["quality_score"] for r in weak
+    )
+    # yet each source keeps the same number of docs
+    kept = {
+        "strong": sum(r["keep_top_half"] for r in strong),
+        "weak": sum(r["keep_top_half"] for r in weak),
+    }
+    assert kept["strong"] == kept["weak"] > 0
+    # percentiles are exact unique ranks: (i-1)/(n-1) for n=10
+    for grp in (strong, weak):
+        pcts = sorted(r["pct_rank"] for r in grp)
+        assert pcts == [round(i / 9.0, 6) for i in range(10)] or all(
+            abs(p - i / 9.0) < 2e-6 for i, p in enumerate(pcts)
+        )

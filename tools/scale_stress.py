@@ -95,6 +95,8 @@ OPS = [
     "ngram_jaccard_pairs_dfcapped",
     "duplicate_span_stats",
     "bm25_topk_docs",
+    "cluster_silhouette",
+    "source_fair_quality_rank",
     "ngram_containment_pairs",
     "simhash_neardup_pairs",
     "simhash_doc_pairs",
