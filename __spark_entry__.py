@@ -124,8 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 198 (CSV/XML roundtrips + binary ingest added r14) and every prior entry
-    ever driver-green, the
+    registry at 203 (df-capped jaccard, duplicate spans, BM25 top-k
+    retrieval, cluster silhouette, source-fair ranking added r15) and
+    every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
     query, recomputed from the CORRECTNESS_r* union before rotating).
