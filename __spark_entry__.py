@@ -542,7 +542,7 @@ _SWEEP_PRIORITY = [
     "upsert_latest",
     "versioned_cells",
     "window_topn_orders",
-    # (3) the first 40 of the 47-row r11-latest staging, alphabetical
+    # (3) the first 38 of the 47-row r11-latest staging, alphabetical
     "ann_topk_ivf_multiprobe",
     "asof_last_click",
     "asof_last_click_cogroup",

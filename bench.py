@@ -675,8 +675,12 @@ def _measure_once(
     for pass_idx in range(3):
         order = list(names)
         random.Random(pass_idx).shuffle(order)
+        # one /proc-tree snapshot per QUERY BOUNDARY, not two per query:
+        # query N's post-snapshot is query N+1's pre-snapshot, halving
+        # the scan count (the scan is milliseconds, but it sits inside
+        # the measured window — cheaper is strictly better)
+        c0 = _tree_cpu_seconds() if cpu_ok else None
         for name in order:
-            c0 = _tree_cpu_seconds() if cpu_ok else None
             t0 = time.perf_counter()
             _run(queries[name](spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
@@ -684,8 +688,10 @@ def _measure_once(
                 c1 = _tree_cpu_seconds()
                 if c1 is None:
                     cpu_ok = False
+                    c0 = None
                 else:
                     cpu_samples[name].append(c1 - c0)
+                    c0 = c1
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)
     host_post = _host_snapshot()

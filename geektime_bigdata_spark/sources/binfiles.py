@@ -32,10 +32,12 @@ def export_blobs(
     from per-batch counts, so the action that runs the export also
     verifies it). Payload column may be string (utf-8 encoded) or
     binary; a ``None`` payload or name is rejected with a ValueError
-    naming the row rather than silently serialized. Names containing
-    path separators or ``..`` segments are rejected — a name is a leaf
-    filename, never a path — so a hostile/dirty name column cannot
-    escape the export directory. Duplicate names overwrite each other
+    naming the row rather than silently serialized. Names containing a
+    path separator, or equal to the bare ``..`` segment, are rejected —
+    a name is a leaf filename, never a path — so a hostile/dirty name
+    column cannot escape the export directory (with separators banned,
+    an EMBEDDED ``..`` like ``v1..v2`` cannot traverse and stays
+    legal). Duplicate names overwrite each other
     last-writer-wins (filesystem semantics); the returned count counts
     ROWS WRITTEN, not distinct files — callers needing the file-set
     invariant should reconcile against a distinct-name count, as the
@@ -54,10 +56,11 @@ def export_blobs(
                         f" for row name={name!r}"
                     )
                 name = str(name)
-                if os.sep in name or (os.altsep and os.altsep in name) or ".." in name:
+                if os.sep in name or (os.altsep and os.altsep in name) or name == "..":
                     raise ValueError(
                         f"export_blobs: name {name!r} contains a path"
-                        " separator or '..' — names must be leaf filenames"
+                        " separator or is '..' — names must be leaf"
+                        " filenames"
                     )
                 data = payload if isinstance(payload, bytes) else str(payload).encode("utf-8")
                 with open(os.path.join(path, f"{name}.bin"), "wb") as fh:

@@ -396,6 +396,15 @@ def test_binary_export_rejects_hostile_names_and_nulls(spark, tmp_path):
         with pytest.raises(PythonException, match="path separator"):
             export_blobs(df, out)
     assert not (tmp_path / "escape.bin").exists()
+    # with separators banned, an EMBEDDED '..' cannot traverse — a
+    # legitimate leaf name like 'v1..v2' must export, not raise
+    df = spark.createDataFrame(
+        [("v1..v2", "p")], "name string, payload string"
+    )
+    assert export_blobs(df, out) == 1
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(out, "v1..v2.bin"))
 
     for row in [(None, "p"), ("ok", None)]:
         df = spark.createDataFrame([row], "name string, payload string")
