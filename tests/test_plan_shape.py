@@ -338,3 +338,40 @@ def test_csv_scan_pushes_filter_and_prunes_columns(spark, sf_dir, tmp_path):
     read_schema = [l for l in text.splitlines() if "ReadSchema" in l][0]
     assert "event_id" in read_schema and "event_type" in read_schema
     assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_no_forced_broadcast_on_corpus_cardinality_relations(spark, sf_dir):
+    """VERDICT r15: a forced F.broadcast() hint on a relation with one
+    row per document (shingle sizes, simhash fingerprints, the
+    (doc_id, source) projection, per-fingerprint group counts) overrides
+    Spark's size logic — fine at sf0.1, an executor-OOM at 10^9+ docs.
+    Those six queries now carry NO hint on corpus-cardinality inputs:
+    the ANALYZED plan (where ResolvedHint lives before the optimizer
+    consumes it) must show exactly the pinned hint count — 0 for five
+    of them, 1 for the df-capped variant whose remaining hint is the
+    bounded heavy-hitter shingle set, not a per-doc relation. AQE still
+    picks broadcast at test scale on its own (asserted on the physical
+    plan for the jaccard sizes join), so dropping the hint costs
+    nothing here and removes the 100x-scale hazard."""
+    from geektime_bigdata_spark.operators import dedup
+
+    pinned = {
+        "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, 0),
+        "ngram_jaccard_pairs_dfcapped": (
+            dedup.ngram_jaccard_pairs_dfcapped,
+            1,  # F.broadcast(hot): heavy hitters, bounded, justified
+        ),
+        "ngram_containment_pairs": (dedup.ngram_containment_pairs, 0),
+        "simhash_neardup_pairs": (dedup.simhash_neardup_pairs, 0),
+        "source_overlap_matrix": (dedup.source_overlap_matrix, 0),
+        "neardup_pair_features": (dedup.neardup_pair_features, 0),
+    }
+    for name, (fn, want) in pinned.items():
+        df = fn(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        got = analyzed.count("ResolvedHint")
+        assert got == want, (name, got, want)
+    # unhinted, Spark's own size estimate still broadcasts the tiny
+    # size table at test scale — the hint was never needed for perf here
+    text = explain_str(dedup.ngram_jaccard_pairs(spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in text, text
