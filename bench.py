@@ -456,7 +456,10 @@ def _tree_cpu_seconds() -> float | None:
     background JVM threads (GC, UI) attribute to whichever query is
     running (wall has the same property); a short-lived worker that
     dies between snapshots surfaces only via its reaper's cutime (the
-    default spark.python.worker.reuse keeps the pool stable). Returns
+    default spark.python.worker.reuse keeps the pool stable); a
+    descendant ORPHANED to init between snapshots leaves the tree with
+    its time (its reaper is outside the tree), so a raw per-query delta
+    can come out negative — the sampler clamps those at 0. Returns
     None when /proc is unreadable — the caller omits the cpu fields
     rather than recording zeros."""
     try:
@@ -690,7 +693,13 @@ def _measure_once(
                     cpu_ok = False
                     c0 = None
                 else:
-                    cpu_samples[name].append(c1 - c0)
+                    # clamp at 0: a descendant orphaned to init between
+                    # snapshots (not reaped by a tree member, so its
+                    # time never lands in anyone's cutime) can make the
+                    # tree total DROP across a query — a negative delta
+                    # is that accounting artifact, never negative work
+                    # (ADVICE r15)
+                    cpu_samples[name].append(max(c1 - c0, 0.0))
                     c0 = c1
     cal_post = _calibrate(spark)
     sched_post = _calibrate_sched(spark)

@@ -650,8 +650,14 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(1000000.0)
     )
-    sil = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
-        (b - a) / F.greatest(a, b)
+    # single-distinct-label corpus: the other-centroid filter is empty,
+    # array_min returns NULL — define s = 0 (the conventional value; a
+    # lone cluster carries no separation evidence) instead of letting
+    # NULL propagate to the mean (ADVICE r15). Mirrored in the oracle.
+    sil = (
+        F.when(b.isNull(), F.lit(0.0))
+        .when(F.greatest(a, b) == 0.0, F.lit(0.0))
+        .otherwise((b - a) / F.greatest(a, b))
     )
     micros = F.floor(sil * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     per_vec = staged.select("label", micros.alias("sm"))

@@ -169,7 +169,11 @@ def source_fair_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct_rank is percent_rank() over (source, ORDER BY quality_score,
     doc_id) — the doc_id tiebreak makes ranks unique, so the output is
     fully deterministic and the value is an exact integer ratio
-    (rank-1)/(n-1), identical IEEE in both engines.
+    (rank-1)/(n-1), identical IEEE in both engines. A single-document
+    source is KEPT (ADVICE r15: percent_rank of a 1-row partition is
+    0.0, so a bare >= 0.5 cut would drop the smallest — most
+    vulnerable — sources entirely, the opposite of the fairness
+    claim); keep_top_half is pct_rank >= 0.5 OR n_source == 1.
 
     Scale honesty: a window PARTITIONED BY source sorts each source in
     one task — exact per-doc ranks fundamentally need a per-source
@@ -188,12 +192,17 @@ def source_fair_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wsrc = Window.partitionBy("source")
     return (
         quality.join(src, "doc_id")
         .withColumn(
             "pct_rank", grid_round(F.percent_rank().over(w), 6)
         )
-        .withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
+        .withColumn(
+            "keep_top_half",
+            (F.col("pct_rank") >= 0.5)
+            | (F.count(F.lit(1)).over(wsrc) == 1),
+        )
         .select("doc_id", "source", "quality_score", "pct_rank", "keep_top_half")
     )
 

@@ -56,11 +56,18 @@ def export_blobs(
                         f" for row name={name!r}"
                     )
                 name = str(name)
-                if os.sep in name or (os.altsep and os.altsep in name) or name == "..":
+                if (
+                    os.sep in name
+                    or (os.altsep and os.altsep in name)
+                    or name in ("", ".", "..")
+                ):
+                    # '' and '.' don't traverse, but they produce the
+                    # hidden artifacts '.bin' / '..bin' — dirty data,
+                    # not legitimate leaf names (ADVICE r15)
                     raise ValueError(
                         f"export_blobs: name {name!r} contains a path"
-                        " separator or is '..' — names must be leaf"
-                        " filenames"
+                        " separator or is empty/'.'/'..' — names must"
+                        " be leaf filenames"
                     )
                 data = payload if isinstance(payload, bytes) else str(payload).encode("utf-8")
                 with open(os.path.join(path, f"{name}.bin"), "wb") as fh:

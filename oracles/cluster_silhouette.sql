@@ -25,7 +25,10 @@ WITH cent AS (
     GROUP BY 1, 2
 ), s AS (
     SELECT label,
-           CAST(floor((CASE WHEN greatest(a, b) = 0 THEN 0.0
+           -- b IS NULL = single distinct label (no other centroid):
+           -- s defined as 0, mirroring the Spark expression
+           CAST(floor((CASE WHEN b IS NULL THEN 0.0
+                            WHEN greatest(a, b) = 0 THEN 0.0
                             ELSE (b - a) / greatest(a, b) END)
                       * 1000000.0 + 0.5) AS BIGINT) AS sm
     FROM ab

@@ -20,9 +20,12 @@ WITH tok AS (
            -- ratio (rank-1)/(n-1), engine-identical
            floor(percent_rank() OVER (
                PARTITION BY source ORDER BY quality_score, doc_id
-           ) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
+           ) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           count(*) OVER (PARTITION BY source) AS n_source
     FROM q
 )
+-- a single-document source is kept: percent_rank of a 1-row partition
+-- is 0.0, so a bare >= 0.5 cut would drop the smallest sources
 SELECT doc_id, source, quality_score, pct_rank,
-       pct_rank >= 0.5 AS keep_top_half
+       (pct_rank >= 0.5 OR n_source = 1) AS keep_top_half
 FROM ranked

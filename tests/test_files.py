@@ -389,7 +389,9 @@ def test_binary_export_rejects_hostile_names_and_nulls(spark, tmp_path):
     )
 
     out = str(tmp_path / "guard")
-    for bad in ["../escape", "a/b", "..", "x/../y"]:
+    # '' and '.' (ADVICE r15): no traversal, but they'd write the
+    # hidden artifacts '.bin' / '..bin' — dirty data, rejected too
+    for bad in ["../escape", "a/b", "..", "x/../y", "", "."]:
         df = spark.createDataFrame(
             [(bad, "p")], "name string, payload string"
         )

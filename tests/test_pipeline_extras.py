@@ -1474,3 +1474,57 @@ def test_source_fair_rank_keeps_half_of_every_source(spark, tmp_path):
         assert pcts == [round(i / 9.0, 6) for i in range(10)] or all(
             abs(p - i / 9.0) < 2e-6 for i, p in enumerate(pcts)
         )
+
+
+def test_source_fair_rank_keeps_singleton_source(spark, tmp_path):
+    """ADVICE r15: percent_rank of a 1-row partition is 0.0, so a bare
+    >= 0.5 cut would DROP any source with exactly one document — the
+    opposite of the fairness claim for the smallest sources. A
+    singleton source must come back keep_top_half = true."""
+    from geektime_bigdata_spark.operators.textstats import (
+        source_fair_quality_rank,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30)), "en", "big", 1)
+            for i in range(6)]
+    rows.append((99, "lone document of a tiny source", "en", "tiny", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = source_fair_quality_rank(spark, str(tmp_path)).collect()
+    lone = [r for r in out if r["source"] == "tiny"]
+    assert len(lone) == 1
+    assert lone[0]["pct_rank"] == 0.0
+    assert lone[0]["keep_top_half"] is True
+    # the multi-doc source still cuts at the median
+    big = [r for r in out if r["source"] == "big"]
+    assert sum(r["keep_top_half"] for r in big) == 3
+
+
+def test_cluster_silhouette_single_label_is_zero(spark, tmp_path):
+    """ADVICE r15: with a single distinct label there is no other
+    centroid — b is NULL and the silhouette is DEFINED as 0 (both
+    engines), not a NULL mean_silhouette."""
+    from geektime_bigdata_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    try:
+        rows = [
+            (i, [0.001 * i] + [0.0] * 63, 7) for i in range(8)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        out = cluster_silhouette(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["label"] == 7 and r["n_vecs"] == 8
+        assert r["mean_silhouette"] == 0.0
+        assert r["n_negative"] == 0
+    finally:
+        release_caches(spark)
