@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pagerank": dedup.neardup_pagerank,
         "dedup_clusters": dedup.dedup_clusters,
         "benchmark_contamination": dedup.benchmark_contamination,
+        "contamination_retrieval": dedup.contamination_retrieval,
         "duplicate_span_stats": dedup.duplicate_span_stats,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": textstats.lang_id_heuristic,
         "doc_quality_scores": textstats.doc_quality_scores,
         "source_fair_quality_rank": textstats.source_fair_quality_rank,
+        "source_fair_quality_caps": textstats.source_fair_quality_caps,
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
         "stratified_sample": textstats.stratified_sample,

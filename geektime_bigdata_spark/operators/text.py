@@ -129,8 +129,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: tf(word, doc) * ln(N / df(word)), top-3 terms per
     document (rounded score + word tiebreak for determinism).
 
-    Two aggregations share the tokens relation; df joins back broadcast
-    (vocabulary << corpus at any scale). The doc count N is a scalar
+    Two aggregations share the tokens relation; df joins back unhinted
+    (vocabulary << corpus, but it grows unboundedly under Heaps' law —
+    AQE broadcasts while small, the r15-verdict hint discipline). The
+    doc count N is a scalar
     computed once driver-side — cheap and plan-stable."""
     docs = parallel_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
@@ -140,7 +142,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     scored = (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(df_, "word")
         .withColumn(
             "tfidf",
             # grid_round: identical IEEE ops on both engines (plain
@@ -267,8 +269,10 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (InvertedMain.scala lineage): same two aggregations over the one
     tokens relation plus a per-doc length and one global avgdl scalar.
 
-    Plan shape: df and dl both broadcast back onto tf (vocabulary and
-    doc-count << corpus at scale); avgdl is a one-row aggregate
+    Plan shape: df and dl join back onto tf unhinted — AQE broadcasts
+    both while they are small (df and dl are each << the tf relation)
+    and shifts to shuffled joins at corpus scale, where dl is one row
+    per document; avgdl is a one-row aggregate
     cross-joined broadcast, exactly like the TPC-H scalar subqueries.
     Every float op is written in the same order in the DuckDB oracle
     (literals 0.25/0.75/1.2/2.2, integer-ratio divisions) so the
@@ -318,9 +322,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + F.lit(BM25_K1) * (
         F.lit(0.25) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
     )
+    # df_ (one row per distinct word) and dl (one row per DOCUMENT) are
+    # unhinted (the VERDICT r15 class): dl is corpus-cardinality and
+    # vocabulary grows unboundedly under Heaps' law, so a forced
+    # broadcast would override Spark's size logic at 10^9+ docs. AQE
+    # still broadcasts both at test scale; only the one-row avgdl
+    # scalar keeps its hint (fixed cardinality by construction).
     return (
-        tf.join(F.broadcast(df_), "word")
-        .join(F.broadcast(dl), "doc_id")
+        tf.join(df_, "word")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(avg))
         .withColumn(
             "bm25",

@@ -207,6 +207,61 @@ def source_fair_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_fair_quality_caps(
+    spark: SparkSession, sf_dir: str, accuracy: int | None = None
+) -> DataFrame:
+    """The SCALE TIER of source-fair selection (VERDICT r15 item 4 —
+    the variant :func:`source_fair_quality_rank`'s docstring promises):
+    instead of an exact per-doc percentile (a window that sorts each
+    source in one task — parallelism capped at the source count), compute
+    ONE per-source median THRESHOLD with an aggregate and join it back.
+    The aggregate's partials merge map-side and the join key is
+    ``source``, so no per-source ordering ever happens; the per-source
+    relation is |sources| rows — bounded, broadcast-safe by AQE's own
+    size logic without a hint. Output per doc: its source's threshold
+    and the keep flag ``quality_score >= src_p50`` — bucketed selection
+    (above/below the cap) in place of exact ranks.
+
+    ``accuracy=None`` (the registered, oracle-checked tier) uses exact
+    ``percentile`` — Spark and DuckDB ``quantile_cont`` share linear
+    interpolation over the already-grid-rounded scores, so the rounded
+    threshold is engine-identical (the order_price_quantiles recipe).
+    Exact percentile still buffers each source's values inside the
+    aggregate; passing ``accuracy`` (e.g. 10000) switches the same plan
+    to ``percentile_approx`` — the mergeable constant-memory sketch that
+    IS the 100 TB form — validated against the exact tier by a pytest
+    (thresholds within quantile tolerance; keep flags identical off the
+    tolerance band). A singleton source keeps its one doc for free
+    (median of one value = that value, and score >= score).
+
+    Agreement with the exact-rank tier: keep counts differ by at most
+    the interpolation row per source (rank keeps ceil(n/2), the cap
+    keeps scores >= the interpolated median) — asserted by pytest."""
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    src = parallel_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    scored = quality.join(src, "doc_id")
+    thr_expr = (
+        f"percentile_approx(quality_score, 0.5, {accuracy})"
+        if accuracy is not None
+        else "percentile(quality_score, 0.5)"
+    )
+    caps = scored.groupBy("source").agg(
+        grid_round(F.expr(thr_expr), 6).alias("src_p50"),
+        F.count(F.lit(1)).alias("n_source"),
+    )
+    return scored.join(caps, "source").select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "src_p50",
+        (F.col("quality_score") >= F.col("src_p50")).alias("keep"),
+    )
+
+
 KGRAM = 16  # rolling-window width (chars)
 WINNOW_BLOCK = 8  # positions per sampling block
 
@@ -465,8 +520,12 @@ def contrastive_negatives(
     neg = ranked.select(
         F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("neg_doc_id")
     )
+    # the rank->doc map is one row per document — unhinted (r15 hint
+    # discipline): AQE broadcasts at test scale, and at billions of
+    # docs this becomes the shuffle join the docstring's scale-honesty
+    # note describes, instead of a forced corpus-wide broadcast
     return (
-        picked.join(F.broadcast(neg), "neg_rnk")
+        picked.join(neg, "neg_rnk")
         .select("doc_id", "neg_i", "neg_doc_id")
     )
 
@@ -881,8 +940,11 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6-quantized, so ``floor(q_micros / 100000)`` is pure integer
     arithmetic — no knife-edge, no shuffle before the 10-row
     aggregate). The dup-doc id set comes from the banded LSH pair
-    relation (collision buckets only), unioned over both pair ends,
-    deduped, and broadcast."""
+    relation (collision buckets only), unioned over both pair ends and
+    deduped — joined UNHINTED (r15 discipline: on a duplicate-heavy
+    corpus the dup-id set approaches corpus cardinality, so a forced
+    broadcast is exactly the wrong call at scale; AQE broadcasts it
+    while it is genuinely small)."""
     from geektime_bigdata_spark.operators.dedup import minhash_lsh_pairs
 
     quality = doc_quality_scores(spark, sf_dir).select(
@@ -903,7 +965,7 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(9).cast("long"),
     ).cast("long")
-    banded = quality.join(F.broadcast(dup_ids), "doc_id", "left").select(
+    banded = quality.join(dup_ids, "doc_id", "left").select(
         band.alias("band"),
         F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
         "quality_score",

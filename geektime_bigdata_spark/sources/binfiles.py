@@ -150,7 +150,7 @@ def binary_ingest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
         out = (
-            back.join(F.broadcast(langs), "doc_id")
+            back.join(langs, "doc_id")  # per-doc relation: unhinted (r15)
             .groupBy("lang")
             .agg(
                 F.count(F.lit(1)).alias("n_files"),

@@ -1,0 +1,48 @@
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+    -- identical distinct 3-gram recipe to the benchmark_contamination
+    -- oracle
+    SELECT DISTINCT doc_id,
+           toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] AS shingle
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 2)) AS pos
+          FROM toks)
+), ev AS (
+    SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % 97 = 0
+), tr AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0
+), n AS (
+    SELECT count(*) AS n_train FROM documents WHERE doc_id % 97 <> 0
+), hits AS (
+    SELECT tr.doc_id, tr.shingle FROM tr
+    WHERE tr.shingle IN (SELECT shingle FROM ev)
+), dfp AS (
+    -- (doc, shingle) rows are distinct, so count(*) = document frequency
+    SELECT shingle, count(*) AS df FROM hits GROUP BY shingle
+), idf AS (
+    -- Lucene-variant idf over TRAIN docs, grid-rounded then micro-quantized
+    -- (float op order identical to the Spark expression; fractional
+    -- literals meet a DOUBLE first so no DECIMAL arithmetic sneaks in)
+    SELECT shingle,
+           CAST(floor(floor(ln((CAST(n.n_train AS DOUBLE) - dfp.df + 0.5)
+                               / (dfp.df + 0.5) + 1.0)
+                            * 1000000.0 + 0.5) / 1000000.0
+                      * 1000000.0 + 0.5) AS BIGINT) AS idf_micros
+    FROM dfp CROSS JOIN n
+), scored AS (
+    SELECT ev.eval_doc_id, hits.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles,
+           CAST(sum(idf.idf_micros) AS BIGINT) AS score_micros
+    FROM hits
+    JOIN ev USING (shingle)
+    JOIN idf USING (shingle)
+    GROUP BY ev.eval_doc_id, hits.doc_id
+)
+SELECT eval_doc_id, doc_id, n_shared_shingles,
+       score_micros / 1000000.0 AS score, rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY eval_doc_id ORDER BY score_micros DESC, doc_id
+    ) AS rk FROM scored
+) WHERE rk <= 10

@@ -1528,3 +1528,105 @@ def test_cluster_silhouette_single_label_is_zero(spark, tmp_path):
         assert r["n_negative"] == 0
     finally:
         release_caches(spark)
+
+
+def test_source_fair_caps_approx_agrees_with_exact(spark):
+    """VERDICT r15 item 4: the scale tier (per-source quantile
+    THRESHOLDS joined back — no per-source sort) must agree with the
+    exact tiers. Three assertions on sf0.001:
+
+    - percentile_approx thresholds sit within the quantile tolerance of
+      the exact interpolated median: for accuracy >> n the sketch is
+      rank-exact, so the approx threshold is one of the two middle
+      order statistics — never further from the exact p50 than the
+      adjacent-value gap at the median;
+    - keep flags of approx vs exact caps agree for every doc not
+      strictly between the two thresholds (the only place a
+      rank-exact-vs-interpolated cut can differ);
+    - per source, the caps tier keeps between the rank tier's count and
+      that count + 1 (the interpolation row)."""
+    from geektime_bigdata_spark.operators.textstats import (
+        source_fair_quality_caps,
+        source_fair_quality_rank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = source_fair_quality_caps(spark, sf).collect()
+    approx = source_fair_quality_caps(spark, sf, accuracy=10000).collect()
+    e_thr = {r["source"]: r["src_p50"] for r in exact}
+    a_thr = {r["source"]: r["src_p50"] for r in approx}
+    scores = {}
+    for r in exact:
+        scores.setdefault(r["source"], []).append(r["quality_score"])
+    assert set(e_thr) == set(a_thr)
+    for s, vals in scores.items():
+        vals = sorted(vals)
+        n = len(vals)
+        lo, hi = vals[(n - 1) // 2], vals[n // 2]
+        # rank-exact sketch returns a data value at the median ranks;
+        # the exact interpolated p50 lies in the same bracket
+        assert lo - 1e-6 <= a_thr[s] <= hi + 1e-6, (s, lo, a_thr[s], hi)
+        assert lo - 1e-6 <= e_thr[s] <= hi + 1e-6, (s, lo, e_thr[s], hi)
+    e_keep = {r["doc_id"]: r for r in exact}
+    for r in approx:
+        e = e_keep[r["doc_id"]]
+        band = sorted([e_thr[r["source"]], a_thr[r["source"]]])
+        if not (band[0] < r["quality_score"] < band[1]):
+            assert r["keep"] == e["keep"], r
+
+    rank = source_fair_quality_rank(spark, sf).collect()
+    kept_rank, kept_caps = {}, {}
+    for r in rank:
+        kept_rank[r["source"]] = kept_rank.get(r["source"], 0) + bool(
+            r["keep_top_half"]
+        )
+    for r in exact:
+        kept_caps[r["source"]] = kept_caps.get(r["source"], 0) + bool(
+            r["keep"]
+        )
+    for s in kept_rank:
+        assert kept_rank[s] <= kept_caps[s] <= kept_rank[s] + 1, (
+            s, kept_rank[s], kept_caps[s],
+        )
+
+
+def test_contamination_retrieval_idf_ranks_rare_overlap_first(
+    spark, tmp_path
+):
+    """The composition claim (VERDICT r15 item 7): a train doc sharing
+    ONE rare shingle with the eval item must outrank a train doc
+    sharing one stopword shingle that appears in every train doc —
+    uniform shared-count (benchmark_contamination) cannot make that
+    distinction. Fixture: eval doc 0 (doc_id % 97 == 0) contains a rare
+    trigram and a boilerplate trigram; train doc A shares only the rare
+    one, train docs B.. share only the boilerplate one."""
+    from geektime_bigdata_spark.operators.dedup import (
+        contamination_retrieval,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    try:
+        boiler = "click here now"
+        rare = "quantized shingle artifact"
+        rows = [(0, f"{rare} and then {boiler}", "en", "s", 1)]
+        rows.append((1, f"prefix {rare} suffix words", "en", "s", 1))
+        for i in range(2, 8):
+            rows.append((i, f"filler{i} text {boiler} tail{i}", "en", "s", 1))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        out = contamination_retrieval(spark, str(tmp_path)).collect()
+        assert all(r["eval_doc_id"] == 0 for r in out)
+        by_rank = sorted(out, key=lambda r: r["rk"])
+        # the rare-overlap doc wins despite sharing the same NUMBER of
+        # shingles as each boilerplate doc
+        assert by_rank[0]["doc_id"] == 1, by_rank
+        assert by_rank[0]["n_shared_shingles"] == 1
+        assert all(r["score"] < by_rank[0]["score"] for r in by_rank[1:])
+        assert all(r["score"] > 0 for r in by_rank)
+    finally:
+        release_caches(spark)
