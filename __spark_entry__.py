@@ -124,8 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 203 (df-capped jaccard, duplicate spans, BM25 top-k
-    retrieval, cluster silhouette, source-fair ranking added r15) and
+    registry at 205 (source-fair quantile caps and IDF contamination
+    retrieval added r16) and
     every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -495,94 +495,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-15 sweep prefix (driver checks the first 50 queries() entries).
-# Ledger recomputed from the raw CORRECTNESS_r01-r14 union before
-# rotating (latest green round per query: r14:50, r13:48, r12:48,
-# r11:49, r10:3 — 198/198 green, 0 red; matches the SURVEY §7.17
-# precomputed staging), then adjusted per the ordering contract
-# (new/modified ops first):
-# Slots 1-5: the round-15 NEW surfaces — ngram_jaccard_pairs_dfcapped
-#   (df-capped candidate generation + exact verify, the stopword-skew
-#   defense), duplicate_span_stats (Lee-et-al contiguous duplicated
-#   spans), bm25_topk_docs (query-side retrieval), cluster_silhouette
-#   (simplified centroid silhouette), source_fair_quality_rank
-#   (per-source quality percentiles).
-# Slots 6-9: operator code modified this round —
-#   binary_ingest_digests (export_blobs hardened: name sanitization,
-#   utf-8, NULL rejection), prefix_filter_jaccard_pairs +
-#   prefix_filter_jaccard_pairs_banded (their shared _jaccard_verify
-#   gained the threshold parameter the df-capped tier rides),
-#   bm25_top_terms (refactored onto the shared _bm25_scored helper) —
-#   the last four all value-identical, but the ordering contract binds
-#   on code modification.
-# Slots 10-12: the three r10 leftovers (`upsert_latest`,
-#   `versioned_cells`, `window_topn_orders`) — the ledger's oldest rows.
-# Slots 13-50: the first 38 of the 47-row §7.17 r11-cohort staging,
-#   alphabetical. The 9 head slots displace the staging tail
-#   (`positional_postings`, `posting_list_tf_str`, `salted_top_words`,
-#   `scd2_intervals`, `semantic_dedup`, `session_window_rollup`,
-#   `simhash_fingerprints`, `simhash_neardup_pairs`,
-#   `stratified_sample`) to the r16 head, joining the two
-#   already-staged r11 leftovers (`term_freq`,
-#   `wav_roundtrip_features`).
-# Expected post-r15 ledger: r15:50, r14:48, r13:48, r12:46, r11:11
-# (with the five NEW rows, 203 total) — the eleven r11 rows lead the
-# r16 prefix.
+# Round-16 sweep prefix (driver checks the first 50 queries() entries).
+# Ledger recomputed from the raw CORRECTNESS_r01-r15 union before
+# rotating (latest green round per query: r15:50, r14:48, r13:48,
+# r12:46, r11:11 — 203/203 green, 0 red; matches the SURVEY §7.18
+# prediction exactly), then adjusted per the ordering contract
+# (new/modified ops first). Round 16 touched dedup/text/textstats/
+# similarity operator code (the forced-broadcast-hint removal plus the
+# two advice semantic fixes), so the modified block is large:
+# Slots 1-2: the round-16 NEW surfaces — source_fair_quality_caps (the
+#   per-source quantile-threshold scale tier) and
+#   contamination_retrieval (IDF-weighted decontamination top-k).
+# Slots 3-24: operator code modified this round, alphabetical — the
+#   six verdict broadcast-hint sites (ngram_jaccard_pairs{,_dfcapped},
+#   ngram_containment_pairs, simhash_neardup_pairs,
+#   source_overlap_matrix, neardup_pair_features), their code-path
+#   riders (simhash_doc_pairs, dedup_clusters, neardup_pagerank,
+#   neardup_kcore, neardup_reach_rcte, neardup_random_walks,
+#   neardup_detector_matrix, dedup_cluster_representatives), the
+#   extended hint audit (bm25_top_terms + bm25_topk_docs via
+#   _bm25_scored, tfidf_top_terms, contrastive_negatives,
+#   quality_dup_calibration, binary_ingest_digests), and the two
+#   advice semantic fixes (source_fair_quality_rank singleton-source
+#   keep, cluster_silhouette single-label zero).
+# Slots 25-34: the ten remaining r11-latest rows (the ledger's oldest;
+#   the eleventh, simhash_neardup_pairs, already sits in the modified
+#   block).
+# Slots 35-50: the first 16 of the 41 remaining r12-latest rows,
+#   alphabetical (five of the planned 39 moved into the modified
+#   block). Displaced to the r17 staging: media_features_wide,
+#   media_type_stats, neardup_triangles, per_source_caps,
+#   png_roundtrip_features, quality_weighted_sample,
+#   semantic_dedup_multiprobe, sliding_wau, sliding_window_counts,
+#   source_vocab_overlap, the eight streaming_* rows,
+#   unigram_logprob_scores, user_path_trigrams, user_value_trend,
+#   vocab_coverage, word_counts, zorder_layout_skipping.
+# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:39, r12:24
+# (205 total with the two NEW rows).
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
-    "ngram_jaccard_pairs_dfcapped",
-    "duplicate_span_stats",
+    "source_fair_quality_caps",
+    "contamination_retrieval",
+    # (1) operator code modified this round (alphabetical)
+    "binary_ingest_digests",
+    "bm25_top_terms",
     "bm25_topk_docs",
     "cluster_silhouette",
-    "source_fair_quality_rank",
-    # (1) operator code modified this round
-    "binary_ingest_digests",
-    "prefix_filter_jaccard_pairs",
-    "prefix_filter_jaccard_pairs_banded",
-    "bm25_top_terms",
-    # (2) the three r10-latest leftovers
-    "upsert_latest",
-    "versioned_cells",
-    "window_topn_orders",
-    # (3) the first 38 of the 47-row r11-latest staging, alphabetical
-    "ann_topk_ivf_multiprobe",
-    "asof_last_click",
-    "asof_last_click_cogroup",
-    "avi_roundtrip_features",
-    "bigram_logprob_scores",
-    "boilerplate_coverage",
-    "chunk_documents",
-    "compact_small_files",
-    "const_score_order",
-    "continuous_hourly_rollup",
-    "dataset_splits",
+    "contrastive_negatives",
+    "dedup_cluster_representatives",
     "dedup_clusters",
-    "distinct_pairs",
-    "doc_fingerprints",
-    "embedding_neardup_pairs",
-    "embedding_norms_pandas",
-    "embedding_quantize_int8",
-    "event_funnel",
-    "exact_dedup",
-    "incremental_ingest_dedup",
-    "inverted_index_str",
-    "jsonl_roundtrip_stats",
-    "key_skew_report",
-    "kmeans_step",
-    "label_centroids",
-    "lsh_hyperplane_buckets",
-    "minhash_jaccard_estimate",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
+    "neardup_detector_matrix",
+    "neardup_kcore",
     "neardup_pagerank",
+    "neardup_pair_features",
+    "neardup_random_walks",
+    "neardup_reach_rcte",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
-    "null_filter_empty",
-    "order_grouping_sets",
-    "orders_audit",
-    "packed_sequences",
-    "phrase_search",
-    "pii_canary_scrub",
-    "point_lookup",
+    "ngram_jaccard_pairs_dfcapped",
+    "quality_dup_calibration",
+    "simhash_doc_pairs",
+    "simhash_neardup_pairs",
+    "source_fair_quality_rank",
+    "source_overlap_matrix",
+    "tfidf_top_terms",
+    # (2) the ten remaining r11-latest rows (ledger's oldest)
+    "positional_postings",
+    "posting_list_tf_str",
+    "salted_top_words",
+    "scd2_intervals",
+    "semantic_dedup",
+    "session_window_rollup",
+    "simhash_fingerprints",
+    "stratified_sample",
+    "term_freq",
+    "wav_roundtrip_features",
+    # (3) the first 16 of the 41 remaining r12-latest rows, alphabetical
+    "attribution_range_join",
+    "blocklist_scrub",
+    "boilerplate_ngrams",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "cdc_apply",
+    "cluster_balanced_sample",
+    "cohort_retention",
+    "curated_corpus",
+    "curation_summary",
+    "customer_balance_quartiles",
+    "hourly_anomaly_scores",
+    "hourly_event_rollup",
+    "incoming_batch_dedup",
+    "media_features",
 ]
 
 
