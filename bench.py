@@ -144,8 +144,21 @@ HEADLINE_ADDED_V3 = [
     "ngram_jaccard_pairs_dfcapped",
 ]
 
-HEADLINE_SET_VERSION = 3
-HEADLINE = HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3
+# round-16 additions (the v3->v4 audit, VERDICT r15 item 3): the four
+# r15 operators registered after v3 had shipped its closing + splice
+# records. All four measured warm at sf0.1 before admission
+# (1.8 / 2.5 / 1.2 / 0.9 s medians — ~6.3s added per pass over v3).
+HEADLINE_ADDED_V4 = [
+    "duplicate_span_stats",
+    "bm25_topk_docs",
+    "cluster_silhouette",
+    "source_fair_quality_rank",
+]
+
+HEADLINE_SET_VERSION = 4
+HEADLINE = (
+    HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3 + HEADLINE_ADDED_V4
+)
 
 
 def _resolve_headline_set() -> tuple[int, list[str]]:
@@ -160,6 +173,8 @@ def _resolve_headline_set() -> tuple[int, list[str]]:
         return 1, list(HEADLINE_V1)
     if v == "v2":
         return 2, HEADLINE_V1 + HEADLINE_ADDED_V2
+    if v == "v3":
+        return 3, HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3
     return HEADLINE_SET_VERSION, list(HEADLINE)
 
 
