@@ -192,16 +192,21 @@ def run_streaming_enriched_rollup(
 ) -> DataFrame:
     """Stream-static join: the events stream enriched against the static
     ``customer`` dimension (user_id -> mktsegment), then a per-segment
-    rollup. The static side re-resolves per micro-batch and broadcasts —
-    the canonical dimension-enrichment topology; no state beyond the
-    aggregate itself."""
+    rollup. The static side re-resolves per micro-batch — the canonical
+    dimension-enrichment topology; no state beyond the aggregate
+    itself. The dim joins UNHINTED (r16 hint discipline): customer is
+    one row per customer — SF-proportional, not bounded by
+    construction — so Spark's size logic picks broadcast per
+    micro-batch while the dim is small and a shuffled stream-static
+    join once it is not; a forced hint would pin the OOM path at
+    scale."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = _events_stream(spark, sf_dir)
     dim = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     agg = (
-        stream.join(F.broadcast(dim), "user_id")
+        stream.join(dim, "user_id")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
