@@ -506,7 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Slots 1-2: the round-16 NEW surfaces — source_fair_quality_caps (the
 #   per-source quantile-threshold scale tier) and
 #   contamination_retrieval (IDF-weighted decontamination top-k).
-# Slots 3-24: operator code modified this round, alphabetical — the
+# Slots 3-25: operator code modified this round, alphabetical — the
 #   six verdict broadcast-hint sites (ngram_jaccard_pairs{,_dfcapped},
 #   ngram_containment_pairs, simhash_neardup_pairs,
 #   source_overlap_matrix, neardup_pair_features), their code-path
@@ -517,20 +517,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   _bm25_scored, tfidf_top_terms, contrastive_negatives,
 #   quality_dup_calibration, binary_ingest_digests), and the two
 #   advice semantic fixes (source_fair_quality_rank singleton-source
-#   keep, cluster_silhouette single-label zero).
-# Slots 25-34: the ten remaining r11-latest rows (the ledger's oldest;
+#   keep, cluster_silhouette single-label zero), and
+#   embedding_pca_top2 (driver-side eigen-solve over the 4096-row
+#   Gram, bit-equal to the distributed twin, 39 -> 2 warm jobs).
+# Slots 26-35: the ten remaining r11-latest rows (the ledger's oldest;
 #   the eleventh, simhash_neardup_pairs, already sits in the modified
 #   block).
-# Slots 35-50: the first 16 of the 41 remaining r12-latest rows,
+# Slots 36-50: the first 15 of the 41 remaining r12-latest rows,
 #   alphabetical (five of the planned 39 moved into the modified
-#   block). Displaced to the r17 staging: media_features_wide,
+#   block). Displaced to the r17 staging: media_features,
+#   media_features_wide,
 #   media_type_stats, neardup_triangles, per_source_caps,
 #   png_roundtrip_features, quality_weighted_sample,
 #   semantic_dedup_multiprobe, sliding_wau, sliding_window_counts,
 #   source_vocab_overlap, the eight streaming_* rows,
 #   unigram_logprob_scores, user_path_trigrams, user_value_trend,
 #   vocab_coverage, word_counts, zorder_layout_skipping.
-# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:39, r12:24
+# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:38, r12:25
 # (205 total with the two NEW rows).
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
@@ -544,6 +547,7 @@ _SWEEP_PRIORITY = [
     "contrastive_negatives",
     "dedup_cluster_representatives",
     "dedup_clusters",
+    "embedding_pca_top2",
     "neardup_detector_matrix",
     "neardup_kcore",
     "neardup_pagerank",
@@ -586,7 +590,6 @@ _SWEEP_PRIORITY = [
     "hourly_anomaly_scores",
     "hourly_event_rollup",
     "incoming_batch_dedup",
-    "media_features",
 ]
 
 

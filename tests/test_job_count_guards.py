@@ -26,7 +26,9 @@ import __spark_entry__ as entry
 CEILINGS = [
     ("neardup_reach_rcte", 45, 48),
     ("neardup_random_walks", 43, 46),
-    ("embedding_pca_top2", 39, 42),
+    # r16: driver-side eigen-solve over the 4096-row Gram (bit-equal
+    # to the distributed twin) — 39 -> 2 warm jobs
+    ("embedding_pca_top2", 2, 5),
     ("bpe_train_merges_batched", 20, 23),
     ("bpe_train_merges", 18, 21),
 ]

@@ -1334,3 +1334,24 @@ def test_pagerank_large_docs_few_edges_takes_distributed_path(
     assert sorted(map(tuple, gated.collect())) == sorted(
         map(tuple, fast.collect())
     )
+
+
+def test_pca_top2_driver_solve_equals_distributed(spark, sf_dir):
+    """The r16 driver-side eigen-iteration (the Gram is d x d = 4096
+    rows BY CONSTRUCTION — driver-scalar class) must be BIT-identical
+    to the distributed block power iteration: both run the same
+    quantized IEEE recurrence in the same order (the pagerank-gate
+    adjudication pattern). Measured win: 39 -> 2 warm jobs, ~7x wall
+    same-session."""
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_pca_top2,
+    )
+
+    fast = sorted(map(tuple, embedding_pca_top2(spark, sf_dir).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            embedding_pca_top2(spark, sf_dir, driver_solve=False).collect(),
+        )
+    )
+    assert fast == dist and len(fast) == 64
