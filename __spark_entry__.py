@@ -124,8 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 205 (source-fair quantile caps and IDF contamination
-    retrieval added r16) and
+    registry at 206 (source-fair quantile caps, IDF contamination
+    retrieval, and the per-source Zipf slope added r16) and
     every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": textstats.doc_quality_scores,
         "source_fair_quality_rank": textstats.source_fair_quality_rank,
         "source_fair_quality_caps": textstats.source_fair_quality_caps,
+        "source_zipf_slope": textstats.source_zipf_slope,
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
         "stratified_sample": textstats.stratified_sample,
@@ -503,10 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (new/modified ops first). Round 16 touched dedup/text/textstats/
 # similarity operator code (the forced-broadcast-hint removal plus the
 # two advice semantic fixes), so the modified block is large:
-# Slots 1-2: the round-16 NEW surfaces — source_fair_quality_caps (the
-#   per-source quantile-threshold scale tier) and
-#   contamination_retrieval (IDF-weighted decontamination top-k).
-# Slots 3-25: operator code modified this round, alphabetical — the
+# Slots 1-3: the round-16 NEW surfaces — source_fair_quality_caps (the
+#   per-source quantile-threshold scale tier), contamination_retrieval
+#   (IDF-weighted decontamination top-k), and source_zipf_slope (the
+#   per-source rank-frequency regression).
+# Slots 4-26: operator code modified this round, alphabetical — the
 #   six verdict broadcast-hint sites (ngram_jaccard_pairs{,_dfcapped},
 #   ngram_containment_pairs, simhash_neardup_pairs,
 #   source_overlap_matrix, neardup_pair_features), their code-path
@@ -520,12 +522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   keep, cluster_silhouette single-label zero), and
 #   embedding_pca_top2 (driver-side eigen-solve over the 4096-row
 #   Gram, bit-equal to the distributed twin, 39 -> 2 warm jobs).
-# Slots 26-35: the ten remaining r11-latest rows (the ledger's oldest;
+# Slots 27-36: the ten remaining r11-latest rows (the ledger's oldest;
 #   the eleventh, simhash_neardup_pairs, already sits in the modified
 #   block).
-# Slots 36-50: the first 15 of the 41 remaining r12-latest rows,
+# Slots 37-50: the first 14 of the 41 remaining r12-latest rows,
 #   alphabetical (five of the planned 39 moved into the modified
-#   block). Displaced to the r17 staging: media_features,
+#   block). Displaced to the r17 staging: incoming_batch_dedup,
+#   media_features,
 #   media_features_wide,
 #   media_type_stats, neardup_triangles, per_source_caps,
 #   png_roundtrip_features, quality_weighted_sample,
@@ -533,12 +536,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   source_vocab_overlap, the eight streaming_* rows,
 #   unigram_logprob_scores, user_path_trigrams, user_value_trend,
 #   vocab_coverage, word_counts, zorder_layout_skipping.
-# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:38, r12:25
-# (205 total with the two NEW rows).
+# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:38, r12:26
+# (206 total with the three NEW rows).
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
     "source_fair_quality_caps",
     "contamination_retrieval",
+    "source_zipf_slope",
     # (1) operator code modified this round (alphabetical)
     "binary_ingest_digests",
     "bm25_top_terms",
@@ -589,7 +593,6 @@ _SWEEP_PRIORITY = [
     "customer_balance_quartiles",
     "hourly_anomaly_scores",
     "hourly_event_rollup",
-    "incoming_batch_dedup",
 ]
 
 

@@ -777,6 +777,77 @@ def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency SLOPE: the least-squares slope of
+    ln(count) against ln(rank) over each source's word-frequency
+    distribution — the classic is-this-natural-language signal (clean
+    prose reads near -1; templated/boilerplate output flattens toward
+    0 because many words share the same count; random-ID spam flattens
+    for the opposite reason). A curation pipeline reads this NEXT TO
+    the per-doc quality scores: it is a SOURCE-level distributional
+    check no per-document statistic can express.
+
+    Plan: one token-count aggregate (the only corpus-scale shuffle,
+    keyed on (source, word) with map-side partials), a rank window
+    over the per-source VOCABULARY (the aggregated relation — orders
+    of magnitude below the corpus; at extreme vocabulary the rank
+    tiers bucket by floor(log2(count)) instead, the
+    source_fair_quality_caps pattern), then one closed-form regression
+    per source: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+
+    Determinism: ranks are unique (count desc, word tiebreak); each
+    per-word term quantizes to a 1e-6 LONG BEFORE the sum (integer
+    sums are associative — partitioning cannot flip them); the final
+    slope arithmetic runs the same IEEE ops in the same order in the
+    oracle and grid-rounds to 1e-6. A single-word vocabulary has a
+    zero denominator — slope is DEFINED as 0.0 there (no distribution
+    to fit), mirrored in the oracle."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "word")
+    ranked = counts.select(
+        "source",
+        "c",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    mu = lambda e: F.expr(f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)")
+    terms = ranked.select(
+        "source",
+        mu("ln(rk)").alias("x"),
+        mu("ln(c)").alias("y"),
+        mu("ln(rk) * ln(rk)").alias("xx"),
+        mu("ln(rk) * ln(c)").alias("xy"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    num = (
+        F.col("n_vocab") * (F.col("sxy") / F.lit(1e6))
+        - (F.col("sx") / F.lit(1e6)) * (F.col("sy") / F.lit(1e6))
+    )
+    den = (
+        F.col("n_vocab") * (F.col("sxx") / F.lit(1e6))
+        - (F.col("sx") / F.lit(1e6)) * (F.col("sx") / F.lit(1e6))
+    )
+    slope = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    return agg.select(
+        "source",
+        "n_vocab",
+        grid_round(slope, 6).alias("zipf_slope"),
+    )
+
+
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary Jaccard between sources — the corpus-mixing
     diagnostic a pretraining run reads before weighting sources (two

@@ -1630,3 +1630,37 @@ def test_contamination_retrieval_idf_ranks_rare_overlap_first(
         assert all(r["score"] > 0 for r in by_rank)
     finally:
         release_caches(spark)
+
+
+def test_source_zipf_slope_discriminates_distributions(spark, tmp_path):
+    """The distributional claim: a source whose word frequencies follow
+    an exact Zipf law (count of rank-k word = floor(N/k)) regresses to
+    a slope near -1; a source where every word has the SAME count has
+    no rank-frequency structure (constant y) and reads ~0; a
+    single-word source hits the zero-denominator guard and is DEFINED
+    as 0.0 exactly."""
+    from geektime_bigdata_spark.operators.textstats import (
+        source_zipf_slope,
+    )
+
+    words = []
+    for k in range(1, 41):  # 40 ranks, count 120/k
+        words += [f"z{k:02d}"] * (120 // k)
+    zipf_text = " ".join(words)
+    flat_text = " ".join([f"u{k:02d}" for k in range(30)] * 4)  # all c=4
+    rows = [
+        (1, zipf_text, "en", "zipfian", 1),
+        (2, flat_text, "en", "flat", 1),
+        (3, "solo solo solo", "en", "single", 1),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r["source"]: r for r in source_zipf_slope(spark, str(tmp_path)).collect()}
+    assert out["zipfian"]["n_vocab"] == 40
+    assert -1.15 < out["zipfian"]["zipf_slope"] < -0.85, out["zipfian"]
+    assert abs(out["flat"]["zipf_slope"]) < 0.001, out["flat"]
+    assert out["single"]["n_vocab"] == 1
+    assert out["single"]["zipf_slope"] == 0.0
