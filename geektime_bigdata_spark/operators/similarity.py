@@ -1059,6 +1059,13 @@ def embedding_pca_top2(
         gm: dict[tuple[int, int], int] = {
             (r["i"], r["j"]): r["gram_micros"] for r in g.collect()
         }
+        if len(gm) != d * d:
+            # structurally every (i, j) pair is emitted (the partial
+            # Gram yields the full triu grid, zeros included); an
+            # incomplete dict means a degenerate input (e.g. an empty
+            # embeddings table) — fall through to the distributed
+            # formulation, which degrades the same way on both paths
+            return embedding_pca_top2(spark, sf_dir, driver_solve=False)
         ids = list(range(1, d + 1))
         v1 = {j: 125000 for j in ids}
         v2 = {j: (125000 if j % 2 == 0 else -125000) for j in ids}
