@@ -1355,3 +1355,95 @@ def test_pca_top2_driver_solve_equals_distributed(spark, sf_dir):
         )
     )
     assert fast == dist and len(fast) == 64
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_pca_top2_driver_solve_equals_distributed_any_embeddings(
+    spark, tmp_path_factory, vecs
+):
+    """The full driver-solve/distributed contract on ANY embedding
+    table: both paths run the same quantized IEEE recurrence, so for
+    every input they either produce BIT-EQUAL output or fail with the
+    same division-by-zero class (a quantized-rank-deficient spectrum —
+    all-zero corpus, or a rank-1 corpus whose second residual
+    quantizes away — divides by zero in the normalization: ANSI
+    DIVIDE_BY_ZERO distributed, ZeroDivisionError on the driver).
+    The hypothesis twin of the fixed-corpus equality test."""
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_pca_top2,
+    )
+
+    d = tmp_path_factory.mktemp("pcaany")
+    spark.createDataFrame(
+        [(i, v, i % 2) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    try:
+        fast = sorted(
+            map(tuple, embedding_pca_top2(spark, str(d)).collect())
+        )
+    except ZeroDivisionError:
+        import pytest
+
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            embedding_pca_top2(
+                spark, str(d), driver_solve=False
+            ).collect()
+        return
+    dist = sorted(
+        map(
+            tuple,
+            embedding_pca_top2(
+                spark, str(d), driver_solve=False
+            ).collect(),
+        )
+    )
+    assert fast == dist and len(fast) == 64
+
+
+def test_pca_top2_zero_corpus_raises_on_both_paths(
+    spark, tmp_path_factory
+):
+    """Degenerate-spectrum parity: an all-zero embedding table has
+    n1 = 0 and the normalization divides by zero — under ANSI the
+    distributed path raises DIVIDE_BY_ZERO and the driver path raises
+    ZeroDivisionError. The two paths must FAIL the same way, not
+    diverge silently."""
+    import pytest
+
+    from geektime_bigdata_spark.operators.similarity import (
+        embedding_pca_top2,
+    )
+
+    d = tmp_path_factory.mktemp("pcazero")
+    spark.createDataFrame(
+        [(0, [0.0] * 64, 0), (1, [0.0] * 64, 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    with pytest.raises(ZeroDivisionError):
+        embedding_pca_top2(spark, str(d)).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        embedding_pca_top2(spark, str(d), driver_solve=False).collect()
