@@ -717,10 +717,31 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAM_TOPK = 10
+# Train-side document-frequency cap on the retrieval probe (VERDICT r16
+# item 1, the ngram_jaccard_pairs_dfcapped pattern): shingles shared
+# with the eval set but appearing in more than CONTAM_DF_CAP training
+# documents are BOILERPLATE — they are dropped before the pair
+# expansion, so per-shingle work is bounded at cap x df_eval(shingle)
+# no matter how common the shingle is in the corpus (uncapped, one
+# stopword trigram with df_train ~10^9 on a real crawl materializes
+# df_train x df_eval rows before the aggregate — a stage flood whose
+# contribution IDF scores near 0 anyway). Cap choice measured on the
+# synthetic corpus: at sf0.1 the probe-survivor df distribution reads
+# q50/q90/max = 9/14/22 and cap=16 drops 66 of 2,396 shared shingles
+# (2.8%, 1,217 of 22,889 probe rows) — the cap BINDS at the
+# driver-checked scale so the capped semantics themselves are
+# oracle-verified, while every rare (discriminative) shingle survives;
+# at sf0.001/0.01 (max df 4) it is non-binding. Like NGRAM_DF_CAP this
+# is the per-deployment knob: raise it to admit more shared-context
+# mass, at linearly-bounded cost.
+CONTAM_DF_CAP = 16
 
 
 def contamination_retrieval(
-    spark: SparkSession, sf_dir: str, k: int = CONTAM_TOPK
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = CONTAM_TOPK,
+    max_df: int | None = CONTAM_DF_CAP,
 ) -> DataFrame:
     """IDF-weighted decontamination retrieval (VERDICT r15 item 7): for
     every EVAL item (the held-out set, ``doc_id % 97 == 0`` as in
@@ -738,19 +759,32 @@ def contamination_retrieval(
     shingle) relation — benchmark suites are tiny next to the corpus,
     so it broadcasts (bounded by the EVAL SET, not the corpus — the
     class of hint the r15 verdict kept); train shingles probe it
-    map-side at scan speed, exactly the benchmark_contamination plan.
+    map-side at scan speed, exactly the benchmark_contamination plan,
+    and the probe output is CACHED so its two consumers (the df
+    aggregate and the pair expansion) run it once (ADVICE r16; the
+    cache is disk-spillable and at worst the size of the eval-shared
+    slice of the shingle relation, which is itself already cached).
     Document frequency is computed ONLY for shingles the probe
     survived (df of a non-eval shingle is never needed), so the idf
-    relation is eval-bounded too. The per-pair aggregate shuffles on
-    (eval_doc_id, doc_id) with map-side partials; the top-k window
-    partitions by eval item — |eval| partitions, each holding only
-    that item's candidate rows.
+    relation is eval-bounded too. Shingles with train-side df over
+    ``max_df`` (boilerplate — see CONTAM_DF_CAP) are dropped BEFORE
+    the pair expansion via the inner join with the capped idf relation
+    (equivalent to the dfcapped hot-set anti-join, one join cheaper),
+    so per-shingle expansion is bounded at max_df x df_eval no matter
+    how hot the shingle: the uncapped plan materialized df_train x
+    df_eval rows per shingle, a stage flood at crawl scale (VERDICT
+    r16 item 1). ``max_df=None`` restores uncapped semantics (the
+    comparison arm of the rare-ranking pytest fixture). The per-pair
+    aggregate shuffles on (eval_doc_id, doc_id) with map-side
+    partials; the top-k window partitions by eval item — |eval|
+    partitions, each holding only that item's candidate rows.
 
     Determinism: per-shingle idf grid-rounds to 1e-6, the pair score
     accumulates the micros as LONGs (associative — partitioning can
     never flip a sum), ranking compares the integer with a doc_id
     tiebreak, and the emitted double is micros/1e6 — the exact_sum
-    contract. The oracle writes every float op in the same order."""
+    contract. The oracle writes every float op in the same order and
+    mirrors the df cap as a WHERE on its df CTE."""
     sh = _doc_shingles(spark, sf_dir)
     ev = (
         sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
@@ -763,25 +797,32 @@ def contamination_retrieval(
         .count()
     )  # tiny scalar, same style as bm25's n_docs
     ev_shingles = ev.select("shingle").distinct()
-    hits = train.join(F.broadcast(ev_shingles), "shingle")
+    hits = train.join(F.broadcast(ev_shingles), "shingle").cache()
     df_ = hits.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")  # (doc, shingle) rows are distinct
     )
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
     idf = F.log(
         (F.lit(float(n_train)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    idf_micros = F.floor(
-        grid_round(idf, 6) * F.lit(1000000.0) + F.lit(0.5)
-    ).cast("long")
+    rare = df_.select(
+        "shingle",
+        F.floor(grid_round(idf, 6) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("idf_micros"),
+    )
     scored = (
-        hits.join(F.broadcast(ev), "shingle")
-        .join(F.broadcast(df_), "shingle")  # eval-bounded, like ev
+        # the capped idf join FIRST: it prunes hot shingles before the
+        # eval fan-out multiplies each hit row by df_eval(shingle)
+        hits.join(F.broadcast(rare), "shingle")  # eval-bounded, capped
+        .join(F.broadcast(ev), "shingle")
         .groupBy("eval_doc_id", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared_shingles"),
-            F.sum(idf_micros).cast("long").alias("score_micros"),
+            F.sum("idf_micros").cast("long").alias("score_micros"),
         )
     )
     w = Window.partitionBy("eval_doc_id").orderBy(

@@ -18,8 +18,11 @@ WITH toks AS (
     SELECT tr.doc_id, tr.shingle FROM tr
     WHERE tr.shingle IN (SELECT shingle FROM ev)
 ), dfp AS (
-    -- (doc, shingle) rows are distinct, so count(*) = document frequency
+    -- (doc, shingle) rows are distinct, so count(*) = document
+    -- frequency; the df cap (CONTAM_DF_CAP=16) drops boilerplate
+    -- shingles before the pair expansion, mirroring the Spark probe
     SELECT shingle, count(*) AS df FROM hits GROUP BY shingle
+    HAVING count(*) <= 16
 ), idf AS (
     -- Lucene-variant idf over TRAIN docs, grid-rounded then micro-quantized
     -- (float op order identical to the Spark expression; fractional
@@ -31,6 +34,8 @@ WITH toks AS (
                       * 1000000.0 + 0.5) AS BIGINT) AS idf_micros
     FROM dfp CROSS JOIN n
 ), scored AS (
+    -- the inner join with the CAPPED idf relation doubles as the
+    -- hot-shingle anti-join: only rare shingles reach the aggregate
     SELECT ev.eval_doc_id, hits.doc_id,
            CAST(count(*) AS BIGINT) AS n_shared_shingles,
            CAST(sum(idf.idf_micros) AS BIGINT) AS score_micros

@@ -1632,6 +1632,57 @@ def test_contamination_retrieval_idf_ranks_rare_overlap_first(
         release_caches(spark)
 
 
+def test_contamination_retrieval_df_cap_drops_only_hot_shingles(
+    spark, tmp_path
+):
+    """The df-cap claim (VERDICT r16 item 1): with ``max_df`` set, a
+    boilerplate shingle whose train-side df exceeds the cap contributes
+    NOTHING — pairs whose entire overlap is hot vanish, and the
+    rankings of rare-shingle matches are IDENTICAL to the uncapped
+    run (the dfcapped recall contract: cost is exactly the
+    boilerplate-dominated pairs a curation pipeline wants gone).
+    Fixture: eval doc 0 shares a rare trigram with train doc 1 and a
+    boilerplate trigram (df_train = 6 > cap 4) with train docs 2..7."""
+    from geektime_bigdata_spark.operators.dedup import (
+        contamination_retrieval,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    try:
+        boiler = "click here now"
+        rare = "quantized shingle artifact"
+        rows = [(0, f"{rare} and then {boiler}", "en", "s", 1)]
+        rows.append((1, f"prefix {rare} suffix words", "en", "s", 1))
+        for i in range(2, 8):
+            rows.append((i, f"filler{i} text {boiler} tail{i}", "en", "s", 1))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        uncapped = contamination_retrieval(
+            spark, str(tmp_path), max_df=None
+        ).collect()
+        capped = contamination_retrieval(
+            spark, str(tmp_path), max_df=4
+        ).collect()
+        # boilerplate-only matches (docs 2..7, each sharing only the
+        # hot trigram) are gone under the cap; the rare match survives
+        assert sorted(r["doc_id"] for r in capped) == [1]
+        assert {r["doc_id"] for r in uncapped} == set(range(1, 8))
+        # the rare-shingle match's rank, shared count, and SCORE are
+        # unchanged: its shingle's df and idf are cap-invariant
+        (c,) = capped
+        (u,) = [r for r in uncapped if r["doc_id"] == 1]
+        assert (c["rk"], c["n_shared_shingles"]) == (1, 1)
+        assert (u["rk"], u["n_shared_shingles"]) == (1, 1)
+        assert c["score"] == u["score"] > 0
+    finally:
+        release_caches(spark)
+
+
 def test_source_zipf_slope_discriminates_distributions(spark, tmp_path):
     """The distributional claim: a source whose word frequencies follow
     an exact Zipf law (count of rank-k word = floor(N/k)) regresses to
