@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_fair_quality_rank": textstats.source_fair_quality_rank,
         "source_fair_quality_caps": textstats.source_fair_quality_caps,
         "source_zipf_slope": textstats.source_zipf_slope,
+        "source_zipf_slope_grouped": textstats.source_zipf_slope_grouped,
         "doc_fingerprints": textstats.doc_fingerprints,
         "rolling_fingerprints": textstats.rolling_fingerprints,
         "stratified_sample": textstats.stratified_sample,

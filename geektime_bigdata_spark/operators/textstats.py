@@ -790,10 +790,12 @@ def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one token-count aggregate (the only corpus-scale shuffle,
     keyed on (source, word) with map-side partials), a rank window
     over the per-source VOCABULARY (the aggregated relation — orders
-    of magnitude below the corpus; at extreme vocabulary the rank
-    tiers bucket by floor(log2(count)) instead, the
-    source_fair_quality_caps pattern), then one closed-form regression
-    per source: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+    of magnitude below the corpus, but still a one-task-per-source
+    sort that grows with corpus under Heaps' law; at extreme
+    vocabulary use :func:`source_zipf_slope_grouped`, whose rank()
+    tie ranges come from the far smaller (source, count) distinct
+    relation — the registered scale tier), then one closed-form
+    regression per source: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
 
     Determinism: ranks are unique (count desc, word tiebreak); each
     per-word term quantizes to a 1e-6 LONG BEFORE the sum (integer
@@ -844,6 +846,96 @@ def source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source",
         "n_vocab",
+        grid_round(slope, 6).alias("zipf_slope"),
+    )
+
+
+def source_zipf_slope_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier of :func:`source_zipf_slope` (VERDICT r16 item 2): the
+    same per-source ln(count)-on-ln(rank) regression, with RANK()
+    tie-aware ranks computed from the (source, count) DISTINCT relation
+    instead of a row_number window over the full vocabulary. Every word
+    with count ``c`` takes rank ``1 + #{words with a larger count}``
+    (the min of its row_number tie range), so the regression terms for
+    a whole tie group are ``m x term(rk, c)`` — the per-word relation
+    is never ranked at all.
+
+    Why this is the 100 TB form: the exact tier's rank window sorts
+    each source's FULL vocabulary in one task (10^8+ rows for a crawl
+    source under Heaps' law — the one-task sort the r16 verdict
+    flagged). Here the window sorts the per-source DISTINCT COUNT
+    relation, whose size is bounded by sqrt(2 x tokens_in_source)
+    (counts are positive integers summing to the token total, so at
+    most ~sqrt(2N) distinct values exist) — ~10^5 rows per source at
+    100 TB, one-task sortable forever. Everything upstream of that
+    window is a mergeable aggregate: the corpus token-count shuffle
+    (shared shape with the exact tier), then a second map-side-
+    combinable aggregate onto (source, count). ``n_groups`` (distinct
+    count values) rides along as the tie-structure diagnostic.
+
+    Agreement contract with the exact tier (pytest-pinned): identical
+    output when no two words of a source share a count (tie ranges of
+    one make rank() == row_number()); on tied corpora the slopes track
+    within a small bracket — ties concentrate in the low-count tail
+    where rank() pins each group at its leftmost (largest-magnitude
+    ln) position. Same determinism discipline as the exact tier:
+    per-GROUP terms micro-quantize to LONGs before the (associative)
+    integer sums, multiplied by the exact integer group size; the
+    closed-form slope runs identical IEEE ops in both engines;
+    single-word vocabularies define slope 0.0."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grp = counts.groupBy("source", "c").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.select(
+        "source",
+        "c",
+        "m",
+        (F.coalesce(F.sum("m").over(w), F.lit(0)) + F.lit(1))
+        .cast("long")
+        .alias("rk"),
+    )
+    mu = lambda e: F.expr(f"CAST(floor(({e}) * 1000000.0 + 0.5) AS BIGINT)")
+    terms = ranked.select(
+        "source",
+        "m",
+        (F.col("m") * mu("ln(rk)")).alias("x"),
+        (F.col("m") * mu("ln(c)")).alias("y"),
+        (F.col("m") * mu("ln(rk) * ln(rk)")).alias("xx"),
+        (F.col("m") * mu("ln(rk) * ln(c)")).alias("xy"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    num = (
+        F.col("n_vocab") * (F.col("sxy") / F.lit(1e6))
+        - (F.col("sx") / F.lit(1e6)) * (F.col("sy") / F.lit(1e6))
+    )
+    den = (
+        F.col("n_vocab") * (F.col("sxx") / F.lit(1e6))
+        - (F.col("sx") / F.lit(1e6)) * (F.col("sx") / F.lit(1e6))
+    )
+    slope = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    return agg.select(
+        "source",
+        "n_vocab",
+        "n_groups",
         grid_round(slope, 6).alias("zipf_slope"),
     )
 
