@@ -579,7 +579,7 @@ _SWEEP_PRIORITY = [
     "stratified_sample",
     "term_freq",
     "wav_roundtrip_features",
-    # (3) the first 16 of the 41 remaining r12-latest rows, alphabetical
+    # (3) the first 14 of the 41 remaining r12-latest rows, alphabetical
     "attribution_range_join",
     "blocklist_scrub",
     "boilerplate_ngrams",

@@ -1020,7 +1020,16 @@ def embedding_pca_top2(
     asserted by the fast==distributed pytest, the pagerank-gate
     pattern. ``driver_solve=False`` keeps the distributed iteration
     (the adjudication twin; embedding_pca_power remains the
-    distributed-iteration showcase in the bench set). The corpus-scale
+    distributed-iteration showcase in the bench set). FAILURE-CLASS
+    caveat (ADVICE r16): the driver path executes EAGERLY — the
+    ``g.collect()`` and the Python loop run at DataFrame-CONSTRUCTION
+    time, and a quantized-rank-deficient spectrum surfaces as a Python
+    ``ZeroDivisionError`` raised from this call, while the lazy
+    distributed twin raises Spark's ``DIVIDE_BY_ZERO`` only at action
+    time — same failure class (pytest-pinned parity), different
+    exception type and timing; callers catching Spark exceptions
+    around ``.collect()`` must also catch the construction-time
+    ``ZeroDivisionError`` here. The corpus-scale
     stage — the one distributed Gram pass — is unchanged; only the
     d x d eigen-iteration moved to the driver.
 

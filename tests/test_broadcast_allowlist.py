@@ -72,7 +72,7 @@ ALLOWLIST = {
     "operators/tpch.py::q20_heavy_shippers": 1,  # nation dim
     "operators/tpch.py::q21_suppliers_waiting": 1,  # nation dim
     "operators/tpch.py::q22_global_sales_opportunity": 1,  # avg scalar
-    "operators/tpch.py::q2_min_cost_supplier": 1,  # region-filtered dims
+    "operators/tpch.py::q2_min_cost_supplier": 1,  # nation dim (25 rows)
     "operators/tpch.py::q7_volume_shipping": 2,  # nation pair x2
     "operators/tpch.py::q8_market_share": 3,  # nation x2 + region
     "operators/tpch.py::q9_product_profit": 1,  # nation dim
