@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,
         "benchmark_contamination": dedup.benchmark_contamination,
         "contamination_retrieval": dedup.contamination_retrieval,
+        "contamination_suite_report": dedup.contamination_suite_report,
         "duplicate_span_stats": dedup.duplicate_span_stats,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,

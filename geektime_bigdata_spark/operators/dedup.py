@@ -841,6 +841,153 @@ def contamination_retrieval(
     )
 
 
+# The synthetic benchmark SUITES of the multi-suite decontamination
+# report: each modulus stands in for one external eval set's doc-id
+# hash class (97 is EVAL_SET_MOD, the suite the single-suite operators
+# use). A doc can belong to several suites (doc_id % lcm == 0) and is
+# excluded from the TRAIN side only of the suites it belongs to —
+# exactly how independent external benchmarks overlap a crawl.
+CONTAM_SUITES = (97, 89, 83)
+# "Strong" contamination floor for the per-suite rate: top-1 retrieval
+# score >= 5.0 (5e6 micros) — roughly one genuinely rare shared
+# shingle (idf of a df=1 shingle is ln(n_train/1.5 + 1) ~ 5.8 at
+# n_train=500 and grows with the corpus), so boilerplate-only matches
+# (post-cap idf sums of a few low-idf shingles) stay below it.
+CONTAM_STRONG_MICROS = 5_000_000
+
+
+def contamination_suite_report(
+    spark: SparkSession,
+    sf_dir: str,
+    suites: tuple[int, ...] = CONTAM_SUITES,
+    max_df: int = CONTAM_DF_CAP,
+) -> DataFrame:
+    """Multi-suite decontamination REPORT (VERDICT r16 item 8): the
+    aggregate view a data-curation review actually reads — one row per
+    benchmark suite with the suite's eval/train sizes, how many eval
+    items retrieved any training match, how many matched STRONGLY
+    (top-1 IDF score >= 5.0, see CONTAM_STRONG_MICROS), the summed
+    top-1 score mass, and the two contamination rates. Composes
+    :func:`contamination_retrieval`'s scoring over every suite in ONE
+    corpus probe instead of per-suite reruns.
+
+    Scale shape: suite membership is a per-row array filter on doc_id
+    (map-side, no shuffle); the distinct (suite, shingle) eval
+    relation broadcasts (bounded by the union of the eval sets — the
+    kept hint class); the single corpus-scale probe fans each matching
+    train shingle out by at most |suites| rows; df is per (suite,
+    shingle) over probe survivors (eval-bounded) and the df cap drops
+    boilerplate before the eval-doc fan-out exactly as in the
+    single-suite operator. Per-suite n_eval/n_train are ONE driver-row
+    aggregate over documents joined back as a |suites|-row broadcast.
+    The final report is |suites| rows — a driver-scale artifact.
+
+    Determinism: scores ride the capped idf micro-LONG contract; the
+    top-1 pick uses the (score desc, doc_id) total order; rates are
+    integer-ratio doubles on the 1e-6 grid, DEFINED 0.0 for an empty
+    eval set. The oracle mirrors every step including the cap and the
+    strong floor."""
+    sh = _doc_shingles(spark, sf_dir)
+    docs = parallel_table(spark, sf_dir, "documents")
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(
+                F.when(F.col("doc_id") % m == 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"ev{m}")
+            for m in suites
+        ],
+    ).collect()[0]
+    suites_df = spark.createDataFrame(
+        [
+            (m, int(row[f"ev{m}"]), int(row["n_docs"]) - int(row[f"ev{m}"]))
+            for m in suites
+        ],
+        "suite long, n_eval_docs long, n_train_docs long",
+    )
+    suites_arr = F.array(*[F.lit(m).cast("long") for m in suites])
+    member = F.filter(
+        suites_arr, lambda s: F.col("doc_id") % s == F.lit(0)
+    )
+    ev = sh.select(
+        F.explode(member).alias("suite"),
+        F.col("doc_id").alias("eval_doc_id"),
+        "shingle",
+    )
+    ev_shingles = ev.select("suite", "shingle").distinct()
+    hits = (
+        sh.join(F.broadcast(ev_shingles), "shingle")
+        .filter(F.col("doc_id") % F.col("suite") != 0)
+        .cache()
+    )
+    df_ = (
+        hits.groupBy("suite", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .join(F.broadcast(suites_df), "suite")
+    )
+    idf = F.log(
+        (F.col("n_train_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    rare = df_.select(
+        "suite",
+        "shingle",
+        F.floor(grid_round(idf, 6) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("idf_micros"),
+    )
+    top1 = (
+        hits.join(F.broadcast(rare), ["suite", "shingle"])
+        .join(F.broadcast(ev), ["suite", "shingle"])
+        .groupBy("suite", "eval_doc_id", "doc_id")
+        .agg(F.sum("idf_micros").cast("long").alias("score_micros"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("suite", "eval_doc_id").orderBy(
+                    F.col("score_micros").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    per_suite = top1.groupBy("suite").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_eval"),
+        F.sum(
+            F.when(
+                F.col("score_micros") >= CONTAM_STRONG_MICROS, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_strong_eval"),
+        F.sum("score_micros").cast("long").alias("sum_top1_micros"),
+    )
+    rate = lambda c: F.when(
+        F.col("n_eval_docs") == 0, F.lit(0.0)
+    ).otherwise(grid_round(F.col(c) / F.col("n_eval_docs"), 6))
+    return (
+        suites_df.join(F.broadcast(per_suite), "suite", "left")
+        .select(
+            "suite",
+            "n_eval_docs",
+            "n_train_docs",
+            F.coalesce(F.col("n_matched_eval"), F.lit(0))
+            .cast("long")
+            .alias("n_matched_eval"),
+            F.coalesce(F.col("n_strong_eval"), F.lit(0))
+            .cast("long")
+            .alias("n_strong_eval"),
+            F.coalesce(F.col("sum_top1_micros"), F.lit(0))
+            .cast("long")
+            .alias("sum_top1_micros"),
+        )
+        .withColumn("matched_rate", rate("n_matched_eval"))
+        .withColumn("strong_rate", rate("n_strong_eval"))
+    )
+
+
 def bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup: documents whose token MULTISETS are equal
     collapse to one group — catches word-order shuffles that exact

@@ -38,6 +38,9 @@ ALLOWLIST = {
     "operators/dedup.py::benchmark_contamination": 1,  # eval shingle set
     "operators/dedup.py::boilerplate_ngrams": 1,  # threshold scalar
     "operators/dedup.py::contamination_retrieval": 3,  # eval-bounded x3
+    # eval-bounded x3 (suite-tagged eval shingles / capped idf / eval
+    # docs) + two |suites|-row frames (sizes, per-suite aggregate)
+    "operators/dedup.py::contamination_suite_report": 5,
     "operators/dedup.py::dedup_clusters": 1,  # size-gated fast-path labels
     "operators/dedup.py::ngram_jaccard_pairs_dfcapped": 1,  # hot shingles
     "operators/etl.py::clipped_value_stats": 1,  # per-event_type bounds

@@ -1683,6 +1683,65 @@ def test_contamination_retrieval_df_cap_drops_only_hot_shingles(
         release_caches(spark)
 
 
+def test_contamination_suite_report_cross_suite_membership(
+    spark, tmp_path
+):
+    """The multi-suite composition claims: (a) a doc is eval for the
+    suites it belongs to and TRAIN for every other suite (docs 5 and 6
+    sit on opposite sides of suites 3 and 5); (b) the strong floor
+    separates a 4-shingle rare overlap (score ~6.7 > 5.0) from a
+    1-shingle one (~1.7); (c) a suite with an empty eval set emits its
+    row with zero counts and DEFINED 0.0 rates."""
+    from geektime_bigdata_spark.operators.dedup import (
+        contamination_suite_report,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    try:
+        strong = "s1 s2 s3 s4 s5 s6"  # 4 shared trigrams
+        weak = "w1 w2 w3"  # 1 shared trigram
+        texts = {
+            1: "f1a f1b f1c f1d",
+            2: "f2a f2b f2c f2d",
+            3: f"f3a {strong} f3b",  # eval for suite 3, strong match
+            4: "f4a f4b f4c f4d",
+            5: f"f5a {weak} f5b",  # eval for 5 / train for 3
+            6: f"f6a {weak} f6b",  # eval for 3 / train for 5
+            7: f"f7a {strong} f7b",  # train everywhere
+            8: "f8a f8b f8c f8d",
+            9: "f9a f9b f9c f9d",
+            10: "faa fab fac fad",
+        }
+        spark.createDataFrame(
+            [(i, t, "en", "s", 1) for i, t in texts.items()],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        out = {
+            r["suite"]: r
+            for r in contamination_suite_report(
+                spark, str(tmp_path), suites=(3, 5, 101)
+            ).collect()
+        }
+        s3, s5, s101 = out[3], out[5], out[101]
+        assert (s3["n_eval_docs"], s3["n_train_docs"]) == (3, 7)
+        assert (s3["n_matched_eval"], s3["n_strong_eval"]) == (2, 1)
+        assert (s3["matched_rate"], s3["strong_rate"]) == (
+            0.666667,
+            0.333333,
+        )
+        assert (s5["n_eval_docs"], s5["n_train_docs"]) == (2, 8)
+        assert (s5["n_matched_eval"], s5["n_strong_eval"]) == (1, 0)
+        assert (s5["matched_rate"], s5["strong_rate"]) == (0.5, 0.0)
+        assert (s101["n_eval_docs"], s101["n_train_docs"]) == (0, 10)
+        assert (s101["n_matched_eval"], s101["sum_top1_micros"]) == (0, 0)
+        assert (s101["matched_rate"], s101["strong_rate"]) == (0.0, 0.0)
+    finally:
+        release_caches(spark)
+
+
 def test_source_zipf_slope_discriminates_distributions(spark, tmp_path):
     """The distributional claim: a source whose word frequencies follow
     an exact Zipf law (count of rank-k word = floor(N/k)) regresses to
