@@ -124,8 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 206 (source-fair quantile caps, IDF contamination
-    retrieval, and the per-source Zipf slope added r16) and
+    registry at 208 (the multi-suite contamination report and the
+    tie-grouped Zipf-slope scale tier added r17) and
     every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -498,103 +498,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-16 sweep prefix (driver checks the first 50 queries() entries).
-# Ledger recomputed from the raw CORRECTNESS_r01-r15 union before
-# rotating (latest green round per query: r15:50, r14:48, r13:48,
-# r12:46, r11:11 — 203/203 green, 0 red; matches the SURVEY §7.18
-# prediction exactly), then adjusted per the ordering contract
-# (new/modified ops first). Round 16 touched dedup/text/textstats/
-# similarity operator code (the forced-broadcast-hint removal plus the
-# two advice semantic fixes), so the modified block is large:
-# Slots 1-3: the round-16 NEW surfaces — source_fair_quality_caps (the
-#   per-source quantile-threshold scale tier), contamination_retrieval
-#   (IDF-weighted decontamination top-k), and source_zipf_slope (the
-#   per-source rank-frequency regression).
-# Slots 4-26: operator code modified this round, alphabetical — the
-#   six verdict broadcast-hint sites (ngram_jaccard_pairs{,_dfcapped},
-#   ngram_containment_pairs, simhash_neardup_pairs,
-#   source_overlap_matrix, neardup_pair_features), their code-path
-#   riders (simhash_doc_pairs, dedup_clusters, neardup_pagerank,
-#   neardup_kcore, neardup_reach_rcte, neardup_random_walks,
-#   neardup_detector_matrix, dedup_cluster_representatives), the
-#   extended hint audit (bm25_top_terms + bm25_topk_docs via
-#   _bm25_scored, tfidf_top_terms, contrastive_negatives,
-#   quality_dup_calibration, binary_ingest_digests), and the two
-#   advice semantic fixes (source_fair_quality_rank singleton-source
-#   keep, cluster_silhouette single-label zero), and
-#   embedding_pca_top2 (driver-side eigen-solve over the 4096-row
-#   Gram, bit-equal to the distributed twin, 39 -> 2 warm jobs).
-# Slots 27-36: the ten remaining r11-latest rows (the ledger's oldest;
-#   the eleventh, simhash_neardup_pairs, already sits in the modified
-#   block).
-# Slots 37-50: the first 14 of the 41 remaining r12-latest rows,
-#   alphabetical (five of the planned 39 moved into the modified
-#   block). Displaced to the r17 staging: incoming_batch_dedup,
-#   media_features,
-#   media_features_wide,
-#   media_type_stats, neardup_triangles, per_source_caps,
-#   png_roundtrip_features, quality_weighted_sample,
-#   semantic_dedup_multiprobe, sliding_wau, sliding_window_counts,
-#   source_vocab_overlap, the eight streaming_* rows,
-#   unigram_logprob_scores, user_path_trigrams, user_value_trend,
-#   vocab_coverage, word_counts, zorder_layout_skipping.
-# Expected post-r16 ledger: r16:50, r15:48, r14:44, r13:38, r12:26
-# (206 total with the three NEW rows).
+# Round-17 sweep prefix (driver checks the first 50 queries() entries).
+# Ledger recomputed from the raw CORRECTNESS_r01-r16 union before
+# rotating (latest green round per query: r16:50, r15:41, r14:47,
+# r13:42, r12:26 - 206/206 green, 0 red; matches the r16 VERDICT's
+# recomputation exactly). Round 17 modified ONE registered operator
+# (contamination_retrieval: the df-capped probe) and added two new
+# surfaces, so the head is small and the prescribed r12-cohort
+# rotation (SURVEY 7.19 staging) runs nearly intact:
+# Slots 1-2: the round-17 NEW surfaces - contamination_suite_report
+#   (multi-suite decontamination rates) and source_zipf_slope_grouped
+#   (the tie-grouped rank scale tier).
+# Slot 3: contamination_retrieval, the one operator whose code path
+#   changed (df cap + single cached probe). source_zipf_slope and
+#   embedding_pca_top2 took docstring-only edits - not code changes,
+#   so they do not displace rotation slots.
+# Slots 4-29: the full 26-query r12-latest cohort (all ten
+#   streaming_* rows, the media_* suite, and the r12 stragglers) -
+#   the staged 7.19 rotation, alphabetical.
+# Slots 30-50: the first 21 of the 42 r13-latest rows, alphabetical.
+#   Displaced to the r18 staging by the 3-slot head:
+#   lang_source_listagg, media_resize_digest, mixture_allocation
+#   (the next r13 rows in sort order).
+# Expected post-r17 ledger: r17:50, r16:47, r15:41, r14:47, r13:21,
+# r12:0 + the 2 new rows first-checked r17 (208 total); max staleness
+# drops to 4 rounds (the r13 tail), streaming re-checked.
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
-    "source_fair_quality_caps",
+    "contamination_suite_report",
+    "source_zipf_slope_grouped",
+    # (1) operator code modified this round
     "contamination_retrieval",
-    "source_zipf_slope",
-    # (1) operator code modified this round (alphabetical)
-    "binary_ingest_digests",
-    "bm25_top_terms",
-    "bm25_topk_docs",
-    "cluster_silhouette",
-    "contrastive_negatives",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "embedding_pca_top2",
-    "neardup_detector_matrix",
-    "neardup_kcore",
-    "neardup_pagerank",
-    "neardup_pair_features",
-    "neardup_random_walks",
-    "neardup_reach_rcte",
-    "ngram_containment_pairs",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_dfcapped",
-    "quality_dup_calibration",
-    "simhash_doc_pairs",
-    "simhash_neardup_pairs",
-    "source_fair_quality_rank",
-    "source_overlap_matrix",
-    "tfidf_top_terms",
-    # (2) the ten remaining r11-latest rows (ledger's oldest)
-    "positional_postings",
-    "posting_list_tf_str",
-    "salted_top_words",
-    "scd2_intervals",
-    "semantic_dedup",
-    "session_window_rollup",
-    "simhash_fingerprints",
-    "stratified_sample",
-    "term_freq",
-    "wav_roundtrip_features",
-    # (3) the first 14 of the 41 remaining r12-latest rows, alphabetical
-    "attribution_range_join",
-    "blocklist_scrub",
-    "boilerplate_ngrams",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "bpe_train_merges_batched",
-    "cdc_apply",
-    "cluster_balanced_sample",
-    "cohort_retention",
-    "curated_corpus",
-    "curation_summary",
-    "customer_balance_quartiles",
-    "hourly_anomaly_scores",
-    "hourly_event_rollup",
+    # (2) the 26-query r12-latest cohort (ledger's oldest)
+    "incoming_batch_dedup",
+    "media_features",
+    "media_features_wide",
+    "media_type_stats",
+    "neardup_triangles",
+    "per_source_caps",
+    "png_roundtrip_features",
+    "quality_weighted_sample",
+    "semantic_dedup_multiprobe",
+    "sliding_wau",
+    "sliding_window_counts",
+    "source_vocab_overlap",
+    "streaming_attribution",
+    "streaming_attribution_full_outer",
+    "streaming_attribution_outer",
+    "streaming_dedup",
+    "streaming_enriched_rollup",
+    "streaming_hourly_rollup",
+    "streaming_sliding_counts",
+    "streaming_upsert_sink",
+    "unigram_logprob_scores",
+    "user_path_trigrams",
+    "user_value_trend",
+    "vocab_coverage",
+    "word_counts",
+    "zorder_layout_skipping",
+    # (3) the first 21 of the 42 r13-latest rows, alphabetical
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "bpe_pair_counts",
+    "broadcast_dim_join",
+    "clipped_value_stats",
+    "corpus_report",
+    "corpus_snapshot_diff",
+    "curation_funnel",
+    "doc_quality_scores",
+    "edit_distance_pairs",
+    "edit_distance_pairs_snm",
+    "embedding_gram_matrix",
+    "embedding_norms_arrow",
+    "embedding_norms_arrow_udf",
+    "embedding_pca_power",
+    "event_type_melt",
+    "event_type_stats_pipe",
+    "frame_sample_digest",
+    "gap_filled_hourly",
+    "json_props_extract",
+    "json_props_variant",
 ]
 
 
