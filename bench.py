@@ -155,9 +155,26 @@ HEADLINE_ADDED_V4 = [
     "source_fair_quality_rank",
 ]
 
-HEADLINE_SET_VERSION = 4
+# round-17 additions (the v4->v5 audit, VERDICT r16 item 4): the three
+# r16 operators registered after v4 had shipped its seed + splice
+# records. All three staged with warm sf0.1 medians from SCALING
+# before admission (caps ~1.0 / retrieval ~2.5 / zipf ~1.0 s —
+# ~4.5s added per pass over v4). The two r17 surfaces
+# (contamination_suite_report ~3.6s, source_zipf_slope_grouped ~0.9s)
+# are v6-staged.
+HEADLINE_ADDED_V5 = [
+    "source_fair_quality_caps",
+    "contamination_retrieval",
+    "source_zipf_slope",
+]
+
+HEADLINE_SET_VERSION = 5
 HEADLINE = (
-    HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3 + HEADLINE_ADDED_V4
+    HEADLINE_V1
+    + HEADLINE_ADDED_V2
+    + HEADLINE_ADDED_V3
+    + HEADLINE_ADDED_V4
+    + HEADLINE_ADDED_V5
 )
 
 
@@ -175,6 +192,13 @@ def _resolve_headline_set() -> tuple[int, list[str]]:
         return 2, HEADLINE_V1 + HEADLINE_ADDED_V2
     if v == "v3":
         return 3, HEADLINE_V1 + HEADLINE_ADDED_V2 + HEADLINE_ADDED_V3
+    if v == "v4":
+        return 4, (
+            HEADLINE_V1
+            + HEADLINE_ADDED_V2
+            + HEADLINE_ADDED_V3
+            + HEADLINE_ADDED_V4
+        )
     return HEADLINE_SET_VERSION, list(HEADLINE)
 
 

@@ -445,7 +445,7 @@ def test_scaling_json_probe_grids_match_declared_depth(key):
 
 
 def test_headline_set_versioning():
-    """v4 must be exactly v1 + the audited v2 + v3 + v4 additions,
+    """v5 must be exactly v1 + the audited v2..v5 additions,
     duplicate-free, and every member must be a registered query —
     bench.py silently drops unknown names (names = [n for n in headline
     if n in queries]), so a typo here would shrink the measured set
@@ -455,9 +455,10 @@ def test_headline_set_versioning():
         + bench.HEADLINE_ADDED_V2
         + bench.HEADLINE_ADDED_V3
         + bench.HEADLINE_ADDED_V4
+        + bench.HEADLINE_ADDED_V5
     )
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
-    assert bench.HEADLINE_SET_VERSION == 4
+    assert bench.HEADLINE_SET_VERSION == 5
     import __spark_entry__ as entry
 
     q = set(entry.queries())
@@ -473,10 +474,10 @@ def test_headline_set_resolver_reads_env_at_call_time(monkeypatch):
     unknown value falls through to the current set instead of silently
     shrinking the measurement."""
     monkeypatch.delenv("SPARK_GRAFT_BENCH_SET", raising=False)
-    assert bench._resolve_headline_set() == (4, bench.HEADLINE)
+    assert bench._resolve_headline_set() == (5, bench.HEADLINE)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v1")
     assert bench._resolve_headline_set() == (1, bench.HEADLINE_V1)
-    assert bench.HEADLINE_SET_VERSION == 4  # module state untouched
+    assert bench.HEADLINE_SET_VERSION == 5  # module state untouched
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v2")
     assert bench._resolve_headline_set() == (
         2,
@@ -487,8 +488,16 @@ def test_headline_set_resolver_reads_env_at_call_time(monkeypatch):
         3,
         bench.HEADLINE_V1 + bench.HEADLINE_ADDED_V2 + bench.HEADLINE_ADDED_V3,
     )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v4")
+    assert bench._resolve_headline_set() == (
+        4,
+        bench.HEADLINE_V1
+        + bench.HEADLINE_ADDED_V2
+        + bench.HEADLINE_ADDED_V3
+        + bench.HEADLINE_ADDED_V4,
+    )
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SET", "v9")
-    assert bench._resolve_headline_set() == (4, bench.HEADLINE)
+    assert bench._resolve_headline_set() == (5, bench.HEADLINE)
 
 
 def test_current_level_window_nests_inside_history_admission():
