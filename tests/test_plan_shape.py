@@ -375,3 +375,32 @@ def test_no_forced_broadcast_on_corpus_cardinality_relations(spark, sf_dir):
     # size table at test scale — the hint was never needed for perf here
     text = explain_str(dedup.ngram_jaccard_pairs(spark, sf_dir), "formatted")
     assert "BroadcastHashJoin" in text, text
+
+
+def test_zipf_grouped_window_over_count_groups(spark, sf_dir):
+    """The scale claim of source_zipf_slope_grouped (VERDICT r16 item
+    2): the rank window must run over the (source, count) DISTINCT
+    relation — i.e. sit above BOTH aggregates (per-word counts, then
+    tie groups) in the plan tree, never over the per-word vocabulary.
+    The exact tier's window, by contrast, sits above only ONE
+    aggregate (the per-word counts)."""
+    from geektime_bigdata_spark.operators.textstats import (
+        source_zipf_slope,
+        source_zipf_slope_grouped,
+    )
+
+    def aggs_below_window(df):
+        tree = explain_str(df, "formatted").split("\n\n")[0].splitlines()
+        win = next(i for i, l in enumerate(tree) if "Window" in l)
+        return [
+            i for i, l in enumerate(tree) if "HashAggregate" in l and i > win
+        ]
+
+    # grouped: partial+final per-word counts AND partial+final tie
+    # groups feed the window (4 aggregate nodes below it in the tree)
+    assert len(aggs_below_window(
+        source_zipf_slope_grouped(spark, sf_dir)
+    )) == 4
+    # exact: the window ranks the per-word relation — exactly one
+    # partial+final aggregate pair below it
+    assert len(aggs_below_window(source_zipf_slope(spark, sf_dir))) == 2
