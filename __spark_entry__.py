@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs_snm": dedup.edit_distance_pairs_snm,
         # BPE inference: apply the learned merges, fingerprint streams
         "bpe_encode_corpus": textstats.bpe_encode_corpus,
+        # per-source compression of the learned merges (tokenizer
+        # fairness); registered past the r17 prefix, heads the r18 queue
+        "bpe_compression_by_source": textstats.bpe_compression_by_source,
         # quality-classifier training: 2 logistic-regression GD steps
         "quality_logreg_step": textstats.quality_logreg_step,
         # CCNet-shape bigram LM scoring (conditional log-probs)

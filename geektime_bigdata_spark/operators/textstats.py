@@ -1477,6 +1477,67 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE compression of the trained BPE merges — the
+    tokenizer-fairness diagnostic next to :func:`bpe_encode_corpus`: a
+    tokenizer trained on the corpus MIX compresses sources unevenly,
+    and the source whose text the learned merges barely touch pays
+    more tokens per word at training time (the fertility argument,
+    word-level). One row per source: docs, words in, tokens out,
+    merges applied, and the compression fraction achieved by
+    ``BPE_TRAIN_STEPS`` greedy merges.
+
+    Plan shape: identical to the encode pass (array-native corpus,
+    one pair-count shuffle per learned merge, in-row application),
+    plus one per-source aggregate over the (doc_id, before, after)
+    integer surface joined to the documents (doc_id, source)
+    projection — all corpus-linear, no new expansion. Compression is
+    the single integer-ratio grid double; everything else is LONGs.
+    The oracle reuses the encode oracle's unrolled merge chain with a
+    per-source final rollup, so encode and this report verify each
+    other's merge sequence."""
+    docs = parallel_table(spark, sf_dir, "documents")
+    arrs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
+    before = arrs.select(
+        "doc_id", F.size("arr").cast("long").alias("n_before")
+    ).filter(F.col("n_before") >= 1)
+    enc = arrs
+    for _ in range(BPE_TRAIN_STEPS):
+        counts = _bpe_pair_counts_from(enc).withColumn(
+            "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
+        )
+        top = (
+            counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+        )
+        enc = _bpe_apply(enc, top.select("l", "r"))
+    after = enc.filter(F.size("arr") >= 1).select(
+        "doc_id", F.size("arr").cast("long").alias("n_after")
+    )
+    agg = (
+        before.join(after, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_before").cast("long").alias("words_before"),
+            F.sum("n_after").cast("long").alias("tokens_after"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words_before",
+        "tokens_after",
+        (F.col("words_before") - F.col("tokens_after"))
+        .cast("long")
+        .alias("merges_applied"),
+        grid_round(
+            F.lit(1.0) - F.col("tokens_after") / F.col("words_before"), 6
+        ).alias("compression"),
+    )
+
+
 LOGREG_FEATURES = 4  # bias + 3 quality features
 
 
