@@ -124,8 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 208 (the multi-suite contamination report and the
-    tie-grouped Zipf-slope scale tier added r17) and
+    registry at 210 (the multi-suite contamination report, the
+    tie-grouped Zipf-slope scale tier, the per-source BPE compression
+    report, and the split-leakage report added r17) and
     every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -460,6 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textstats.stratified_sample,
         "vocab_coverage": textstats.vocab_coverage,
         "dataset_splits": textstats.dataset_splits,
+        # exact-content leakage across split boundaries (eval
+        # integrity); registered past the r17 prefix, r18 queue
+        "split_leakage_report": textstats.split_leakage_report,
         "packed_sequences": textstats.packed_sequences,
         # --- ETL / pipeline ---
         "scd2_intervals": etl.scd2_intervals,

@@ -422,6 +422,78 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content LEAKAGE across the train/val/test boundary: for
+    each ordered split pair, how many content fingerprints appear on
+    BOTH sides and how many documents carry them — the eval-integrity
+    check a training run must pass (a val doc whose exact text is also
+    in train makes the val loss a memorization read, not a
+    generalization one). Composes :func:`dataset_splits`' hash-bucket
+    assignment with :func:`...dedup.exact_dedup`'s md5 fingerprint.
+
+    Scale shape: one projection (fingerprint, split), ONE corpus
+    hash-shuffle on the 32-byte fingerprint folding the three split
+    counts as conditional sums, then a single global aggregate of nine
+    conditional sums over that (already fingerprint-cardinality)
+    relation, exploded in-row to the 3-row report — no joins, no
+    second corpus pass, and the global agg is map-side-combinable.
+    ``n_leaked_docs_a`` counts split-a docs whose content also appears
+    in split b (within-split extra copies included — each is a doc
+    whose loss is contaminated). All-LONG surface; empty-corpus sums
+    coalesce to 0 on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    b = _hash_bucket()
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    g = (
+        docs.select(F.md5(F.col("text")).alias("fingerprint"), split.alias("split"))
+        .groupBy("fingerprint")
+        .agg(
+            *[
+                F.sum(F.when(F.col("split") == s, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        )
+    )
+    def pair_aggs(a: str, b_: str) -> list[Column]:
+        both = (F.col(f"n_{a}") > 0) & (F.col(f"n_{b_}") > 0)
+        return [
+            F.coalesce(F.sum(both.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"{a}_{b_}_fp"),
+            F.coalesce(
+                F.sum(F.when(both, F.col(f"n_{a}")).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{a}_{b_}_a"),
+            F.coalesce(
+                F.sum(F.when(both, F.col(f"n_{b_}")).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{a}_{b_}_b"),
+        ]
+    pairs = (("train", "val"), ("train", "test"), ("val", "test"))
+    row = g.agg(*[c for a, b_ in pairs for c in pair_aggs(a, b_)])
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("split_a"),
+                F.lit(b_).alias("split_b"),
+                F.col(f"{a}_{b_}_fp").alias("n_shared_fingerprints"),
+                F.col(f"{a}_{b_}_a").alias("n_leaked_docs_a"),
+                F.col(f"{a}_{b_}_b").alias("n_leaked_docs_b"),
+            )
+            for a, b_ in pairs
+        ]
+    )
+    return row.select(F.explode(arr).alias("p")).select("p.*")
+
+
 VOCAB_TOP_K = 20
 
 

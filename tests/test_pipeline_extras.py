@@ -1683,6 +1683,57 @@ def test_contamination_retrieval_df_cap_drops_only_hot_shingles(
         release_caches(spark)
 
 
+def test_split_leakage_report_counts_cross_boundary_copies(
+    spark, tmp_path
+):
+    """The eval-integrity claim: a text appearing on both sides of a
+    split boundary is counted once as a shared fingerprint and its DOC
+    counts include within-split extra copies; single-split duplicates
+    leak nothing. Buckets precomputed from the md5(doc_id) rule: ids
+    1,2,3,4 -> train; 16,19 -> val; 8 -> test."""
+    from geektime_bigdata_spark.operators.textstats import (
+        split_leakage_report,
+    )
+
+    rows = [
+        (1, "leaky text one", "en", "s", 1),   # train
+        (2, "leaky text one", "en", "s", 1),   # train (extra copy)
+        (16, "leaky text one", "en", "s", 1),  # val  -> train/val leak
+        (3, "other text two", "en", "s", 1),   # train
+        (8, "other text two", "en", "s", 1),   # test -> train/test leak
+        (19, "val only text", "en", "s", 1),   # val, unique
+        (4, "train only dup", "en", "s", 1),   # train
+        (5, "train only dup", "en", "s", 1),   # train dup, no leak
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        (r["split_a"], r["split_b"]): r
+        for r in split_leakage_report(spark, str(tmp_path)).collect()
+    }
+    tv = out[("train", "val")]
+    assert (
+        tv["n_shared_fingerprints"],
+        tv["n_leaked_docs_a"],
+        tv["n_leaked_docs_b"],
+    ) == (1, 2, 1)  # both train copies of the leaked text count
+    tt = out[("train", "test")]
+    assert (
+        tt["n_shared_fingerprints"],
+        tt["n_leaked_docs_a"],
+        tt["n_leaked_docs_b"],
+    ) == (1, 1, 1)
+    vt = out[("val", "test")]
+    assert (
+        vt["n_shared_fingerprints"],
+        vt["n_leaked_docs_a"],
+        vt["n_leaked_docs_b"],
+    ) == (0, 0, 0)
+
+
 def test_bpe_compression_by_source_discriminates_and_matches_encode(
     spark, tmp_path
 ):
