@@ -1447,3 +1447,62 @@ def test_pca_top2_zero_corpus_raises_on_both_paths(
         embedding_pca_top2(spark, str(d)).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         embedding_pca_top2(spark, str(d), driver_solve=False).collect()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(WORDS, min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_contamination_cap_is_score_monotone(
+    spark, tmp_path_factory, texts
+):
+    """The df-cap contract for ANY corpus (VERDICT r16 item 1): with
+    the top-k window disabled (huge k), the capped output must be a
+    PAIR SUBSET of the uncapped one; every surviving pair's score can
+    only shrink (it sums a shingle subset, and per-shingle idf is
+    cap-invariant); and a pair whose shared-shingle count the cap did
+    not change keeps its EXACT score. Doc 0 is the eval side
+    (doc_id % 97 == 0), the rest train; max_df=1 makes the cap bind on
+    any shingle two train docs share."""
+    from geektime_bigdata_spark.operators.dedup import (
+        contamination_retrieval,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    d = tmp_path_factory.mktemp("contam")
+    spark.createDataFrame(
+        [(i, t, "en", "s", 1) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    release_caches(spark)
+    try:
+        def rows(max_df):
+            out = contamination_retrieval(
+                spark, str(d), k=10**9, max_df=max_df
+            ).collect()
+            return {
+                (r["eval_doc_id"], r["doc_id"]): (
+                    r["n_shared_shingles"],
+                    r["score"],
+                )
+            for r in out
+            }
+
+        capped, uncapped = rows(1), rows(None)
+        assert set(capped) <= set(uncapped)
+        for pair, (n_c, s_c) in capped.items():
+            n_u, s_u = uncapped[pair]
+            assert n_c <= n_u and s_c <= s_u, (pair, capped, uncapped)
+            if n_c == n_u:
+                assert s_c == s_u, (pair, capped, uncapped)
+    finally:
+        release_caches(spark)
