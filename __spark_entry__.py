@@ -124,9 +124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDERING CONTRACT: the driver sweeps a 50-slot prefix.  With the
-    registry at 210 (the multi-suite contamination report, the
+    registry at 211 (the multi-suite contamination report, the
     tie-grouped Zipf-slope scale tier, the per-source BPE compression
-    report, and the split-leakage report added r17) and
+    report, the split-leakage report, and the decontamination scrub
+    added r17) and
     every prior entry ever driver-green, the
     prefix is a pure freshness rotation: each round re-checks the
     oldest cohort in the correctness ledger (latest green round per
@@ -431,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": dedup.benchmark_contamination,
         "contamination_retrieval": dedup.contamination_retrieval,
         "contamination_suite_report": dedup.contamination_suite_report,
+        # the scrub step of the contamination family (per-train-doc
+        # keep flags); registered past the r17 prefix, r18 queue
+        "decontaminate_corpus": dedup.decontaminate_corpus,
         "duplicate_span_stats": dedup.duplicate_span_stats,
         # --- similarity search ---
         "ann_topk_bruteforce": similarity.ann_topk_bruteforce,

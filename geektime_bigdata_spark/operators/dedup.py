@@ -737,6 +737,57 @@ CONTAM_TOPK = 10
 CONTAM_DF_CAP = 16
 
 
+def _contam_scored(
+    spark: SparkSession, sf_dir: str, max_df: int | None
+) -> DataFrame:
+    """The shared (eval_doc_id, doc_id, n_shared_shingles, score_micros)
+    scoring relation of the contamination family: df-capped probe, one
+    cached pass, eval-bounded broadcasts, LONG micro scores — see
+    :func:`contamination_retrieval` (which ranks it per eval item) and
+    :func:`decontaminate_corpus` (which rolls it up per train doc) for
+    the scale argument."""
+    sh = _doc_shingles(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+    n_train = (
+        parallel_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .count()
+    )  # tiny scalar, same style as bm25's n_docs
+    ev_shingles = ev.select("shingle").distinct()
+    hits = train.join(F.broadcast(ev_shingles), "shingle").cache()
+    df_ = hits.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")  # (doc, shingle) rows are distinct
+    )
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
+    idf = F.log(
+        (F.lit(float(n_train)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    rare = df_.select(
+        "shingle",
+        F.floor(grid_round(idf, 6) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("idf_micros"),
+    )
+    return (
+        # the capped idf join FIRST: it prunes hot shingles before the
+        # eval fan-out multiplies each hit row by df_eval(shingle)
+        hits.join(F.broadcast(rare), "shingle")  # eval-bounded, capped
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("eval_doc_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.sum("idf_micros").cast("long").alias("score_micros"),
+        )
+    )
+
+
 def contamination_retrieval(
     spark: SparkSession,
     sf_dir: str,
@@ -785,46 +836,7 @@ def contamination_retrieval(
     tiebreak, and the emitted double is micros/1e6 — the exact_sum
     contract. The oracle writes every float op in the same order and
     mirrors the df cap as a WHERE on its df CTE."""
-    sh = _doc_shingles(spark, sf_dir)
-    ev = (
-        sh.filter(F.col("doc_id") % EVAL_SET_MOD == 0)
-        .select(F.col("doc_id").alias("eval_doc_id"), "shingle")
-    )
-    train = sh.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
-    n_train = (
-        parallel_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % EVAL_SET_MOD != 0)
-        .count()
-    )  # tiny scalar, same style as bm25's n_docs
-    ev_shingles = ev.select("shingle").distinct()
-    hits = train.join(F.broadcast(ev_shingles), "shingle").cache()
-    df_ = hits.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")  # (doc, shingle) rows are distinct
-    )
-    if max_df is not None:
-        df_ = df_.filter(F.col("df") <= max_df)
-    idf = F.log(
-        (F.lit(float(n_train)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    rare = df_.select(
-        "shingle",
-        F.floor(grid_round(idf, 6) * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("idf_micros"),
-    )
-    scored = (
-        # the capped idf join FIRST: it prunes hot shingles before the
-        # eval fan-out multiplies each hit row by df_eval(shingle)
-        hits.join(F.broadcast(rare), "shingle")  # eval-bounded, capped
-        .join(F.broadcast(ev), "shingle")
-        .groupBy("eval_doc_id", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_shingles"),
-            F.sum("idf_micros").cast("long").alias("score_micros"),
-        )
-    )
+    scored = _contam_scored(spark, sf_dir, max_df)
     w = Window.partitionBy("eval_doc_id").orderBy(
         F.col("score_micros").desc(), F.col("doc_id")
     )
@@ -985,6 +997,52 @@ def contamination_suite_report(
         )
         .withColumn("matched_rate", rate("n_matched_eval"))
         .withColumn("strong_rate", rate("n_strong_eval"))
+    )
+
+
+def decontaminate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = CONTAM_DF_CAP,
+    strong_micros: int = CONTAM_STRONG_MICROS,
+) -> DataFrame:
+    """The SCRUB step closing the contamination family (flag ->
+    retrieve -> report -> scrub): one row per TRAINING document with
+    how many eval items it matched, its strongest IDF score, and the
+    keep flag — drop iff the top score reaches the strong floor
+    (``CONTAM_STRONG_MICROS``, the contamination_suite_report
+    criterion seen from the train side). This is the relation a
+    curation pipeline actually joins against its corpus before
+    publishing.
+
+    Scale shape: rolls the shared :func:`_contam_scored` relation up
+    by ``doc_id`` (shuffle keyed on the train doc, map-side partials —
+    the transpose of the retrieval's per-eval-item grouping), then a
+    LEFT join from the train doc list — UNHINTED on both sides: the
+    per-doc aggregate is corpus-cardinality, so AQE picks broadcast at
+    test scale and a shuffled join at crawl scale (the r15/r16 hint
+    discipline). Unmatched docs keep with score 0.0. All-LONG surface
+    plus the micros/1e6 double."""
+    per_doc = _contam_scored(spark, sf_dir, max_df).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        F.max("score_micros").cast("long").alias("top_micros"),
+    )
+    train_docs = (
+        parallel_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .select("doc_id")
+    )
+    top = F.coalesce(F.col("top_micros"), F.lit(0)).cast("long")
+    return train_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_eval_matches"), F.lit(0))
+        .cast("long")
+        .alias("n_eval_matches"),
+        (top / F.lit(1000000.0)).alias("top_score"),
+        F.when(top >= strong_micros, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("keep_flag"),
     )
 
 

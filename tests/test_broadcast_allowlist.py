@@ -37,7 +37,9 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "geektime_bigdata_spark")
 ALLOWLIST = {
     "operators/dedup.py::benchmark_contamination": 1,  # eval shingle set
     "operators/dedup.py::boilerplate_ngrams": 1,  # threshold scalar
-    "operators/dedup.py::contamination_retrieval": 3,  # eval-bounded x3
+    # eval-bounded x3 — the shared scoring relation of the
+    # contamination family (retrieval + decontaminate_corpus)
+    "operators/dedup.py::_contam_scored": 3,
     # eval-bounded x3 (suite-tagged eval shingles / capped idf / eval
     # docs) + two |suites|-row frames (sizes, per-suite aggregate)
     "operators/dedup.py::contamination_suite_report": 5,

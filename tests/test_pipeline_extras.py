@@ -1839,6 +1839,50 @@ def test_contamination_suite_report_cross_suite_membership(
         release_caches(spark)
 
 
+def test_decontaminate_corpus_drops_only_strong_matches(spark, tmp_path):
+    """The scrub contract: a train doc whose top IDF score reaches the
+    strong floor is dropped (keep 0); a weaker match keeps with its
+    score; an unmatched doc keeps with exactly 0.0; eval docs never
+    appear. Fixture: eval doc 0 shares a 4-shingle rare phrase with
+    doc 1 (strong) and a 1-shingle phrase with doc 2 (weak); doc 3 is
+    unmatched. strong_micros set between the two scores."""
+    from geektime_bigdata_spark.operators.dedup import (
+        decontaminate_corpus,
+    )
+    from geektime_bigdata_spark.session import release_caches
+
+    release_caches(spark)
+    try:
+        strong = "s1 s2 s3 s4 s5 s6"
+        weak = "w1 w2 w3"
+        rows = [
+            (0, f"{strong} then {weak}", "en", "s", 1),
+            (1, f"f1a {strong} f1b", "en", "s", 1),
+            (2, f"f2a {weak} f2b", "en", "s", 1),
+            (3, "f3a f3b f3c f3d", "en", "s", 1),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate_corpus(
+                spark, str(tmp_path), strong_micros=3_000_000
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}  # eval doc 0 excluded
+        assert out[1]["keep_flag"] == 0 and out[1]["n_eval_matches"] == 1
+        assert out[2]["keep_flag"] == 1 and out[2]["top_score"] > 0
+        assert out[1]["top_score"] > out[2]["top_score"]
+        assert out[3]["keep_flag"] == 1
+        assert out[3]["top_score"] == 0.0 and out[3]["n_eval_matches"] == 0
+    finally:
+        release_caches(spark)
+
+
 def test_source_zipf_slope_discriminates_distributions(spark, tmp_path):
     """The distributional claim: a source whose word frequencies follow
     an exact Zipf law (count of rank-k word = floor(N/k)) regresses to
