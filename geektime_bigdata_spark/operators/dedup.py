@@ -585,28 +585,27 @@ def ngram_jaccard_pairs_dfcapped(
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
-    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    postings = (
-        rare.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_combos = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
+    # r17 (guide §1.2 step 2 — per-task work): candidates via a codegen'd
+    # equi-self-join on the rare relation instead of the old
+    # collect_list + lambda-combinations expansion. The ObjectHashAggregate
+    # (no codegen, per-group array objects) plus the interpreted
+    # transform/slice/flatten pair lambda cost 17 of the query's 18.7
+    # CPU-s at sf0.1; the self-join emits the same unordered pairs inside
+    # WholeStageCodegen. Work is still df-cap-bounded: <= C(max_df, 2)
+    # pairs per shingle, because BOTH sides are the capped relation.
+    # ``rare`` is cached: both join sides consume it, and uncached the
+    # whole hot-df aggregate subtree executed twice (SQL metrics showed
+    # two identical 9.1 MiB exchanges). Candidate rows go to the verify
+    # UN-deduplicated (see _jaccard_verify — output-level distinct).
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (
-        postings.select(F.explode(F.expr(pair_combos)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        ra.join(rb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    # sizes joins unhinted (VERDICT r15): one row per doc — let AQE pick
-    cands = cand.join(sa, "doc_a").join(sb, "doc_b")
-    return _jaccard_verify(cands, sh, t=0.1)
+    return _jaccard_verify(cand, sh, t=0.1)
 
 
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,16 +1786,55 @@ def _jaccard_verify(
     """Candidate-scoped exact Jaccard verification shared by the
     similarity-join tiers (prefix-filter flat/banded at
     PREFIX_JACCARD_T, the df-capped tier at its own lower threshold):
-    each candidate pair joins its own shingle lists (never the
-    all-co-occurring-pairs relation), then the threshold filter —
-    output (doc_a, doc_b, jaccard) at >= t."""
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ``cands`` is a distinct (doc_a, doc_b) pair relation; output is
+    (doc_a, doc_b, jaccard) at >= t.
+
+    r17 rewrite (guide §2.3/§1.2 — the distributed algorithm first):
+    the old form exploded each candidate pair back into (pair, shingle)
+    rows (|cands| x avg doc size intermediate — 6.5M rows for 125k
+    candidates at sf0.1) and hash-aggregated the matches per pair. Now
+    each doc's distinct-shingle set is collected ONCE (same bytes as
+    the shingle relation), the pair relation joins the two doc arrays,
+    and ``size(array_intersect(...))`` counts the overlap natively per
+    row — no pair-expanded intermediate, no second aggregate, and the
+    shuffle carries |sh| + |cands| rows instead of |cands| x |doc|.
+    Set sizes come from the SAME arrays (``size(shs)``) — callers no
+    longer join a separate per-doc size aggregate, and the candidate
+    distinct shrinks to the bare (doc_a, doc_b) key (§2.3: narrower
+    shuffle rows). Bit-equal: shingle rows are distinct per doc, so
+    both the intersection count and ``size(shs)`` match the old
+    aggregates exactly; jaccard math and grid rounding are unchanged.
+    Joins stay unhinted — the doc-array relation is corpus-cardinality
+    (AQE broadcasts it at test scale, shuffles it at 100 TB). The
+    doc-array relation is cached (CacheManager plan-dedup): BOTH join
+    sides of every verify read it, and all three tiers share it in one
+    session — without the cache the collect_list aggregate re-ran once
+    per side per query (measured +8 CPU-s/query at sf0.1). Released by
+    ``session.release_caches`` like the other shared intermediates."""
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs")
+    ).cache()
     inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        cands.select("doc_a", "doc_b")
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("c"),
+        )
     )
     jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
     return (
@@ -1804,6 +1842,16 @@ def _jaccard_verify(
             "doc_a", "doc_b", grid_round(jaccard, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= t)
+        # The pair-level dedup happens HERE, on the thresholded output
+        # (hundreds of rows), not on the candidate relation (hundreds of
+        # thousands): callers feed the RAW posting/prefix expansion —
+        # measured duplicate rate 3-5% at sf0.1 — so the verify runs at
+        # full scan parallelism instead of on the 1-partition AQE
+        # coalesce the candidate-side distinct produced (its 1.8 MiB
+        # output dragged the whole join+intersect chain into one task).
+        # A duplicated candidate row verifies to the identical output
+        # row, so this distinct yields the same relation.
+        .distinct()
     )
 
 
@@ -1875,8 +1923,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_a"), F.col("n_b"), F.col("pa"), F.col("pb")
             )
         )
-        .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
+        .select("doc_a", "doc_b")
     )
     return _jaccard_verify(cands, sh)
 
@@ -1950,14 +1997,7 @@ def prefix_filter_jaccard_pairs_banded(
         .select(
             F.least("doc_p", "doc_i").alias("doc_a"),
             F.greatest("doc_p", "doc_i").alias("doc_b"),
-            F.when(F.col("doc_p") < F.col("doc_i"), F.col("n_p"))
-            .otherwise(F.col("n_i"))
-            .alias("n_a"),
-            F.when(F.col("doc_p") < F.col("doc_i"), F.col("n_i"))
-            .otherwise(F.col("n_p"))
-            .alias("n_b"),
         )
-        .distinct()
     )
     return _jaccard_verify(cands, sh)
 

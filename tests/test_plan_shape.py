@@ -359,7 +359,11 @@ def test_no_forced_broadcast_on_corpus_cardinality_relations(spark, sf_dir):
         "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs, 0),
         "ngram_jaccard_pairs_dfcapped": (
             dedup.ngram_jaccard_pairs_dfcapped,
-            1,  # F.broadcast(hot): heavy hitters, bounded, justified
+            # F.broadcast(hot): heavy hitters, bounded, justified — ONE
+            # hint site; it appears twice in the analyzed tree because
+            # the cached `rare` relation (which embeds it) feeds both
+            # sides of the r17 candidate self-join
+            2,
         ),
         "ngram_containment_pairs": (dedup.ngram_containment_pairs, 0),
         "simhash_neardup_pairs": (dedup.simhash_neardup_pairs, 0),
