@@ -290,13 +290,24 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, word, tf, df, dl, bm25) — the BM25-scored term-document
     relation shared by the per-doc top-terms view (bm25_top_terms) and
     the query-side retrieval view (bm25_topk_docs). Extracted r15 so
     both read ONE definition of the scoring expression; the tf cache is
     plan-canonical, so Spark's CacheManager dedups it across the two
-    operators within a session."""
+    operators within a session.
+
+    ``words`` (r17, guide §2.3 — project/filter before the exchange): an
+    optional tiny (word) relation; when given, the tf rows are
+    semi-joined to it BEFORE the df/dl/avgdl joins, so only the probed
+    terms' postings flow through the scoring joins. The corpus
+    statistics stay full-corpus: df per word is counted from all of
+    that word's tf rows (the semi-join keeps every row of a kept word),
+    and dl/avgdl always aggregate the unfiltered tf — scores for the
+    surviving rows are bit-identical to the unfiltered relation."""
     docs = parallel_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
     toks = _tokens(docs)
@@ -308,8 +319,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # dl has two consumers per query (the per-doc join and the avgdl
+    # scalar) and two consuming queries; uncached the aggregate subtree
+    # executed once per consumer (r17 — the SQL tab showed the pair of
+    # identical exchanges). Plan-canonical, so CacheManager shares it.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).cache()
+    if words is not None:
+        tf = tf.join(F.broadcast(words.select("word")), "word", "semi")
+    # tf's (doc_id, word) key is unique by construction, so df is a plain
+    # row count — countDistinct here planned a two-phase distinct
+    # expansion over the whole tf relation (the inverted_index_str
+    # docstring's measured ~25% trap; removed r17)
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
     avg = dl.agg((F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
 
     from geektime_bigdata_spark.functions import grid_round
@@ -373,11 +396,16 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_sum contract end to end. Ties break on doc_id."""
     from pyspark.sql import Window
 
-    scored = _bm25_scored(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(qid, w) for qid, ws in BM25_QUERIES for w in ws],
         "query_id string, word string",
     )
+    # r17: the query-term filter is pushed INSIDE the scored relation
+    # (words=...), so the df/dl scoring joins run over the ~10 probed
+    # words' postings instead of the full term-document matrix; the
+    # join below only attaches query_id (and fans a shared word out to
+    # its queries). Scores are bit-identical (see _bm25_scored).
+    scored = _bm25_scored(spark, sf_dir, words=qdf)
     per_doc = (
         scored.join(F.broadcast(qdf), "word")
         .groupBy("query_id", "doc_id")

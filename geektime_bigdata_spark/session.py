@@ -40,6 +40,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (and coalesce) the output partitioning of
+        # CACHED plans too (upstream default false only to keep cached
+        # data's partitioning reusable by downstream exchanges). The
+        # operator layer caches shared intermediates whose child plans
+        # end in an aggregate exchange; without this flag those caches
+        # pin the full spark.sql.shuffle.partitions layout — hundreds of
+        # KB per partition here, and at 100 TB whatever the static
+        # partition count gives — and every cache consumer pays the
+        # per-task overhead. With it, cached partitioning follows the
+        # same advisory size as everything else (scale-adaptive, not a
+        # local tuning: measured bm25_top_terms warm 14.2 -> 2.5 CPU-s
+        # at sf0.1 with identical results; dedup/BPE family neutral).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # --- shuffle sizing: match parallelism, let AQE coalesce down ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- Arrow: vectorized JVM<->Python interchange for pandas UDFs ---
