@@ -130,13 +130,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BAND_ROWS minhashes of any band become a candidate pair.
 
     Band signatures come straight off the wide minhash row (md5 of the
-    band's concatenated minhashes). Pair generation is ONE groupBy on
-    (band, sig) + an array-combinations projection — not a self-join, so
-    the minhash pipeline is scanned once and only collision buckets ever
-    multiply (never the full cross product). A bucket whose size explodes
-    (a degenerate signature) would be capped/salted at scale; here sizes
-    are bounded by true duplicates. Output: (doc_a, doc_b), doc_a <
-    doc_b."""
+    band's concatenated minhashes). Pair generation is a (band, sig)
+    equi-self-join over the CACHED wide relation — r17 (guide §1.2 step
+    2): the earlier groupBy-collect_list + array-combinations expansion
+    ran as an ObjectHashAggregate + interpreted lambda with no codegen
+    (the pattern the df-capped jaccard tier measured at ~17 CPU-s);
+    the self-join emits the identical unordered pairs inside
+    WholeStageCodegen, and because the build relation is the cached
+    signature table the pipeline is still computed once. Only collision
+    buckets ever multiply (never the full cross product) — work is
+    unchanged at C(|bucket|, 2) per bucket. A bucket whose size
+    explodes (a degenerate signature) would be capped/salted at scale;
+    here sizes are bounded by true duplicates. Output: (doc_a, doc_b),
+    doc_a < doc_b."""
     wide = _minhash_wide(spark, sf_dir)
     n_bands = N_HASHES // BAND_ROWS
     band_sigs = [
@@ -152,19 +158,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = wide_sigs.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_combos = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
-        buckets.select(F.explode(F.expr(pair_combos)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        ba.join(bb, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -485,33 +484,32 @@ def dedup_clusters(
 
 def _shingle_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_a, doc_b, c)`` — shared-shingle count for every doc pair
-    with >= 1 common 3-gram, via the inverted-index posting-list
-    expansion (one groupBy collects each shingle's sorted doc list, an
-    array-combinations projection emits its co-occurrence pairs, a
-    second aggregate counts intersections). Work is sum over shingles of
-    |posting|^2 — bounded at scale by dropping/salting top-frequency
-    shingles (stopword trigrams).
+    with >= 1 common 3-gram, via a shingle-keyed equi-self-join on the
+    cached (doc, shingle) relation + one count aggregate. r17 (guide
+    §1.2 step 2): the earlier posting-list expansion (collect_list into
+    per-shingle arrays + an interpreted transform/slice/flatten
+    combinations lambda) ran as an ObjectHashAggregate + Generate with
+    no codegen — the same pattern whose removal in the df-capped tier
+    cut 17 of 18.7 CPU-s; the self-join emits the identical unordered
+    pairs inside WholeStageCodegen. Work is unchanged — sum over
+    shingles of C(|posting|, 2) — bounded at scale by dropping/salting
+    top-frequency shingles (stopword trigrams), which is exactly what
+    :func:`ngram_jaccard_pairs_dfcapped` does before this expansion.
 
     Cached: both exact-Jaccard consumers (``ngram_jaccard_pairs`` and
-    ``minhash_jaccard_estimate``) read this relation and the posting
-    expansion is the expensive stage of either (the estimator drops
-    ~3.0s -> ~2.4s at sf0.1 once the first consumer materializes it).
+    ``minhash_jaccard_estimate``) read this relation and the pair
+    expansion is the expensive stage of either.
     In production this is the co-occurrence table a dedup job persists.
     (A candidate-scoped recount via two broadcast joins was tried and
     measured SLOWER — it recomputes the LSH pair pipeline and streams
     the shingle relation twice instead of probing this cache once.)"""
     sh = _doc_shingles(spark, sf_dir)
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
-    ).filter(F.size("ds") > 1)
-    pair_combos = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     return (
-        postings.select(F.explode(F.expr(pair_combos)).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )

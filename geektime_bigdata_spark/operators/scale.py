@@ -178,13 +178,17 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = table(spark, sf_dir, "events")
         e.repartition(COMPACT_FRAGMENT_FILES).write.parquet(frag)
         back = spark.read.parquet(frag)
-        n = back.count()
-        k = max(1, math.ceil(n / COMPACT_TARGET_ROWS))
-        files_before = (
+        # r17 (guide §1.2 step 1): one stats pass instead of two — the
+        # row count (the compactor's table-stats read) and the
+        # before-file count come from the same scan of the fragmented
+        # table; previously count() and the input_file_name aggregate
+        # each scanned all 64 files.
+        n, files_before = (
             back.select(F.input_file_name().alias("_f"))
-            .agg(F.countDistinct("_f").alias("f"))
-            .collect()[0][0]
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("_f").alias("f"))
+            .collect()[0]
         )
+        k = max(1, math.ceil(n / COMPACT_TARGET_ROWS))
         back.repartition(k).write.parquet(tidy)
         comp = spark.read.parquet(tidy)
         out = comp.select(

@@ -279,7 +279,17 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across engines; positions explode JVM-side via
     ``sequence``. Output is (doc_id, block, fp): ~len/WINNOW_BLOCK rows
     per doc, the index a plagiarism/near-dup detector would bucket-join
-    on."""
+    on.
+
+    r17 measurement note (kept as the guide §1.1 empirical record): an
+    in-row rewrite (nested ``transform``/``array_min`` per block, no
+    explode, no groupBy) was built, oracle-verified, and REVERTED — it
+    read 3.9 s / 8.5 CPU-s at sf0.1 vs well under 0.6 s for this shape,
+    because higher-order lambdas evaluate interpreted while this
+    explode + partial-aggregate pipeline runs entirely inside
+    WholeStageCodegen (the Generate never materializes per-position
+    copies of ``text``; the map-side partial min means the exchange
+    carries one row per (doc, block), not per position)."""
     docs = parallel_table(spark, sf_dir, "documents")
     positions = docs.filter(F.length("text") >= KGRAM).select(
         "doc_id",
@@ -519,11 +529,25 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' libm agreeing — empirically exact for tfidf/bm25 across
     two driver rounds."""
     docs = parallel_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).filter(F.col("word") != "")
-    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()  # tiny driver scalar (corpus token count)
+    # r17 (guide §2.3 aggregate-before-shuffle): everything downstream
+    # is a function of the per-doc term frequency, so the token explode
+    # runs ONCE into a (doc_id, word, tf) aggregate (map-side partials
+    # shrink the only token-scale shuffle); the corpus vocabulary, the
+    # token total (a sum over the vocab relation — the old toks.count()
+    # re-ran the explode as a second full pass), and the score join all
+    # read the tf relation. Per-token sums become tf-weighted integer
+    # sums — bit-identical (lp is quantized per WORD before weighting).
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    freq = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt")).collect()[0][0]  # tiny driver scalar
     logp_micro = F.floor(
         F.log(F.col("cnt") / F.lit(float(total))) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
@@ -531,12 +555,12 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size-selected join, deliberately unhinted: the tiny test vocab
         # auto-broadcasts; a web-scale vocab degrades to a shuffle join
         # instead of OOMing the driver (see docstring)
-        toks.join(freq, "word")
-        .select("doc_id", logp_micro.alias("lp"))
+        tf.join(freq, "word")
+        .select("doc_id", "tf", logp_micro.alias("lp"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lp").alias("logprob_micros"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp")).alias("logprob_micros"),
         )
         .select(
             "doc_id",
@@ -1275,13 +1299,19 @@ def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+    # r17 (guide §2.4): n_tokens comes from a window over the SAME
+    # doc_id key instead of a self-join — the old plan computed the tf
+    # aggregate twice (once per join side) and paid a third exchange
+    # for the join; the window reuses one doc_id-partitioned exchange
+    # and the final aggregate rides the same partitioning (doc_id is a
+    # subset of its grouping key), so the whole op is two exchanges.
+    n_tokens = F.sum("tf").over(Window.partitionBy("doc_id"))
     p = F.col("tf") / F.col("n_tokens")
     term_micros = F.floor(
         p * F.log(p) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
     return (
-        tf.join(n, "doc_id")
+        tf.withColumn("n_tokens", n_tokens)
         .select(
             "doc_id",
             "n_tokens",
@@ -1734,18 +1764,29 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(text, ' '), t -> t != '')").alias("ft"),
     ).filter(F.expr("size(ft) >= 2"))
-    prs = staged.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ft) - 1),"
-                " i -> struct(element_at(ft, i) AS w1,"
-                " element_at(ft, i + 1) AS w2))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    big = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    ctx = prs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    # r17 (guide §2.3 aggregate-before-shuffle): the bigram explode runs
+    # ONCE into a per-doc bigram-frequency aggregate (cached — the old
+    # plan re-derived the full bigram stream three times: corpus counts,
+    # context counts, and the score join); corpus/context tables sum the
+    # tf relation and the per-token lp sum becomes a tf-weighted integer
+    # sum — bit-identical (lp quantizes per BIGRAM before weighting).
+    prs = (
+        staged.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ft) - 1),"
+                    " i -> struct(element_at(ft, i) AS w1,"
+                    " element_at(ft, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    big = prs.groupBy("w1", "w2").agg(F.sum("tf").alias("cnt"))
+    ctx = prs.groupBy("w1").agg(F.sum("tf").alias("ctx"))
     lp = F.floor(
         F.log(F.expr("CAST(cnt AS DOUBLE) / ctx")) * F.lit(1e6)
         + F.lit(0.5)
@@ -1753,11 +1794,11 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         prs.join(big, ["w1", "w2"])
         .join(ctx, "w1")
-        .select("doc_id", lp.alias("lp"))
+        .select("doc_id", "tf", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp").alias("lp_micros"),
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp")).alias("lp_micros"),
         )
         .select(
             "doc_id",
@@ -1789,26 +1830,30 @@ _BPE_PAIRS_EXPR = (
     " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
 )
 
-# left-to-right greedy merge of every (l, r) in the broadcast `kept`
-# array, as ONE sequential fold per row: state = (result, skip-next);
-# EXISTS over the tiny kept set per position. `sequence(1, 0)` would
-# DESCEND, hence the size guard.
+# Left-to-right greedy merge of every (l, r) in the broadcast `kept`
+# array, as native string replacement (r17, guide §1.2 step 2): the
+# earlier formulation was an interpreted `aggregate` fold whose
+# accumulator re-copied the result array at every position — O(len^2)
+# per row, and higher-order functions never enter codegen. Because
+# tokens come from split(text, ' ') they can never CONTAIN a space, so
+# the array round-trips through a DOUBLE-space-joined string (each gap
+# is two spaces; every match pattern ' l  r ' claims the inner half of
+# each gap, so consecutive merges never fight over a shared delimiter)
+# and each kept pair is one codegen'd `replace` scan. `replace`
+# substitutes occurrences left-to-right non-overlapping and resumes
+# AFTER the replacement — exactly the greedy fold's skip semantics;
+# replacements can never create new matches because kept pairs are
+# symbol-disjoint (the batched trainer's selection rule; the serial
+# trainer broadcasts one pair) and the merged token l_r differs from
+# every kept symbol. Equivalence is pinned by the greedy-replay
+# hypothesis fuzz in test_properties.py.
 _BPE_APPLY_EXPR = (
-    "CASE WHEN size(arr) < 2 THEN arr ELSE"
-    " aggregate(transform(sequence(1, size(arr)),"
-    "   i -> named_struct('cur', element_at(arr, i),"
-    "     'nxt', CASE WHEN i < size(arr) THEN element_at(arr, i + 1)"
-    "            ELSE CAST(NULL AS STRING) END)),"
-    "  named_struct('res', CAST(array() AS array<string>),"
-    "               'skip', false),"
-    "  (s, e) -> CASE"
-    "    WHEN s.skip THEN named_struct('res', s.res, 'skip', false)"
-    "    WHEN exists(kept, p -> p.l = e.cur AND p.r = e.nxt)"
-    "      THEN named_struct('res', concat(s.res,"
-    "             array(concat(e.cur, '_', e.nxt))), 'skip', true)"
-    "    ELSE named_struct('res', concat(s.res, array(e.cur)),"
-    "                      'skip', false) END,"
-    "  s -> s.res) END"
+    "filter(split(aggregate(kept,"
+    " concat('  ', array_join(arr, '  '), '  '),"
+    " (s, p) -> replace(s,"
+    "   concat(' ', p.l, '  ', p.r, ' '),"
+    "   concat(' ', p.l, '_', p.r, ' '))),"
+    " '  '), t -> t != '')"
 )
 
 

@@ -62,7 +62,9 @@ ALLOWLIST = {
     "operators/similarity.py::kmeans_train": 1,  # centroid frame
     "operators/similarity.py::semantic_dedup_multiprobe": 1,  # cells row
     "operators/sketches.py::sketch_error_bounds": 1,  # total scalar
-    "operators/text.py::_bm25_scored": 1,  # one-row avgdl scalar
+    "operators/text.py::_bm25_scored": 2,  # one-row avgdl scalar + the
+    # optional fixed probe-word literal (BM25_QUERIES terms — bounded
+    # by construction; r17 semi-join pushdown)
     "operators/text.py::bm25_topk_docs": 1,  # fixed query literal
     "operators/textstats.py::_bpe_apply": 1,  # <=k kept merges
     "operators/textstats.py::bpe_train_merges": 1,  # limit(1) winner
