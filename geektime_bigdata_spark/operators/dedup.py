@@ -79,6 +79,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) — distinct-shingle count per document.
+
+    Cached (r17, guide §2.4): six dedup-family queries join this
+    relation (two of them twice), and uncached each consumer re-ran the
+    same groupBy over the shingle cache — one exchange plus ~0.3-0.8 s
+    per computation at sf0.1. One row per document — the same scale
+    class as the minhash signature table; memory-and-disk at crawl
+    scale, the per-doc stat a dedup job persists anyway."""
+    return (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
     representative (lowest) doc_id and the duplicate count. At scale this
@@ -175,7 +192,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All 16 bit-vote sums are parallel aggregate expressions over the one
     (doc, word) tf relation — a single shuffle, no bits cross join; the
-    final fingerprint is a pure projection."""
+    final fingerprint is a pure projection.
+
+    Cached (r17, guide §2.4): one row per doc (two longs) — the
+    signature table class. neardup_pair_features joins BOTH pair sides
+    against it, and uncached each side re-ran the whole
+    explode+md5+16-agg pipeline (plan-dedup never fires on uncached
+    twins under AQE)."""
     docs = parallel_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens()).alias("word"))
@@ -198,7 +221,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END"
         for j in range(N_SIMHASH_BITS)
     )
-    return votes.select("doc_id", F.expr(f"{bit_terms} AS simhash"))
+    return votes.select("doc_id", F.expr(f"{bit_terms} AS simhash")).cache()
 
 
 SIMHASH_HAMMING_MAX = 2
@@ -347,13 +370,31 @@ def dedup_clusters(
     recursive CTE, making this iterative, non-SQL-expressible operator
     still differentially testable."""
     docs = table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r17 gate shape (guide §1.2, §2.4): CACHE the edge relation, count
+    # it (materializing the cache), and collect only when the count
+    # proves it small. The old `limit(threshold+1).collect()` probe ran
+    # CollectLimit's incremental partition scan — several jobs, each
+    # re-executing the join/filter tail above the pair cache (measured
+    # A/B in fresh sessions at sf0.1: limit-gate 2.3 s / 21 CPU-s /
+    # 11 jobs warm vs cache-gate 1.0 s / 7 CPU-s / 5 jobs). The cache is
+    # plan-deduped across dedup_clusters / neardup_pagerank /
+    # neardup_kcore / neardup_reach_rcte (identical edge plans), the
+    # driver still never holds more than `threshold` edge rows, and the
+    # distributed path reads the same cache. Edge rows are bounded by
+    # true near-dups (LSH-banded), so the cache is pair-graph-scale,
+    # spilling to disk at worst.
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
 
     threshold = (
         SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
     )
-    edge_rows = edges.limit(threshold + 1).collect() if threshold > 0 else []
-    if threshold > 0 and len(edge_rows) <= threshold:
+    n_edges = edges.count() if threshold > 0 else 0
+    edge_rows = (
+        edges.collect() if threshold > 0 and n_edges <= threshold else []
+    )
+    if threshold > 0 and n_edges <= threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -528,8 +569,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is sum over shingles of |posting|^2 — bounded by dropping/salting
     top-frequency shingles at scale (stopword trigrams), unnecessary
     here."""
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     inter = _shingle_pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -619,9 +659,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes — two unhinted equi-joins (AQE broadcasts the size table while
     it is small, shuffles it once it is corpus-scale), no new expansion.
     Contract edges are integer-ratio doubles on the 1e-6 grid."""
-    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     inter = _shingle_pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -1102,9 +1140,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_pairs = pairs.join(wa, "doc_a").join(wb, "doc_b").select(
         "doc_a", "doc_b", n_eq
     )
-    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     inter = _shingle_pair_intersections(spark, sf_dir)
     joined = (
         est_pairs.join(inter, ["doc_a", "doc_b"], "left")
@@ -1163,7 +1199,11 @@ def neardup_pagerank(
     has no loops; the driver check stays exact)."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()  # tiny scalar, same style as tfidf/bm25
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cached + count-gated like dedup_clusters (r17) — same plan, so the
+    # CacheManager shares one materialization across the graph family
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
 
     # size-gated driver fast path (same hybrid as dedup_clusters): a
     # near-dup graph is tiny even on a huge corpus, and 5 distributed
@@ -1175,8 +1215,15 @@ def neardup_pagerank(
     threshold = (
         SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
     )
-    edge_rows = edges.limit(threshold + 1).collect() if threshold > 0 else []
-    if threshold > 0 and len(edge_rows) <= threshold and n_docs <= threshold:
+    # count-gate, not limit-gate — see dedup_clusters (r17): CollectLimit's
+    # incremental scan cost ~2 s of repeated partial re-execution warm.
+    n_edges = edges.count() if threshold > 0 else 0
+    edge_rows = (
+        edges.collect()
+        if threshold > 0 and n_edges <= threshold and n_docs <= threshold
+        else []
+    )
+    if threshold > 0 and n_edges <= threshold and n_docs <= threshold:
         import math
         from collections import defaultdict
 
@@ -1281,7 +1328,9 @@ def boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     float is an integer-ratio double on the 1e-6 grid."""
     sh = _doc_shingles(spark, sf_dir)
     boiler = boilerplate_ngrams(spark, sf_dir).select("shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = _doc_shingle_sizes(spark, sf_dir).withColumnRenamed(
+        "n", "n_shingles"
+    )
     hits = (
         sh.join(boiler, "shingle", "left_semi")
         .groupBy("doc_id")
@@ -1478,9 +1527,7 @@ def neardup_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 1e-6 grid; Hamming is pure integer (``bit_count(xor)``)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     inter = _shingle_pair_intersections(spark, sf_dir)
-    sizes = _doc_shingles(spark, sf_dir).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    sizes = _doc_shingle_sizes(spark, sf_dir)
     fps = simhash_fingerprints(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -1547,12 +1594,19 @@ def neardup_kcore(
     the frontier geometrically on sparse dup graphs; ``max_rounds``
     raises rather than silently returning a non-fixpoint (the oracle
     unrolls exactly ``max_rounds`` peels, idempotent once converged)."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cached + count-gated like dedup_clusters (r17) — same plan, so the
+    # CacheManager shares one materialization across the graph family
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
     threshold = (
         SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
     )
-    edge_rows = edges.limit(threshold + 1).collect() if threshold > 0 else []
-    if threshold > 0 and len(edge_rows) <= threshold:
+    n_edges = edges.count() if threshold > 0 else 0
+    edge_rows = (
+        edges.collect() if threshold > 0 and n_edges <= threshold else []
+    )
+    if threshold > 0 and n_edges <= threshold:
         # driver peel: tiny graph, one pass of classic iterative removal
         adj: dict[int, set[int]] = {}
         for r in edge_rows:
@@ -1641,28 +1695,42 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the declarative cross-check and the §2.6 surface for the
     recursion feature itself. DuckDB runs the identical statement."""
     # materialize the candidate edges ONCE: the pre-gate DP below and
-    # the recursion both act on them, and without the checkpoint every
-    # per-round collect() would re-derive the shingle->Jaccard pipeline
+    # the recursion both act on them. r17: `.cache()` instead of
+    # `localCheckpoint` — the DP references edges a bounded
+    # RCTE_MAX_DEPTH times (linear plan growth, no 3^k blowup), the
+    # recursion references it through a temp view, and the cache is
+    # plan-deduped with the dedup_clusters/pagerank/kcore edge cache
+    # while a checkpoint re-materializes on every call.
     edges = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     )
     # Dense-component pre-gate (converge-or-raise, like the k-core and
     # star loops): the UNION ALL recursion enumerates PATHS, and on a
     # dense near-dup clique the path count under the depth bound is
     # combinatorial.  Before materializing a single path, count them
-    # EXACTLY with the node-indexed DP cnt_{d+1}(v) = sum over edges
-    # (u,v) of cnt_d(u) — the same joins the recursion performs but on
-    # <= |nodes| rows per round instead of one row per path, so the
-    # gate is strictly cheaper than the query it protects and never
+    # with the node-indexed DP cnt_{d+1}(v) = sum over edges (u,v) of
+    # cnt_d(u) — the same joins the recursion performs but on <= |nodes|
+    # rows per round instead of one row per path, so the gate is
+    # strictly cheaper than the query it protects and never
     # false-positives on a sparse graph the recursion could handle.
+    #
+    # r17 (guide §1.2 step 1): each DP round is now a LAZY chain over
+    # the cached edge relation — round d's plan is d tiny joins replayed
+    # from cache (linear growth, single self-reference per round, so no
+    # localCheckpoint is needed; the old per-round eager checkpoint +
+    # collect pair cost 1.8 s of per-job overhead for 4 rounds of tiny
+    # work at sf0.1). An unrolled all-levels union was tried and
+    # REVERTED: AQE materializes every replayed shuffle of every branch
+    # as its own query-stage job — 105 jobs, 2x the wall it saved.
     total_paths = 0
     cnt = edges.groupBy(F.col("doc_b").alias("node")).agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint()
-    for _ in range(RCTE_MAX_DEPTH):  # path lengths 1..RCTE_MAX_DEPTH
+    )
+    n_edges = 0
+    for d in range(RCTE_MAX_DEPTH):  # path lengths 1..RCTE_MAX_DEPTH
         round_paths = (cnt.agg(F.sum("cnt")).collect()[0][0]) or 0
+        if d == 0:
+            n_edges = round_paths
         total_paths += round_paths
         if total_paths > RCTE_PATH_BUDGET:
             raise RuntimeError(
@@ -1677,9 +1745,18 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.join(edges, cnt["node"] == edges["doc_a"])
             .groupBy(F.col("doc_b").alias("node"))
             .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
         )
-    edges.createOrReplaceTempView("gbs_rcte_edges")
+    # Size-adaptive layout for the recursion (guide §2.2): a small edge
+    # set runs the UnionLoop on ONE checkpointed partition (each
+    # iteration is otherwise 32 near-empty tasks of pure scheduling
+    # overhead, and the 1-task localCheckpoint costs one job); a big
+    # one keeps the cached distribution.
+    edges_rec = (
+        edges.coalesce(1).localCheckpoint()
+        if n_edges <= SMALL_GRAPH_EDGES
+        else edges
+    )
+    edges_rec.createOrReplaceTempView("gbs_rcte_edges")
     return spark.sql(f"""
         WITH RECURSIVE walk(src, dst, depth) AS (
             SELECT doc_a, doc_b, 1 FROM gbs_rcte_edges
@@ -2249,7 +2326,9 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") == 1)
         .select("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = _doc_shingle_sizes(spark, sf_dir).withColumnRenamed(
+        "n", "n_shingles"
+    )
     hits = (
         sh.join(unique, "shingle", "left_semi")
         .groupBy("doc_id")
