@@ -79,6 +79,24 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shingle, df) — corpus document frequency per distinct 3-gram.
+
+    Cached (r17, guide §2.4): five queries derive their shingle sets
+    from this one aggregate (df-capped hot set, boilerplate threshold,
+    novelty df=1, duplicate-span df>=2, prefix-filter global order) and
+    each re-ran the same vocabulary-scale groupBy over the shingle
+    cache. The relation is the corpus VOCABULARY (Heaps-law bounded) —
+    exactly the persisted df table a curation stack keeps next to the
+    shingle index; memory-and-disk at crawl scale."""
+    return (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .cache()
+    )
+
+
 def _doc_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n) — distinct-shingle count per document.
 
@@ -618,8 +636,7 @@ def ngram_jaccard_pairs_dfcapped(
     rare-shingle-sharing pairs."""
     sh = _doc_shingles(spark, sf_dir)
     hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        _shingle_df(spark, sf_dir)
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
@@ -1304,8 +1321,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("thr")
     )
     return (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        _shingle_df(spark, sf_dir)
         .crossJoin(F.broadcast(thr))
         .filter(F.col("df") >= F.col("thr"))
         .select("shingle", "df")
@@ -1792,7 +1808,7 @@ def _jaccard_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     session — the persisted prefix index a production similarity job
     writes once. Released by ``session.release_caches``."""
     sh = _doc_shingles(spark, sf_dir)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    freq = _shingle_df(spark, sf_dir)
     ranked = sh.join(freq, "shingle").select(
         "doc_id", "shingle", "df"
     )
@@ -2321,8 +2337,7 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-ratio double on the 1e-6 grid."""
     sh = _doc_shingles(spark, sf_dir)
     unique = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        _shingle_df(spark, sf_dir)
         .filter(F.col("df") == 1)
         .select("shingle")
     )
@@ -2396,9 +2411,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
     )
     shared = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        _shingle_df(spark, sf_dir)
         .filter(F.col("df") >= 2)
         .select("shingle")
     )

@@ -90,14 +90,22 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — at scale, |corpus| rows stream through per-partition
     top-k heaps before the tiny final exchange)."""
     e = table(spark, sf_dir, "embeddings")
+    # r17 (guide §2.3): norms are per-VECTOR, so the interpreted
+    # vec_norm fold evaluates in each SIDE projection (|Q| + |corpus|
+    # evaluations) instead of twice per scored PAIR; the division on
+    # the joined row multiplies the same doubles — bit-identical.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vec_norm("embedding").alias("q_nrm"),
     )
     cand = e.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        vec_norm("embedding").alias("c_nrm"),
     )
     cos = dot_product("q_emb", "c_emb") / (
-        vec_norm("q_emb") * vec_norm("c_emb")
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)
@@ -276,18 +284,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle exact.) Centroids are the ROUNDED label means so
     both engines quantize identically."""
     assigned = _ivf_assigned(spark, sf_dir)
+    # per-side norm projection (r17) — see ann_topk_bruteforce
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        vec_norm("embedding").alias("q_nrm"),
         "cell",
     )
     cand = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        vec_norm("embedding").alias("c_nrm"),
         F.col("cell").alias("cell_c"),
     )
     cos = dot_product("q_emb", "c_emb") / (
-        vec_norm("q_emb") * vec_norm("c_emb")
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)
@@ -333,22 +344,25 @@ def ann_topk_ivf_multiprobe(
         f"'d2', {_D2_FOLD_SQL}, "
         f"'cell', c.cell))), 1, {int(n_probes)}), s -> s.cell)"
     )
+    # per-side norm projection (r17) — see ann_topk_bruteforce
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cells_one))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            vec_norm("embedding").alias("q_nrm"),
             F.explode(probes).alias("cell"),
         )
     )
     cand = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        vec_norm("embedding").alias("c_nrm"),
         F.col("cell").alias("cell_c"),
     )
     cos = dot_product("q_emb", "c_emb") / (
-        vec_norm("q_emb") * vec_norm("c_emb")
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)
@@ -403,19 +417,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.95). The bucket equi-join bounds the pair space (the scale path);
     cosine verifies exactly."""
     e = table(spark, sf_dir, "embeddings")
-    ev = e.select("vec_id", "embedding", _bucket_expr())
+    # per-side norm projection (r17) — see ann_topk_bruteforce
+    ev = e.select(
+        "vec_id", "embedding", _bucket_expr(), vec_norm("embedding").alias("nrm")
+    )
     a = ev.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
         "bucket",
     )
     c = ev.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
         F.col("bucket").alias("bucket_b"),
     )
     cos = dot_product("emb_a", "emb_b") / (
-        vec_norm("emb_a") * vec_norm("emb_b")
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         a.join(
@@ -482,21 +501,26 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique-per-group id) is deterministic, so the whole output is
     hashable cross-engine."""
     assigned = _ivf_assigned(spark, sf_dir)
-    ev = assigned.withColumn("bucket", _bucket_expr())
+    # per-side norm projection (r17) — see ann_topk_bruteforce
+    ev = assigned.withColumn("bucket", _bucket_expr()).withColumn(
+        "nrm", vec_norm("embedding")
+    )
     a = ev.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
         "cell",
         "bucket",
     )
     b = ev.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
         F.col("cell").alias("cell_b"),
         F.col("bucket").alias("bucket_b"),
     )
     cos = dot_product("emb_a", "emb_b") / (
-        vec_norm("emb_a") * vec_norm("emb_b")
+        F.col("nrm_a") * F.col("nrm_b")
     )
     pairs = (
         a.join(
@@ -564,10 +588,19 @@ def semantic_dedup_multiprobe(
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # per-side norm projection (r17) — see ann_topk_bruteforce
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        vec_norm("embedding").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        vec_norm("embedding").alias("nrm_b"),
+    )
     cos = dot_product("emb_a", "emb_b") / (
-        vec_norm("emb_a") * vec_norm("emb_b")
+        F.col("nrm_a") * F.col("nrm_b")
     )
     close = (
         cand.join(ea, "id_a")

@@ -1050,9 +1050,11 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sources^2) rows — a driver-scale report. Integer-ratio Jaccard
     on the 1e-6 grid."""
     docs = parallel_table(spark, sf_dir, "documents")
+    # cached (r17, guide §2.4): three consumers (the size aggregate and
+    # both sides of the token join) re-ran the explode+distinct pass
     v = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).distinct()
+    ).distinct().cache()
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         v.alias("a")
