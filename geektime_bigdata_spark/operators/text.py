@@ -396,9 +396,19 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_sum contract end to end. Ties break on doc_id."""
     from pyspark.sql import Window
 
-    qdf = spark.createDataFrame(
-        [(qid, w) for qid, ws in BM25_QUERIES for w in ws],
-        "query_id string, word string",
+    # r17 (guide §4.1 eliminate the Python boundary): the query literal
+    # is a JVM-side VALUES LocalRelation. createDataFrame on a Python
+    # list builds a 32-slice pickled RDD, and each of the TWO broadcast
+    # exchanges over it (the words semi-join + the query_id join)
+    # materialized it through 32 Python-worker tasks — two near-idle
+    # 32-task stages of worker spin-up per run (stage profile: 7-8 s
+    # task runtime at ~0.08 CPU each). Fixed alphanumeric literals, no
+    # escaping concerns.
+    vals = ", ".join(
+        f"('{qid}', '{w}')" for qid, ws in BM25_QUERIES for w in ws
+    )
+    qdf = spark.sql(
+        f"SELECT col1 AS query_id, col2 AS word FROM VALUES {vals}"
     )
     # r17: the query-term filter is pushed INSIDE the scored relation
     # (words=...), so the df/dl scoring joins run over the ~10 probed
