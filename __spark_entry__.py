@@ -510,85 +510,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-17 sweep prefix (driver checks the first 50 queries() entries).
-# Ledger recomputed from the raw CORRECTNESS_r01-r16 union before
-# rotating (latest green round per query: r16:50, r15:41, r14:47,
-# r13:42, r12:26 - 206/206 green, 0 red; matches the r16 VERDICT's
-# recomputation exactly). Round 17 modified ONE registered operator
-# (contamination_retrieval: the df-capped probe) and added two new
-# surfaces, so the head is small and the prescribed r12-cohort
-# rotation (SURVEY 7.19 staging) runs nearly intact:
-# Slots 1-2: the round-17 NEW surfaces - contamination_suite_report
-#   (multi-suite decontamination rates) and source_zipf_slope_grouped
-#   (the tie-grouped rank scale tier).
-# Slot 3: contamination_retrieval, the one operator whose code path
-#   changed (df cap + single cached probe). source_zipf_slope and
-#   embedding_pca_top2 took docstring-only edits - not code changes,
-#   so they do not displace rotation slots.
-# Slots 4-29: the full 26-query r12-latest cohort (all ten
-#   streaming_* rows, the media_* suite, and the r12 stragglers) -
-#   the staged 7.19 rotation, alphabetical.
-# Slots 30-50: the first 21 of the 42 r13-latest rows, alphabetical.
-#   Displaced to the r18 staging by the 3-slot head:
-#   lang_source_listagg, media_resize_digest, mixture_allocation
-#   (the next r13 rows in sort order).
-# Expected post-r17 ledger: r17:50, r16:47, r15:41, r14:47, r13:21,
-# r12:0 + the 2 new rows first-checked r17 (208 total); max staleness
-# drops to 4 rounds (the r13 tail), streaming re-checked.
+# Round 17 became the first OPTIMIZATION round mid-way: beyond the two
+# new surfaces and the df-capped contamination_retrieval probe from the
+# build half, the optimization half changed the code path (directly or
+# through a shared cached relation / rewritten helper) of 48 registered
+# queries — candidate-pair self-joins, the graph-op edge cache+gates,
+# _doc_shingle_sizes/_shingle_df/simhash-fingerprint caches, tf-weighted
+# logprob/entropy aggregates, the native-replace BPE apply, per-side
+# cosine norms, the BM25 VALUES literal + query-term pushdown, the
+# vectorized pyds datasource, and the natural-split Gram scan. Per the
+# ordering contract the changed surface takes the head; 51 candidates
+# compete for 50 slots, so the least-changed rider
+# (walk_skipgram_pairs — double-indirect through the random-walk
+# frontier over the rewritten LSH pairs) is displaced to r18 staging.
+# DISPLACED to r18 with it: the entire staged r12-latest cohort that is
+# not itself part of the changed surface (all ten streaming_* rows,
+# media_features/media_features_wide/media_type_stats,
+# incoming_batch_dedup, per_source_caps, png_roundtrip_features,
+# quality_weighted_sample, sliding_wau, sliding_window_counts,
+# user_path_trigrams, user_value_trend, vocab_coverage, word_counts,
+# zorder_layout_skipping) and the r13 tail — r18's sweep should lead
+# with those (staleness r12 -> 6 rounds by then; the round-close
+# sweep_check --all below covers them at 3 scales this round).
+# Slots 1-2: the round-17 NEW surfaces; slot 3: the build-half
+# modified probe; slots 4-50: the optimization-changed surface,
+# alphabetical.
 _SWEEP_PRIORITY = [
     # (0) NEW surfaces this round
     "contamination_suite_report",
     "source_zipf_slope_grouped",
-    # (1) operator code modified this round
+    # (1) operator code modified in the build half
     "contamination_retrieval",
-    # (2) the 26-query r12-latest cohort (ledger's oldest)
-    "incoming_batch_dedup",
-    "media_features",
-    "media_features_wide",
-    "media_type_stats",
-    "neardup_triangles",
-    "per_source_caps",
-    "png_roundtrip_features",
-    "quality_weighted_sample",
-    "semantic_dedup_multiprobe",
-    "sliding_wau",
-    "sliding_window_counts",
-    "source_vocab_overlap",
-    "streaming_attribution",
-    "streaming_attribution_full_outer",
-    "streaming_attribution_outer",
-    "streaming_dedup",
-    "streaming_enriched_rollup",
-    "streaming_hourly_rollup",
-    "streaming_sliding_counts",
-    "streaming_upsert_sink",
-    "unigram_logprob_scores",
-    "user_path_trigrams",
-    "user_value_trend",
-    "vocab_coverage",
-    "word_counts",
-    "zorder_layout_skipping",
-    # (3) the first 21 of the 42 r13-latest rows, alphabetical
+    # (2) the optimization-changed surface (47 rows, alphabetical)
     "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "bpe_pair_counts",
-    "broadcast_dim_join",
-    "clipped_value_stats",
-    "corpus_report",
-    "corpus_snapshot_diff",
+    "ann_topk_ivf_multiprobe",
+    "bigram_logprob_scores",
+    "bm25_top_terms",
+    "bm25_topk_docs",
+    "boilerplate_coverage",
+    "boilerplate_ngrams",
+    "bpe_compression_by_source",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "compact_small_files",
     "curation_funnel",
-    "doc_quality_scores",
-    "edit_distance_pairs",
-    "edit_distance_pairs_snm",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "duplicate_span_stats",
     "embedding_gram_matrix",
-    "embedding_norms_arrow",
-    "embedding_norms_arrow_udf",
+    "embedding_neardup_pairs",
     "embedding_pca_power",
-    "event_type_melt",
-    "event_type_stats_pipe",
-    "frame_sample_digest",
-    "gap_filled_hourly",
-    "json_props_extract",
-    "json_props_variant",
+    "embedding_pca_top2",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_pairs",
+    "neardup_detector_matrix",
+    "neardup_kcore",
+    "neardup_pagerank",
+    "neardup_pair_features",
+    "neardup_random_walks",
+    "neardup_reach_rcte",
+    "neardup_triangles",
+    "ngram_containment_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_dfcapped",
+    "ngram_novelty_scores",
+    "prefix_filter_jaccard_pairs",
+    "prefix_filter_jaccard_pairs_banded",
+    "pyds_stream_roundtrip",
+    "pyds_tsv_roundtrip",
+    "quality_dup_calibration",
+    "semantic_dedup",
+    "semantic_dedup_multiprobe",
+    "simhash_doc_pairs",
+    "simhash_neardup_pairs",
+    "source_overlap_matrix",
+    "source_vocab_overlap",
+    "token_entropy_scores",
+    "unigram_logprob_scores",
 ]
 
 

@@ -726,7 +726,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = parallel_table(spark, sf_dir, "embeddings")
+    # natural scan splits, NOT parallel_table (r17, guide §4.3): the
+    # per-partition work here is numpy-VECTORIZED (one einsum per
+    # batch), so the spread hint only multiplied Python-worker/Arrow
+    # per-task overhead — 32 near-idle workers for one small einsum
+    # each (measured 2.7 s / 20 CPU-s spread vs 0.9 s / ~1 CPU-s
+    # natural at sf0.1). At real scale the scan's own file splits
+    # parallelize the partials; the interpreted-HOF pipelines keep the
+    # spread hint because their per-ROW cost is the bottleneck there.
+    e = table(spark, sf_dir, "embeddings")
     d = N_DIMS
     iu = np.triu_indices(d)
 
