@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.registry import table
+from geektime_bigdata_spark.registry import parallel_table, table
 
 HLL_RSD = 0.02  # target relative standard deviation for HLL++
 PCT_ACCURACY = 10000  # percentile_approx accuracy knob (1/accuracy error)
@@ -75,7 +75,15 @@ def _term_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per token occurrence, with the SAME empty-token filter as
     text.py's ``_tokens`` — both corpus token-count definitions must
     agree or the MG guarantee would be validated against a different N
-    than the headline word counts."""
+    than the headline word counts.
+
+    r17 measured revert (guide §1.1 record): a parallel_table spread of
+    the scan REGRESSED the sketch family 6.9 -> 20.6 CPU-s at sf0.1 —
+    once the MG update is batch-vectorized, per-task Python worker
+    overhead is the dominant term and the 32-way spread multiplies it
+    (the same failure the pyds fan-out sweep measured). On a real
+    multi-file corpus the scan parallelizes from its natural splits
+    with no extra tasks manufactured."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -110,7 +118,25 @@ def frequent_terms_mg(
     stream for the exact count) — the only viable plan when the
     vocabulary itself outgrows a shuffle. Python is acceptable here:
     the sketch update is inherently imperative and Arrow-batched
-    (``mapInPandas``), the same tier as the multimodal decode path."""
+    (``mapInPandas``), the same tier as the multimodal decode path.
+
+    The update is the WEIGHTED (batched) Misra-Gries step (guide §4.2:
+    hand whole batches to vectorized code, loop Python only over the
+    reduced result): each Arrow batch collapses to exact (term, count)
+    partials via ``value_counts`` (C speed), those partials merge into
+    the counters, and one prune subtracts the (k+1)-th largest counter
+    value s from every counter and drops the non-positive — at most k
+    survive (only values > s), and because at least k+1 counters held
+    >= s, every prune removes >= (k+1)*s of true mass, so the summed
+    subtractions obey sum(s_i) <= N_p/(k+1) < N_p/k. That is the SAME
+    per-partition guarantee as the classic one-token-at-a-time
+    decrement loop (estimates never overcount; per-term undercount
+    <= N_p/k), reached in O(unique-terms-per-batch) Python work
+    instead of O(tokens): the r17 before/after on this operator is in
+    OPTIMIZATION_r17.md. Individual ``n_est`` values differ from the
+    arrival-order walk (any valid MG run's do), which is why no
+    declared query exposes them — sketch_error_bounds emits only the
+    exact values and the bound-held booleans the guarantee fixes."""
     import pandas as pd
 
     toks = _term_stream(spark, sf_dir)
@@ -118,21 +144,14 @@ def frequent_terms_mg(
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term in pdf["term"]:
-                if term in counters:
-                    counters[term] += 1
-                elif len(counters) < k:
-                    counters[term] = 1
-                else:
-                    # decrement-all: charges one unit to every counter
-                    # and the incoming term; drops zeros
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for term, w in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(w)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest from all, drop <= 0
+                s = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - s for t, c in counters.items() if c > s
+                }
         if counters:
             yield pd.DataFrame(
                 {"term": list(counters), "n_est": list(counters.values())}
@@ -213,44 +232,71 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, PCT_ACCURACY).alias("a50"),
         F.percentile_approx("o_totalprice", 0.99, PCT_ACCURACY).alias("a99"),
     )
-    qrows = []
-    for metric, q in (("p50_price", 0.5), ("p99_price", 0.99)):
+    # ONE aggregate over the ranked relation carrying all six rank
+    # selections, joined to the approx row once (r17, guide §1.2 step
+    # 1 / §2.4): the per-metric formulation aggregated the whole
+    # double-window subtree TWICE (two full order sorts — the
+    # duplicated subtree was plan-visible) and joined approx twice.
+    # Row values are bit-identical: same rank/margin expressions, same
+    # max-when selections, merely side by side in one pass.
+    agg_cols = []
+    for tag, q in (("50", 0.5), ("99", 0.99)):
         target = F.floor((F.col("n") - 1) * F.lit(q)) + 1
         margin = F.ceil(F.col("n") / F.lit(PCT_ACCURACY)) + F.lit(
             BOUND_RANK_SLACK
         )
         lo_rank = F.greatest(target - margin, F.lit(1))
         hi_rank = F.least(target + margin, F.col("n"))
-        per_prio = ranked.groupBy("o_orderpriority").agg(
+        agg_cols += [
             F.max(
                 F.when(F.col("rn") == target, F.col("o_totalprice"))
-            ).alias("exact_v"),
+            ).alias(f"exact_v{tag}"),
             F.max(
                 F.when(F.col("rn") == lo_rank, F.col("o_totalprice"))
-            ).alias("lo_v"),
+            ).alias(f"lo_v{tag}"),
             F.max(
                 F.when(F.col("rn") == hi_rank, F.col("o_totalprice"))
-            ).alias("hi_v"),
-        )
-        a = F.col("a50") if q == 0.5 else F.col("a99")
-        qrows.append(
-            per_prio.join(approx, "o_orderpriority").select(
-                F.lit(metric).alias("metric"),
-                F.col("o_orderpriority").alias("key"),
-                F.floor(F.col("exact_v") * 1000000.0 + F.lit(0.5))
+            ).alias(f"hi_v{tag}"),
+        ]
+    per_prio = ranked.groupBy("o_orderpriority").agg(*agg_cols).join(
+        approx, "o_orderpriority"
+    )
+    # stack, not two selects unioned: selecting twice from the uncached
+    # per_prio would put the aggregate+join subtree in the plan twice
+    # and lean on exchange reuse to dedupe it
+    wide = per_prio.select(
+        F.col("o_orderpriority").alias("key"),
+        *[
+            c
+            for tag in ("50", "99")
+            for c in (
+                F.floor(F.col(f"exact_v{tag}") * 1000000.0 + F.lit(0.5))
                 .cast("long")
-                .alias("exact_value"),
-                ((a >= F.col("lo_v")) & (a <= F.col("hi_v"))).alias(
-                    "within_bound"
-                ),
+                .alias(f"ex{tag}"),
+                (
+                    (F.col(f"a{tag}") >= F.col(f"lo_v{tag}"))
+                    & (F.col(f"a{tag}") <= F.col(f"hi_v{tag}"))
+                ).alias(f"wb{tag}"),
             )
-        )
+        ],
+    )
+    qrows = [
+        wide.select(
+            F.expr(
+                "stack(2, 'p50_price', ex50, wb50, 'p99_price', ex99, wb99)"
+                " AS (metric, exact_value, within_bound)"
+            ),
+            "key",
+        ).select("metric", "key", "exact_value", "within_bound")
+    ]
 
     # --- Misra-Gries heavy-hitter survival ---
     # vocab-sized relation referenced twice (corpus total + the
-    # survival join): checkpoint so the token-explode aggregate runs
-    # once, not once per reference
-    exact_terms = frequent_terms_exact(spark, sf_dir).localCheckpoint()
+    # survival join): cache so the token-explode aggregate runs once,
+    # not once per reference (r17: cache, not localCheckpoint — the
+    # eager checkpoint was an extra up-front job; the cache
+    # materializes inside the first consumer's job instead)
+    exact_terms = frequent_terms_exact(spark, sf_dir).cache()
     mg = frequent_terms_mg(spark, sf_dir)
     total = exact_terms.agg(F.sum("n").alias("big_n"))
     hh = (
