@@ -14,6 +14,7 @@ from geektime_bigdata_spark.functions.exprs import (
     shingles,
     sum_micros,
     tokens,
+    values_relation,
     vec_norm,
 )
 
@@ -26,4 +27,5 @@ __all__ = [
     "exact_sum",
     "grid_round",
     "sum_micros",
+    "values_relation",
 ]

@@ -163,6 +163,41 @@ def grid_round(col: Column | str, scale: int = 6) -> Column:
     return (F.floor(c * k + F.lit(0.5)) / k).cast("double")
 
 
+def values_relation(spark, rows, schema: str):
+    """Lift small driver-side numeric rows into a JVM VALUES
+    LocalRelation (r17, guide §4.1): ``spark.createDataFrame`` on a
+    Python list builds a 32-slice pickled RDD, and every broadcast
+    exchange or sink pass over it materializes through 32 near-idle
+    Python-worker tasks (~0.2 s each, measured on dedup_clusters'
+    label join and the contamination suite row). A VALUES literal is
+    driver-side SQL text — zero tasks, constant-folded.
+
+    ``rows``: sequence of tuples of int/float (the gated driver-path
+    results — bounded by the same thresholds that allowed collecting
+    them). ``schema``: ``"name type, ..."`` with types long|bigint|
+    double. Longs inline as ``{v}L``; doubles as ``repr(v)D`` —
+    ``Double.parseDouble`` of the shortest round-trip repr is the
+    identical IEEE value, so nothing moves off the value grid."""
+    fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+
+    def lit(v, t):
+        t = t.lower()
+        if t in ("long", "bigint"):
+            return f"{int(v)}L"
+        if t == "double":
+            return f"{float(v)!r}D"
+        raise ValueError(f"values_relation: unsupported type {t!r}")
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, t) for v, (_, t) in zip(r, fields)) + ")"
+        for r in rows
+    )
+    proj = ", ".join(
+        f"col{i + 1} AS {n}" for i, (n, _) in enumerate(fields)
+    )
+    return spark.sql(f"SELECT {proj} FROM VALUES {vals}")
+
+
 def hash_unit_weight(tag: str) -> float:
     """Deterministic pseudo-random weight in [-1, 1]: first 8 md5 hex chars
     of ``tag`` -> int, % 2001 -> [-1000, 1000] / 1000. Bit-identical to the

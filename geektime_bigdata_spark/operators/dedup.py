@@ -40,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import grid_round, shingles, tokens
+from geektime_bigdata_spark.functions import (
+    grid_round,
+    shingles,
+    tokens,
+    values_relation,
+)
 from geektime_bigdata_spark.registry import parallel_table, table
 
 N_HASHES = 12
@@ -430,9 +435,10 @@ def dedup_clusters(
         labels_rows = [(d, find(d)) for d in parent]
         if not labels_rows:
             return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-        lbl = spark.createDataFrame(
-            labels_rows, "doc_id long, cc long"
-        )
+        # VALUES LocalRelation, not a pickled-RDD createDataFrame:
+        # the broadcast build over the 32-slice RDD was one near-idle
+        # 32-Python-task stage (~5.9 s task runtime at 0.12 CPU)
+        lbl = values_relation(spark, labels_rows, "doc_id long, cc long")
         return (
             docs.select("doc_id")
             .join(F.broadcast(lbl), "doc_id", "left")
@@ -810,7 +816,19 @@ def _contam_scored(
         .count()
     )  # tiny scalar, same style as bm25's n_docs
     ev_shingles = ev.select("shingle").distinct()
-    hits = train.join(F.broadcast(ev_shingles), "shingle").cache()
+    # repartition BY SHINGLE before caching (r17): the broadcast probe
+    # inherits the corpus scan's partitioning, so the cached slice —
+    # eval-bounded, tiny next to the corpus — otherwise pins every
+    # consumer stage to 32 near-idle tasks (measured: 2 stages x 32
+    # tasks x ~0.26 s overhead each over 0.5 MB of cache). The keyed
+    # exchange is AQE-sized (one partition here, more as the slice
+    # grows) and the df aggregate below reuses the hash partitioning
+    # instead of shuffling again.
+    hits = (
+        train.join(F.broadcast(ev_shingles), "shingle")
+        .repartition("shingle")
+        .cache()
+    )
     df_ = hits.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")  # (doc, shingle) rows are distinct
     )
@@ -962,12 +980,19 @@ def contamination_suite_report(
             for m in suites
         ],
     ).collect()[0]
-    suites_df = spark.createDataFrame(
-        [
-            (m, int(row[f"ev{m}"]), int(row["n_docs"]) - int(row[f"ev{m}"]))
-            for m in suites
-        ],
-        "suite long, n_eval_docs long, n_train_docs long",
+    # JVM-side VALUES LocalRelation, not createDataFrame (r17, guide
+    # §4.1): the pickled-RDD literal materialized through 32 Python-
+    # worker tasks per broadcast exchange — two near-idle 32-task
+    # stages (stage profile: ~6.5 s task runtime at ~0.08 CPU each).
+    # Values are driver-computed ints; no escaping concerns.
+    vals = ", ".join(
+        f"({m}L, {int(row[f'ev{m}'])}L,"
+        f" {int(row['n_docs']) - int(row[f'ev{m}'])}L)"
+        for m in suites
+    )
+    suites_df = spark.sql(
+        "SELECT col1 AS suite, col2 AS n_eval_docs, col3 AS n_train_docs"
+        f" FROM VALUES {vals}"
     )
     suites_arr = F.array(*[F.lit(m).cast("long") for m in suites])
     member = F.filter(
@@ -982,6 +1007,8 @@ def contamination_suite_report(
     hits = (
         sh.join(F.broadcast(ev_shingles), "shingle")
         .filter(F.col("doc_id") % F.col("suite") != 0)
+        # keyed AQE-sized exchange before the cache — see _contam_scored
+        .repartition("suite", "shingle")
         .cache()
     )
     df_ = (
@@ -1265,8 +1292,8 @@ def neardup_pagerank(
                 d: g9(0.15 / n_docs + 0.85 * (m.get(d, 0) / 1e9))
                 for d in ids
             }
-        return spark.createDataFrame(
-            [(d, pr[d]) for d in ids], "doc_id long, pagerank double"
+        return values_relation(
+            spark, [(d, pr[d]) for d in ids], "doc_id long, pagerank double"
         )
 
     bidir = edges.select(
@@ -1654,7 +1681,7 @@ def neardup_kcore(
             return spark.createDataFrame(
                 [], "doc_id long, core_degree long"
             )
-        return spark.createDataFrame(rows, "doc_id long, core_degree long")
+        return values_relation(spark, rows, "doc_id long, core_degree long")
 
     # distributed peel
     und = edges.unionByName(

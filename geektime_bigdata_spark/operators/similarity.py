@@ -42,6 +42,7 @@ from geektime_bigdata_spark.functions import (
     dot_product,
     grid_round,
     hash_unit_weight,
+    values_relation,
     vec_norm,
 )
 from geektime_bigdata_spark.registry import parallel_table, table
@@ -1178,7 +1179,8 @@ def embedding_pca_top2(
             for i in ids
             for j in ids
         )
-        return spark.createDataFrame(
+        return values_relation(
+            spark,
             [(j, v1[j], v2[j], lam1, lam2) for j in ids],
             "component long, v1_micros long, v2_micros long,"
             " lambda1_micros long, lambda2_micros long",
