@@ -11,6 +11,7 @@ from geektime_bigdata_spark.functions.exprs import (
     exact_sum,
     grid_round,
     hash_unit_weight,
+    lift_collected,
     shingles,
     sum_micros,
     tokens,
@@ -28,4 +29,5 @@ __all__ = [
     "grid_round",
     "sum_micros",
     "values_relation",
+    "lift_collected",
 ]

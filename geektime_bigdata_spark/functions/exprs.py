@@ -198,6 +198,59 @@ def values_relation(spark, rows, schema: str):
     return spark.sql(f"SELECT {proj} FROM VALUES {vals}")
 
 
+def lift_collected(spark, df):
+    """``collect()`` a tiny result DataFrame and re-enter it as a VALUES
+    LocalRelation — the scratch-lifetime materialization every
+    roundtrip surface needs (the scratch dir is deleted in ``finally``,
+    so the returned frame must not reference it), without the
+    ``createDataFrame`` pickled-RDD cost (see :func:`values_relation`;
+    the sink pass over the 32-slice RDD was a near-idle 32-Python-task
+    stage per query). Supports long/double/string/boolean columns and
+    NULLs; any other column type falls back to ``createDataFrame``
+    unchanged. Doubles inline as round-trip ``repr`` (identical IEEE
+    value); strings are backslash-escaped (the default Spark SQL
+    string-literal escape mode)."""
+    from pyspark.sql import types as T
+
+    rows = df.collect()
+    sql_types = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.LongType):
+            sql_types.append("BIGINT")
+        elif isinstance(f.dataType, T.DoubleType):
+            sql_types.append("DOUBLE")
+        elif isinstance(f.dataType, T.StringType):
+            sql_types.append("STRING")
+        elif isinstance(f.dataType, T.BooleanType):
+            sql_types.append("BOOLEAN")
+        else:
+            return spark.createDataFrame(rows, df.schema)
+    if not rows:
+        return spark.createDataFrame(rows, df.schema)
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "BIGINT":
+            return f"{int(v)}L"
+        if t == "DOUBLE":
+            return f"{float(v)!r}D"
+        if t == "BOOLEAN":
+            return "true" if v else "false"
+        esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(r, sql_types)) + ")"
+        for r in rows
+    )
+    proj = ", ".join(
+        f"col{i + 1} AS `{f.name}`"
+        for i, f in enumerate(df.schema.fields)
+    )
+    return spark.sql(f"SELECT {proj} FROM VALUES {vals}")
+
+
 def hash_unit_weight(tag: str) -> float:
     """Deterministic pseudo-random weight in [-1, 1]: first 8 md5 hex chars
     of ``tag`` -> int, % 2001 -> [-1000, 1000] / 1000. Bit-identical to the

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geektime_bigdata_spark.functions import exact_sum, grid_round
+from geektime_bigdata_spark.functions import lift_collected, exact_sum, grid_round
 from geektime_bigdata_spark.registry import table
 
 
@@ -204,7 +204,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("_h").cast("long").alias("row_checksum"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

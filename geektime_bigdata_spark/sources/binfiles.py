@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geektime_bigdata_spark.functions import lift_collected
+
 
 def export_blobs(
     df: DataFrame, path: str, name_col: str = "name", payload_col: str = "payload"
@@ -174,6 +176,6 @@ def binary_ingest_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("binding_checksum"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

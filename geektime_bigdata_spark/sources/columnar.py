@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.functions import lift_collected
 from pyspark.sql import types as T
 
 
@@ -118,6 +120,6 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").isin("click", "purchase", "signup")
         )
         out = back.groupBy("event_type").agg(*event_interchange_aggs())
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

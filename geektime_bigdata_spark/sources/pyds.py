@@ -582,6 +582,7 @@ def tsv_roundtrip_stats(spark, sf_dir: str):
 
     from pyspark.sql import functions as F
 
+    from geektime_bigdata_spark.functions import lift_collected
     from geektime_bigdata_spark.registry import table
 
     register(spark)
@@ -617,7 +618,7 @@ def tsv_roundtrip_stats(spark, sf_dir: str):
             F.sum("value_micros").alias("sum_value_micros"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -636,6 +637,7 @@ def stream_roundtrip_stats(spark, sf_dir: str):
 
     from pyspark.sql import functions as F
 
+    from geektime_bigdata_spark.functions import lift_collected
     from geektime_bigdata_spark.registry import table
 
     register(spark)
@@ -674,7 +676,7 @@ def stream_roundtrip_stats(spark, sf_dir: str):
             F.count(F.lit(1)).alias("n"),
             F.sum("value_micros").alias("sum_value_micros"),
         )
-        return spark.createDataFrame(res.collect(), res.schema)
+        return lift_collected(spark, res)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from geektime_bigdata_spark.functions import lift_collected
 from pyspark.sql import types as T
 
 # 13-field HTTP log; only the named fields are ever used downstream —
@@ -188,7 +190,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").isin("click", "purchase", "signup")
         )
         out = back.groupBy("event_type").agg(*event_interchange_aggs())
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -268,7 +270,7 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").isin("click", "purchase", "signup")
         )
         out = back.groupBy("event_type").agg(*event_interchange_aggs())
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -321,6 +323,6 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("text_checksum"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return lift_collected(spark, out)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
