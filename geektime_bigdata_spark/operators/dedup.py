@@ -2272,17 +2272,24 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocked.select(
         "blk", F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
     )
+    # threshold form of the DP (r17): banded O(threshold x len), -1
+    # for pairs beyond ED_MAX_DIST — the >= 0 filter keeps exactly the
+    # rows the unbounded form kept, with identical distances (exact
+    # within the threshold by definition)
     return (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("head_a", "head_b")
+            F.levenshtein("head_a", "head_b", ED_MAX_DIST)
             .cast("long")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= ED_MAX_DIST)
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= ED_MAX_DIST)
+        )
     )
 
 SNM_WINDOW = 8  # sorted-neighborhood comparison window
@@ -2325,25 +2332,48 @@ def edit_distance_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, SNM_WINDOW + 1)
         ]
     )
+    # Measured revert (guide §1.1 record): an explicit-N keyed
+    # repartition on blk before the window — meant to stop AQE
+    # coalescing the sub-MB block exchange to one partition (the sort
+    # + lead + explode stage runs serially, 0.74 s on 1 task) —
+    # REGRESSED the op 1.3 -> 2.65 s wall / 3.0 -> 6.7 CPU-s: the
+    # 32-way window machinery costs more than the serial sort saves at
+    # this block-exchange size. The serial window stage stays; at
+    # corpus scale its exchange is large and AQE sizes it up on its
+    # own.
     r = docs.select(
         "doc_id",
         "head",
         "skey",
         F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
     ).select("doc_id", "head", succ.alias("succ"))
-    return (
-        r.select(
-            "doc_id", "head", F.explode("succ").alias("s")
-        )
+    # r17 (guide §2.5/§2.6): AQE coalesces the tiny block exchange to
+    # ONE partition, and the levenshtein DP — the op's entire CPU —
+    # pipelines into that single task (stage profile: 1.24 s CPU on 1
+    # task). A round-robin respread between the window and the verify
+    # costs one sub-MB shuffle and runs the DP at full parallelism; at
+    # corpus scale the window output is large and the respread is a
+    # cheap rebalance (the parallel_table rationale). The DP itself is
+    # the THRESHOLD form — banded O(threshold x len) instead of
+    # O(len^2), returning -1 for pairs beyond ED_MAX_DIST — so the
+    # >=0 filter keeps exactly the rows the unbounded form kept, with
+    # identical distances (exact within the threshold by definition).
+    pairs = (
+        r.select("doc_id", "head", F.explode("succ").alias("s"))
         .filter(F.col("s.d").isNotNull())
-        .select(
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    dist = F.levenshtein("head", F.col("s.h"), ED_MAX_DIST).cast("long")
+    return (
+        pairs.select(
             F.least("doc_id", "s.d").alias("doc_a"),
             F.greatest("doc_id", "s.d").alias("doc_b"),
-            F.levenshtein("head", F.col("s.h")).cast("long").alias(
-                "edit_dist"
-            ),
+            dist.alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= ED_MAX_DIST)
+        .filter(
+            (F.col("edit_dist") >= 0)
+            & (F.col("edit_dist") <= ED_MAX_DIST)
+        )
     )
 
 
