@@ -256,7 +256,16 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache(): without it, every consumer that joins the index against
     itself duplicates the whole centroid+assignment subtree in one plan
     (verified in PLANS.md). In production the index is a persisted table
-    built by an indexing job; cache() is its in-session stand-in."""
+    built by an indexing job; cache() is its in-session stand-in.
+
+    r17 measured revert (guide §1.1 record): sharing ONE cached
+    (vec_id, embedding, d2s) distance relation between this argmin and
+    the multiprobe top-2 sort — to remove the multiprobe's second full
+    fold pass — REGRESSED semantic_dedup_multiprobe 2.85 -> 4.13 s /
+    11.7 -> 13.8 CPU-s warm in a same-session A/B: reading the cached
+    array<struct> column back through the in-memory columnar format
+    costs MORE per pass than re-evaluating the interpreted fold. The
+    inline fold stays on both consumers."""
     e = parallel_table(spark, sf_dir, "embeddings")
     cells_one = _cells_one(spark, sf_dir)
     nearest = F.expr(
