@@ -541,15 +541,30 @@ _SWEEP_PRIORITY = [
     "source_zipf_slope_grouped",
     # (1) operator code modified in the build half
     "contamination_retrieval",
-    # (2) the optimization-changed surface (47 rows, alphabetical)
-    "ann_topk_bruteforce",
+    # (2) the optimization-changed surface, continuation session
+    # (11 rows: the VALUES/lift_collected sites, the sketch-bound
+    # rewrite, the edit-distance passes, and the dedup_clusters
+    # riders; earlier-session rows they displaced are listed at the
+    # bottom for r18)
+    "sketch_error_bounds",
+    "decontaminate_corpus",
+    "edit_distance_pairs",
+    "edit_distance_pairs_snm",
+    "binary_ingest_digests",
+    "csv_roundtrip_stats",
+    "xml_roundtrip_stats",
+    "jsonl_roundtrip_stats",
+    "orc_roundtrip_stats",
+    "curated_corpus",
+    "curation_summary",
+    # (3) the optimization-changed surface, first session
+    # (alphabetical; rows changed again in the continuation kept)
     "ann_topk_ivf",
     "ann_topk_ivf_multiprobe",
     "bigram_logprob_scores",
     "bm25_top_terms",
     "bm25_topk_docs",
     "boilerplate_coverage",
-    "boilerplate_ngrams",
     "bpe_compression_by_source",
     "bpe_encode_corpus",
     "bpe_train_merges",
@@ -559,19 +574,13 @@ _SWEEP_PRIORITY = [
     "dedup_cluster_representatives",
     "dedup_clusters",
     "duplicate_span_stats",
-    "embedding_gram_matrix",
-    "embedding_neardup_pairs",
-    "embedding_pca_power",
     "embedding_pca_top2",
     "minhash_jaccard_estimate",
-    "minhash_lsh_pairs",
     "neardup_detector_matrix",
     "neardup_kcore",
     "neardup_pagerank",
     "neardup_pair_features",
-    "neardup_random_walks",
     "neardup_reach_rcte",
-    "neardup_triangles",
     "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_dfcapped",
@@ -580,15 +589,19 @@ _SWEEP_PRIORITY = [
     "prefix_filter_jaccard_pairs_banded",
     "pyds_stream_roundtrip",
     "pyds_tsv_roundtrip",
-    "quality_dup_calibration",
     "semantic_dedup",
     "semantic_dedup_multiprobe",
-    "simhash_doc_pairs",
     "simhash_neardup_pairs",
-    "source_overlap_matrix",
     "source_vocab_overlap",
     "token_entropy_scores",
     "unigram_logprob_scores",
+    # Displaced to r18 (first-session-changed riders whose shared
+    # helpers are covered by kept family rows; all 211 were green in
+    # this round's own sweep_check --all): ann_topk_bruteforce,
+    # boilerplate_ngrams, embedding_gram_matrix,
+    # embedding_neardup_pairs, embedding_pca_power, minhash_lsh_pairs,
+    # neardup_random_walks, neardup_triangles, quality_dup_calibration,
+    # simhash_doc_pairs, source_overlap_matrix.
 ]
 
 
