@@ -730,14 +730,17 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cannot contain the split character) but skips per-n-gram
         # string allocation — measured 3x faster at sf0.1. The oracle
         # keeps the string form; only the distinct COUNT crosses the
-        # contract edge.
+        # contract edge. r17: the struct array IS the trimmed
+        # arrays_zip of offset slices — no lambda at all (the
+        # shingles()/BPE rewrite, guide §1.2 step 2).
         .select(
             "doc_id",
             "toks",
             F.expr(
-                "transform(sequence(1, size(toks) - 2), "
-                "i -> struct(element_at(toks, i), "
-                "element_at(toks, i + 1), element_at(toks, i + 2)))"
+                "slice(arrays_zip(toks,"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 3, greatest(size(toks) - 2, 0))),"
+                " 1, greatest(size(toks) - 2, 0))"
             ).alias("ng"),
         )
     )
@@ -1124,18 +1127,24 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase) and aggregate into at most |vocab|^2 groups; the rank window
     runs over that driver-scale aggregate, not the corpus."""
     docs = parallel_table(spark, sf_dir, "documents")
-    # stage the split: element_at(split(text), i) inside the transform
+    # stage the split: element_at(split(text), i) inside a transform
     # lambda re-evaluates the split PER ELEMENT (lambda bodies are not
-    # hoisted), turning an O(len) pass into O(len^2) splits per row
-    pairs = (
-        "transform(sequence(1, size(toks) - 1), "
-        "i -> concat_ws(' ', element_at(toks, i), "
-        "element_at(toks, i + 1)))"
-    )
+    # hoisted), turning an O(len) pass into O(len^2) splits per row.
+    # r17: pairs come off arrays_zip(toks, toks[2:]) — no lambda; the
+    # concat_ws runs codegen'd per exploded row (the shingles()/BPE
+    # rewrite, guide §1.2 step 2).
     counts = (
         docs.select(F.split(F.col("text"), " ").alias("toks"))
         .filter(F.expr("size(toks) >= 2"))
-        .select(F.explode(F.expr(pairs)).alias("pair"))
+        .select(
+            "toks",
+            F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))").alias(
+                "t2"
+            ),
+        )
+        .select(F.explode(F.arrays_zip("toks", "t2")).alias("z"))
+        .filter(F.col("z.t2").isNotNull())
+        .select(F.concat_ws(" ", "z.toks", "z.t2").alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1772,18 +1781,24 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # context counts, and the score join); corpus/context tables sum the
     # tf relation and the per-token lp sum becomes a tf-weighted integer
     # sum — bit-identical (lp quantizes per BIGRAM before weighting).
+    # r17: bigram structs off arrays_zip(ft, ft[2:]) — no per-position
+    # lambda (the shingles()/BPE rewrite, guide §1.2 step 2); the
+    # padded tail (null second member) is the old sequence bound
     prs = (
         staged.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ft) - 1),"
-                    " i -> struct(element_at(ft, i) AS w1,"
-                    " element_at(ft, i + 1) AS w2))"
-                )
-            ).alias("p"),
+            "ft",
+            F.expr("slice(ft, 2, greatest(size(ft) - 1, 0))").alias(
+                "f2"
+            ),
         )
-        .groupBy("doc_id", "p.w1", "p.w2")
+        .select("doc_id", F.explode(F.arrays_zip("ft", "f2")).alias("p"))
+        .filter(F.col("p.f2").isNotNull())
+        .groupBy(
+            "doc_id",
+            F.col("p.ft").alias("w1"),
+            F.col("p.f2").alias("w2"),
+        )
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
     )
