@@ -24,7 +24,14 @@ def shingles(toks: str = "toks", n: int = 3) -> Column:
     also paid n interpreted ``element_at`` calls per position
     (measured 1.86 -> 1.15 CPU-s on the sf0.1 shingle explode).
     ``size < n`` yields an empty slice and hence ``array()``, exactly
-    the old CASE arm."""
+    the old CASE arm. NULL-input note (ADVICE r17): a NULL token array
+    yields NULL (the zip/slice chain propagates it), where the pre-r17
+    CASE form yielded ``array()`` — benign for the explode-only
+    consumers in this repo, but an API behavior change. ``n=1``
+    short-circuits to ``array_distinct(toks)`` (the zip form would
+    render a trailing-comma ``arrays_zip(toks, )`` SQL syntax error)."""
+    if n == 1:
+        return F.expr(f"array_distinct({toks})")
     slices = ", ".join(
         f"slice({toks}, {k + 1}, greatest(size({toks}) - {k}, 0))"
         for k in range(1, n)
@@ -191,8 +198,24 @@ def values_relation(spark, rows, schema: str):
     them). ``schema``: ``"name type, ..."`` with types long|bigint|
     double. Longs inline as ``{v}L``; doubles as ``repr(v)D`` —
     ``Double.parseDouble`` of the shortest round-trip repr is the
-    identical IEEE value, so nothing moves off the value grid."""
+    identical IEEE value, so nothing moves off the value grid.
+
+    Guards (ADVICE r17): empty ``rows`` would render malformed SQL
+    (``... FROM VALUES ``) and a non-finite double would render an
+    unparseable literal (``repr(nan) -> 'nanD'``) — both fall back to
+    ``spark.createDataFrame`` (same schema, same rows), trading the
+    pickled-RDD cost for correctness on the degenerate inputs no
+    current call site produces but the public helper must survive."""
+    import math
+
+    rows = list(rows)
     fields = [f.strip().rsplit(" ", 1) for f in schema.split(",")]
+    if not rows or any(
+        isinstance(v, float) and not math.isfinite(v)
+        for r in rows
+        for v in r
+    ):
+        return spark.createDataFrame(rows, schema)
 
     def lit(v, t):
         t = t.lower()
@@ -240,6 +263,17 @@ def lift_collected(spark, df):
         else:
             return spark.createDataFrame(rows, df.schema)
     if not rows:
+        return spark.createDataFrame(rows, df.schema)
+    import math
+
+    # non-finite doubles render unparseable literals (repr(nan) ->
+    # 'nanD'); fall back to createDataFrame for those rows' frames
+    # (ADVICE r17 — loud-but-avoidable failure made unreachable)
+    if any(
+        isinstance(v, float) and not math.isfinite(v)
+        for r in rows
+        for v in r
+    ):
         return spark.createDataFrame(rows, df.schema)
 
     def lit(v, t):

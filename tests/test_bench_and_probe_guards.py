@@ -562,3 +562,51 @@ def test_retry_wall_budget_covers_observed_windows():
     ~2x budget + warmup."""
     assert bench.RETRY_WALL_BUDGET_S >= 1.5 * 530
     assert bench.RETRY_WALL_BUDGET_S <= 1800
+
+
+def test_compact_line_query_foldin_respects_tail_budget():
+    """r18: the final stdout line carries the most expensive queries'
+    medians but must stay inside the driver's 2000-char tail capture
+    (with headroom for the retry marker) — simulate the fold-in on a
+    worst-case 88-query map with long names."""
+    timings = {
+        f"prefix_filter_jaccard_pairs_variant_{i:02d}": round(
+            100.0 - i * 0.5, 3
+        )
+        for i in range(88)
+    }
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 9999.999,
+        "sf": 0.1,
+        "set": 5,
+        "n": 88,
+        "spread": 9.999,
+        "bands": {"in": 18, "above_amb": 35, "below_amb": 20, "new": 15},
+        "seed": 15,
+        "vnorm": 9999.9,
+        "cpu": 99999.9,
+    }
+    qmap = {}
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        qmap[name] = timings[name]
+        trial = dict(compact)
+        trial["queries"] = qmap
+        trial["q_omitted"] = len(timings) - len(qmap)
+        if (
+            len(json.dumps(trial, separators=(",", ":")))
+            > bench.TAIL_LINE_BUDGET
+        ):
+            del qmap[name]
+            break
+    compact["queries"] = qmap
+    compact["q_omitted"] = len(timings) - len(qmap)
+    compact["retry"] = 1
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 2000
+    # the fold-in keeps the MOST expensive queries: the included set
+    # must be a prefix of the cost-descending order
+    kept = set(qmap)
+    order = sorted(timings, key=lambda n: (-timings[n], n))
+    assert kept == set(order[: len(kept)])
+    assert len(kept) >= 30  # meaningful coverage, not a token few

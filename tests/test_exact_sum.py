@@ -76,3 +76,49 @@ def test_oracle_canon_distinguishes_one_ulp():
     # and NaN/None/bool stay distinguishable from each other and floats
     assert len({_canon(float("nan")), _canon(None), _canon(True),
                 _canon(1.0)}) == 4
+
+
+def test_values_relation_guards_empty_and_nonfinite(spark):
+    """ADVICE r17: empty rows and non-finite doubles must fall back to
+    createDataFrame instead of rendering malformed VALUES SQL."""
+    from geektime_bigdata_spark.functions import values_relation
+
+    empty = values_relation(spark, [], "a long, b double")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["a", "b"]
+
+    nan_inf = values_relation(
+        spark,
+        [(1, float("nan")), (2, float("inf"))],
+        "a long, b double",
+    )
+    rows = {r["a"]: r["b"] for r in nan_inf.collect()}
+    assert rows[1] != rows[1]  # NaN
+    assert rows[2] == float("inf")
+
+    # the fast VALUES path still round-trips finite doubles bit-exactly
+    v = values_relation(spark, [(7, 0.1 + 0.2)], "a long, b double")
+    assert v.collect()[0]["b"] == 0.1 + 0.2
+
+
+def test_lift_collected_guards_nonfinite(spark):
+    from geektime_bigdata_spark.functions import lift_collected
+
+    src = spark.createDataFrame(
+        [(1, float("nan")), (2, float("-inf")), (3, 1.25)], "a long, b double"
+    )
+    out = {r["a"]: r["b"] for r in lift_collected(spark, src).collect()}
+    assert out[1] != out[1]
+    assert out[2] == float("-inf")
+    assert out[3] == 1.25
+
+
+def test_shingles_n1_short_circuit(spark):
+    """ADVICE r17: n=1 must not render a trailing-comma arrays_zip."""
+    from geektime_bigdata_spark.functions import shingles
+
+    df = spark.createDataFrame(
+        [(["a", "b", "a"],), ([],)], "toks array<string>"
+    )
+    got = [r[0] for r in df.select(shingles("toks", 1)).collect()]
+    assert got == [["a", "b"], []]
