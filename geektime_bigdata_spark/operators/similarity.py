@@ -233,51 +233,163 @@ def _cells_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+# one materialized IVF index per (applicationId, sf_dir) — the Arrow
+# probe pass pickles a fresh closure per call, so CacheManager's
+# canonical-plan dedup can never share a .cache() across calls; the
+# session memo is the seam (same pattern as _GRAM_FULL_MEMO). Cleared
+# by session.release_caches.
+_IVF_ASSIGNED_MEMO: dict = register_session_memo({})
+
+
+def _ivf_probe_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Arrow-vectorized corpus pass computing, per vector, every
+    per-row quantity the IVF family previously derived through
+    interpreted HOF folds (r18, VERDICT r17 item 1 / guide §4.2-4.3):
+
+    - ``cell``: nearest-centroid assignment (argmin by (d2, cell)),
+    - ``cell_order``: ALL cells sorted by (d2, cell) — the multiprobe
+      probe list for ANY n_probes is ``slice(cell_order, 1, n)`` and
+      ``cell = cell_order[1]``,
+    - ``bucket``: the 8-plane LSH bucket (:func:`_bucket_expr`),
+    - ``nrm``: the micro-quantized L2 norm (:func:`vec_norm`).
+
+    Bit-identical to the SQL folds by construction: float32 widens to
+    float64 FIRST, every per-term product/square micro-quantizes via
+    ``floor(x * 1e6 + 0.5)`` into int64 BEFORE the (associative)
+    integer sum — the identical IEEE op tree, so neither batch
+    boundaries nor numpy's evaluation order can move a bit. The
+    centroid columns sit in ascending-cell order, so a STABLE argsort
+    on d2 reproduces the (d2, cell) struct ordering of
+    array_min/array_sort exactly. Before: each of bucket/assign/probe
+    was a per-row interpreted lambda over 64-dim arrays (HOFs never
+    enter codegen) evaluated up to twice per consumer; the r17 plan
+    shows five such folds in semantic_dedup_multiprobe alone.
+
+    Natural scan splits, NOT parallel_table (the r17
+    embedding_gram_matrix lesson, guide §4.3): the per-partition work
+    is numpy-vectorized, so a 32-way spread of the small corpus only
+    multiplies Python-worker/Arrow per-task overhead; at real scale
+    the scan's own file splits parallelize the batches.
+
+    The 10x64 centroid matrix is collected driver-side off the cached
+    :func:`_cells_one` relation (bounded by the cell count — the same
+    driver-scalar class as the broadcast row it replaces) and ships in
+    the Arrow closure. Inputs are fixed-width ``N_DIMS`` with no NULLs
+    by construction (TESTDATA.md); a malformed row fails loudly rather
+    than skewing silently."""
+    import numpy as np
+    import pyarrow as pa
+
+    cells = _cells_one(spark, sf_dir).collect()[0]["cells"]
+    cents = sorted(
+        (int(c["cell"]), [float(v) for v in c["cent"]]) for c in cells
+    )
+    cell_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64)  # (k, d)
+    wmat = np.array(_plane_weights(), dtype=np.float64)  # (p, d)
+    bits = np.left_shift(1, np.arange(N_PLANES, dtype=np.int64))
+    k = len(cell_ids)
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def compute(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            if emb.null_count:
+                raise ValueError("_ivf_probe_pass: NULL embedding row")
+            offs = np.asarray(emb.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            if not np.all(np.diff(offs) == N_DIMS):
+                raise ValueError("_ivf_probe_pass: ragged embedding row")
+            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, N_DIMS
+            )
+            # bucket: per-plane micro-quantized projection sign bits
+            proj = (
+                np.floor(x[:, None, :] * wmat[None, :, :] * 1e6 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            bucket = ((proj > 0) * bits[None, :]).sum(axis=1)
+            # nrm: vec_norm's micro-quantized squared-term sum
+            micro = (
+                np.floor(x * x * 1e6 + 0.5).astype(np.int64).sum(axis=1)
+            )
+            nrm = np.sqrt(micro / 1e6)
+            # d2 to every centroid; stable argsort = (d2, cell) order
+            diff = x[:, None, :] - cmat[None, :, :]
+            d2 = (
+                np.floor(diff * diff * 1e6 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            ranked = cell_ids[np.argsort(d2, axis=1, kind="stable")]
+            # cell ids are the int32 label column's values — the
+            # declared outputs that surface `cell` (ann_topk_ivf*,
+            # cluster_balanced_sample, kmeans_step) hash their schema,
+            # so the type must stay IntegerType exactly
+            order_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * k, k, dtype=np.int64),
+                    type=pa.int32(),
+                ),
+                pa.array(ranked.reshape(-1), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("embedding"),
+                    pa.array(ranked[:, 0], type=pa.int32()),
+                    pa.array(bucket, type=pa.int64()),
+                    pa.array(nrm, type=pa.float64()),
+                    order_col,
+                ],
+                ["vec_id", "embedding", "cell", "bucket", "nrm",
+                 "cell_order"],
+            )
+
+    return e.mapInArrow(
+        compute,
+        "vec_id long, embedding array<float>, cell int, bucket long,"
+        " nrm double, cell_order array<int>",
+    )
+
+
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF index: every vector assigned to its nearest centroid cell
-    — ``(vec_id, embedding, cell)``, cached.
+    """The IVF index: every vector assigned to its nearest centroid
+    cell, plus the per-vector LSH bucket, L2 norm and full probe order
+    — ``(vec_id, embedding, cell, bucket, nrm, cell_order)``,
+    materialized once per (session, sf_dir).
 
-    Nearest-cell assignment is a pure per-row fold: the 10 centroids
-    collapse to ONE broadcast row holding array<struct<cell,cent>>, and
-    argmin is array_min over struct('d2','cell') — Spark orders structs
-    lexicographically, so this reproduces exactly a
-    (rounded-d2, cell) row_number ranking (d2 stays in LONG micro-units;
-    round(d2/1e6, 6) is the identity on that grid, so ordering by the
-    integer is ordering by the rounded double). vs a
-    crossJoin+window formulation this removes the |corpus| x n_cells
-    row expansion AND the per-vec_id window shuffle — assignment is a
-    narrow map over the scan, which is what an IVF indexing pass must
-    be at 100 TB. The micro-quantized per-term d2 keeps the knife-edge
-    engine-identical (see functions.dot_product). parallel_table spreads
-    the single-file corpus scan before the per-row HOF distance folds
-    (which evaluate interpreted, not codegen'd — the expensive part).
+    Since r18 the assignment (and the bucket/norm/probe columns the
+    family's consumers used to re-derive through per-row interpreted
+    folds) comes from ONE Arrow-vectorized pass — see
+    :func:`_ivf_probe_pass` for the bit-identity argument. The memo is
+    the materialization seam: a mapInArrow plan pickles a fresh
+    closure per call, so CacheManager plan-dedup can never share a
+    ``.cache()`` across calls (the round-5 lesson); the
+    localCheckpoint'ed frame serves every consumer in the session and
+    is released by ``session.release_caches``. In production the index
+    is a persisted table built by an indexing job; the memo is its
+    in-session stand-in.
 
-    The cell assignment IS the IVF index — materialized once via
-    cache(): without it, every consumer that joins the index against
-    itself duplicates the whole centroid+assignment subtree in one plan
-    (verified in PLANS.md). In production the index is a persisted table
-    built by an indexing job; cache() is its in-session stand-in.
-
-    r17 measured revert (guide §1.1 record): sharing ONE cached
-    (vec_id, embedding, d2s) distance relation between this argmin and
-    the multiprobe top-2 sort — to remove the multiprobe's second full
-    fold pass — REGRESSED semantic_dedup_multiprobe 2.85 -> 4.13 s /
-    11.7 -> 13.8 CPU-s warm in a same-session A/B: reading the cached
-    array<struct> column back through the in-memory columnar format
-    costs MORE per pass than re-evaluating the interpreted fold. The
-    inline fold stays on both consumers."""
-    e = parallel_table(spark, sf_dir, "embeddings")
-    cells_one = _cells_one(spark, sf_dir)
-    nearest = F.expr(
-        "array_min(transform(cells, c -> named_struct("
-        f"'d2', {_D2_FOLD_SQL}, "
-        "'cell', c.cell))).cell"
-    )
-    return (
-        e.crossJoin(F.broadcast(cells_one))
-        .select("vec_id", "embedding", nearest.alias("cell"))
-        .cache()
-    )
+    r17 measured revert kept for the record (guide §1.1): sharing a
+    cached (vec_id, embedding, d2s) array<struct> relation between
+    consumers REGRESSED multiprobe 2.85 -> 4.13 s because decoding the
+    cached nested column cost more than re-running the fold; the r18
+    pass instead shares narrow scalar columns (two longs, a double, a
+    10-long list), which the in-memory format decodes cheaply."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _IVF_ASSIGNED_MEMO.get(key)
+    if df is None:
+        df = _ivf_probe_pass(spark, sf_dir).localCheckpoint()
+        _IVF_ASSIGNED_MEMO[key] = df
+    return df
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,17 +406,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle exact.) Centroids are the ROUNDED label means so
     both engines quantize identically."""
     assigned = _ivf_assigned(spark, sf_dir)
-    # per-side norm projection (r17) — see ann_topk_bruteforce
+    # norms ride the Arrow probe pass (r18) — see _ivf_probe_pass
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        vec_norm("embedding").alias("q_nrm"),
+        F.col("nrm").alias("q_nrm"),
         "cell",
     )
     cand = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        vec_norm("embedding").alias("c_nrm"),
+        F.col("nrm").alias("c_nrm"),
         F.col("cell").alias("cell_c"),
     )
     cos = dot_product("q_emb", "c_emb") / (
@@ -336,39 +448,29 @@ def ann_topk_ivf_multiprobe(
     across a cell boundary; probing the runner-up cell recovers most of
     them for ~2x the scored candidates, still nothing like |corpus|).
 
-    Plan shape: the probe list is a per-query ``array_sort`` over the
-    broadcast 10x64 centroid fold (same micro-quantized LONG d2 as the
-    index assignment — deterministic (d2, cell) struct ordering on both
-    engines), sliced to ``n_probes`` and exploded to (query, probe_cell)
-    rows. Candidates come from the cached single-cell index
-    (:func:`_ivf_assigned`), so the join fans out to |Q| x n_probes cell
-    partitions. Each candidate lives in exactly one cell and probe cells
-    are distinct, so no pair appears twice — no dedup pass needed.
-    Recall@5 >= the single-probe path by construction (test-enforced
-    against the brute-force baseline)."""
+    Plan shape (r18): the probe list is ``slice(cell_order, 1,
+    n_probes)`` off the Arrow-built index relation — the full (d2,
+    cell)-sorted cell order is a per-vector column of
+    :func:`_ivf_probe_pass`, so the per-query interpreted
+    ``array_sort(transform(...))`` fold (and its broadcast centroid
+    crossJoin) is gone; bit-identity argued there. Candidates come
+    from the same index, so the join fans out to |Q| x n_probes cell
+    partitions. Each candidate lives in exactly one cell and probe
+    cells are distinct, so no pair appears twice — no dedup pass
+    needed. Recall@5 >= the single-probe path by construction
+    (test-enforced against the brute-force baseline)."""
     assigned = _ivf_assigned(spark, sf_dir)
-    cells_one = _cells_one(spark, sf_dir)
-    e = parallel_table(spark, sf_dir, "embeddings")
-    probes = F.expr(
-        "transform(slice(array_sort(transform(cells, c -> named_struct("
-        f"'d2', {_D2_FOLD_SQL}, "
-        f"'cell', c.cell))), 1, {int(n_probes)}), s -> s.cell)"
-    )
-    # per-side norm projection (r17) — see ann_topk_bruteforce
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cells_one))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            vec_norm("embedding").alias("q_nrm"),
-            F.explode(probes).alias("cell"),
-        )
+    probes = F.expr(f"slice(cell_order, 1, {int(n_probes)})")
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probes).alias("cell"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        vec_norm("embedding").alias("c_nrm"),
+        F.col("nrm").alias("c_nrm"),
         F.col("cell").alias("cell_c"),
     )
     cos = dot_product("q_emb", "c_emb") / (
@@ -510,11 +612,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the oracle exact). The keeper choice (min id_a, via min_by on
     the unique-per-group id) is deterministic, so the whole output is
     hashable cross-engine."""
-    assigned = _ivf_assigned(spark, sf_dir)
-    # per-side norm projection (r17) — see ann_topk_bruteforce
-    ev = assigned.withColumn("bucket", _bucket_expr()).withColumn(
-        "nrm", vec_norm("embedding")
-    )
+    # bucket and nrm ride the Arrow probe pass (r18) — the two per-row
+    # interpreted folds this op layered on the index are now index
+    # columns; see _ivf_probe_pass
+    ev = _ivf_assigned(spark, sf_dir)
     a = ev.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -567,23 +668,21 @@ def semantic_dedup_multiprobe(
     union at half the join work (measured 6.3s -> 5.4s at sf0.1,
     bit-identical output). Pair space stays linear in bucket
     collisions, never all-pairs, and the distinct runs before any
-    cosine is scored, so the expensive fold runs once per candidate."""
+    cosine is scored, so the expensive fold runs once per candidate.
+
+    r18: bucket, probe order and norms all ride the Arrow-built index
+    (:func:`_ivf_probe_pass`) — before, this one query evaluated FIVE
+    per-row interpreted folds over the corpus (two bucket expressions,
+    the probe array_sort fold, and a vec_norm per verify side)."""
     assigned = _ivf_assigned(spark, sf_dir)
-    cells_one = _cells_one(spark, sf_dir)
-    e = parallel_table(spark, sf_dir, "embeddings")
-    probes = F.expr(
-        "transform(slice(array_sort(transform(cells, c -> named_struct("
-        f"'d2', {_D2_FOLD_SQL}, "
-        f"'cell', c.cell))), 1, {int(n_probes)}), s -> s.cell)"
+    pv = assigned.select(
+        "vec_id",
+        "bucket",
+        F.explode(
+            F.expr(f"slice(cell_order, 1, {int(n_probes)})")
+        ).alias("cell"),
     )
-    pv = (
-        e.crossJoin(F.broadcast(cells_one))
-        .withColumn("bucket", _bucket_expr())
-        .select("vec_id", "bucket", F.explode(probes).alias("cell"))
-    )
-    av = assigned.withColumn("bucket", _bucket_expr()).select(
-        "vec_id", "cell", "bucket"
-    )
+    av = assigned.select("vec_id", "cell", "bucket")
     cand = (
         av.alias("x")
         .join(
@@ -598,16 +697,15 @@ def semantic_dedup_multiprobe(
         )
         .distinct()
     )
-    # per-side norm projection (r17) — see ann_topk_bruteforce
-    ea = e.select(
+    ea = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
-        vec_norm("embedding").alias("nrm_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    eb = e.select(
+    eb = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
-        vec_norm("embedding").alias("nrm_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cos = dot_product("emb_a", "emb_b") / (
         F.col("nrm_a") * F.col("nrm_b")
@@ -668,42 +766,82 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas micro-quantize to LONG (the _D2_FOLD_SQL contract), sqrt and
     the (b-a)/max(a,b) ratio are identical IEEE ops on exact integer
     ratios, s quantizes back to micros before the group sum (integer —
-    associative), and the mean divides two exact integers. The d2s
-    array is STAGED in its own projection: HOF subtrees are not CSE'd,
-    so inlining the fold into both the own- and other-distance
-    expressions would re-evaluate it per consumer (round-5 lesson)."""
-    e = parallel_table(spark, sf_dir, "embeddings")
-    cells_one = _cells_one(spark, sf_dir)
-    d2s = F.expr(
-        "transform(cells, c -> named_struct("
-        f"'d2', {_D2_FOLD_SQL}, "
-        "'cell', c.cell))"
+    associative), and the mean divides two exact integers.
+
+    r18 (guide §4.2): the per-row centroid-distance fold (an
+    interpreted ``transform`` over k cells x 64 dims per vector) moved
+    into an Arrow/numpy batch stage emitting (label, sm) directly —
+    the same micro-quantized int64 distance matrix as
+    :func:`_ivf_probe_pass` (bit-identity argued there), with a/b/s
+    evaluated in float64 exactly as the old WHEN chain did: a lone
+    distinct label (empty other-set) and the max(a,b)=0 knife-edge
+    both still define s = 0 (ADVICE r15; mirrored in the oracle), and
+    ``sm = floor(s * 1e6 + 0.5)`` quantizes before the (associative)
+    integer group sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    cells = _cells_one(spark, sf_dir).collect()[0]["cells"]
+    cents = sorted(
+        (int(c["cell"]), [float(v) for v in c["cent"]]) for c in cells
     )
-    staged = e.crossJoin(F.broadcast(cells_one)).select(
-        "vec_id", "label", d2s.alias("d2s")
+    cell_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64)
+    k = len(cell_ids)
+
+    # natural scan splits, not parallel_table — see _ivf_probe_pass
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
     )
-    a = F.sqrt(
-        F.expr("element_at(filter(d2s, s -> s.cell = label), 1).d2")
-        / F.lit(1000000.0)
-    )
-    b = F.sqrt(
-        F.expr(
-            "array_min(transform(filter(d2s, s -> s.cell != label),"
-            " s -> s.d2))"
-        )
-        / F.lit(1000000.0)
-    )
-    # single-distinct-label corpus: the other-centroid filter is empty,
-    # array_min returns NULL — define s = 0 (the conventional value; a
-    # lone cluster carries no separation evidence) instead of letting
-    # NULL propagate to the mean (ADVICE r15). Mirrored in the oracle.
-    sil = (
-        F.when(b.isNull(), F.lit(0.0))
-        .when(F.greatest(a, b) == 0.0, F.lit(0.0))
-        .otherwise((b - a) / F.greatest(a, b))
-    )
-    micros = F.floor(sil * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    per_vec = staged.select("label", micros.alias("sm"))
+
+    def sil_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            if emb.null_count:
+                raise ValueError("cluster_silhouette: NULL embedding")
+            offs = np.asarray(emb.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            if not np.all(np.diff(offs) == N_DIMS):
+                raise ValueError("cluster_silhouette: ragged embedding")
+            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, N_DIMS
+            )
+            labels = np.asarray(batch.column("label"), dtype=np.int64)
+            diff = x[:, None, :] - cmat[None, :, :]
+            d2 = (
+                np.floor(diff * diff * 1e6 + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            own = np.searchsorted(cell_ids, labels)
+            if np.any(own >= k) or np.any(cell_ids[own] != labels):
+                # structurally impossible (centroids are the label
+                # group-by of the same table) — fail loudly, not skew
+                raise ValueError("cluster_silhouette: label w/o centroid")
+            rows = np.arange(n)
+            a = np.sqrt(d2[rows, own] / 1e6)
+            if k == 1:
+                sm = np.zeros(n, dtype=np.int64)
+            else:
+                d2o = d2.copy()
+                d2o[rows, own] = np.iinfo(np.int64).max
+                b = np.sqrt(d2o.min(axis=1) / 1e6)
+                g = np.maximum(a, b)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(g == 0.0, 0.0, (b - a) / g)
+                sm = np.floor(s * 1e6 + 0.5).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("label"),
+                    pa.array(sm, type=pa.int64()),
+                ],
+                ["label", "sm"],
+            )
+
+    per_vec = e.mapInArrow(sil_batches, "label int, sm long")
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         grid_round(

@@ -51,16 +51,18 @@ ALLOWLIST = {
     "operators/joins.py::q5_local_supplier_volume": 2,  # nation + region
     "operators/scale.py::key_skew_report": 1,  # one-row bounds
     "operators/scale.py::zorder_layout_skipping": 1,  # per-decade maxima
-    "operators/similarity.py::_ivf_assigned": 1,  # centroid frame row
+    # r18: the _ivf_assigned / cluster_silhouette / multiprobe
+    # broadcast-centroid-row sites are GONE — the centroid matrix now
+    # ships inside the Arrow probe pass's closure (driver-collected
+    # off the cached _cells_one, bounded by the cell count), so those
+    # functions no longer crossJoin a broadcast row at all
     "operators/similarity.py::_pca_power_iter": 1,  # d-row (64) vector
     "operators/similarity.py::ann_topk_bruteforce": 1,  # query rows
     "operators/similarity.py::ann_topk_ivf": 1,  # query rows
-    "operators/similarity.py::ann_topk_ivf_multiprobe": 2,  # query+cells
-    "operators/similarity.py::cluster_silhouette": 1,  # centroid frame
+    "operators/similarity.py::ann_topk_ivf_multiprobe": 1,  # query rows
     "operators/similarity.py::embedding_pca_power": 1,  # d-row vector
     "operators/similarity.py::embedding_pca_top2": 5,  # d-row frames
     "operators/similarity.py::kmeans_train": 1,  # centroid frame
-    "operators/similarity.py::semantic_dedup_multiprobe": 1,  # cells row
     "operators/sketches.py::sketch_error_bounds": 1,  # total scalar
     "operators/text.py::_bm25_scored": 2,  # one-row avgdl scalar + the
     # optional fixed probe-word literal (BM25_QUERIES terms — bounded

@@ -170,11 +170,20 @@ def test_cluster_balanced_sample_single_cell_shuffle(spark, sf_dir):
     per-cell ranking window) above the cached IVF assignment."""
     df = similarity.cluster_balanced_sample(spark, sf_dir)
     text = explain_str(df, "formatted")
-    # the InMemoryRelation block re-prints the cached index's BUILD plan;
-    # only exchanges ABOVE the cache scan execute for this query
-    above_cache = text.split("InMemoryTableScan", 1)[0]
+    # r18: the IVF index is a localCheckpoint'ed Arrow pass, so its
+    # seam in the plan is the ExistingRDD scan (before r18 it was an
+    # InMemoryTableScan whose block re-printed the BUILD plan); only
+    # the TREE section above the index scan executes for this query
+    seam = (
+        "InMemoryTableScan"
+        if "InMemoryTableScan" in text
+        else "Scan ExistingRDD"
+    )
+    above_cache = text.split(seam, 1)[0]
     n_ex = sum(
-        1 for line in above_cache.splitlines() if "Exchange" in line
+        1
+        for line in above_cache.splitlines()
+        if "Exchange" in line and not line.startswith("(")
     )
     assert n_ex == 1, above_cache
     assert "Window" in text, text
