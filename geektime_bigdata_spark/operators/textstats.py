@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import grid_round
-from geektime_bigdata_spark.registry import parallel_table, table
+from geektime_bigdata_spark.registry import adaptive_spread, parallel_table, table
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # The synthetic corpus shares one vocabulary, so predictions are uniform —
@@ -1122,31 +1122,22 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical); rank 1 is the merge a tokenizer trainer would
     apply next.
 
-    Scale shape: pairs are built per row with ``transform`` over index
-    sequences (no self-join, no explode before the aggregate's partial
-    phase) and aggregate into at most |vocab|^2 groups; the rank window
-    runs over that driver-scale aggregate, not the corpus."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    # stage the split: element_at(split(text), i) inside a transform
-    # lambda re-evaluates the split PER ELEMENT (lambda bodies are not
-    # hoisted), turning an O(len) pass into O(len^2) splits per row.
-    # r17: pairs come off arrays_zip(toks, toks[2:]) — no lambda; the
-    # concat_ws runs codegen'd per exploded row (the shingles()/BPE
-    # rewrite, guide §1.2 step 2).
+    Scale shape (r18): per-batch Arrow partial counts (see
+    :func:`_pair_partials_arrow` — the flat values buffer is both pair
+    sides, zero-copy) aggregate into at most |vocab|^2 groups; the
+    rank window runs over that driver-scale aggregate, not the
+    corpus. Tokens come from an UNFILTERED split (unlike the BPE
+    corpus arrays), so empty tokens participate exactly as before;
+    (l, r) -> concat_ws pair strings is a bijection because split
+    tokens cannot contain the separator, so grouping by the pair
+    string and grouping by (l, r) are the same partition of rows."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("toks"))
     counts = (
-        docs.select(F.split(F.col("text"), " ").alias("toks"))
-        .filter(F.expr("size(toks) >= 2"))
-        .select(
-            "toks",
-            F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))").alias(
-                "t2"
-            ),
-        )
-        .select(F.explode(F.arrays_zip("toks", "t2")).alias("z"))
-        .filter(F.col("z.t2").isNotNull())
-        .select(F.concat_ws(" ", "z.toks", "z.t2").alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _pair_partials_arrow(toks, "toks")
+        .groupBy("l", "r")
+        .agg(F.sum("pair_count").alias("n"))
+        .select(F.concat_ws(" ", "l", "r").alias("pair"), "n")
     )
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return counts.select(
@@ -1373,7 +1364,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus) — ARRAY-NATIVE since round 4: the corpus stays
     (doc_id, token-array) and each step is ONE pair-count aggregate
     (the only shuffle) + a broadcast of the learned pair + an in-row
-    left-to-right merge fold (``_BPE_APPLY_EXPR``) — where the earlier
+    left-to-right merge fold (see _bpe_apply) — where the earlier
     exploded-stream formulation ran three window passes and two joins
     over the full token stream per step. Same greedy left-to-right
     semantics (the fold IS the textbook definition — no run/parity
@@ -1388,22 +1379,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = _bpe_pair_counts_from(docs).withColumn(
             "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
         )
+        # the winner is ONE row by construction — collect it and inline
+        # (r18, VERDICT item 5): the old limit(1) localCheckpoint +
+        # broadcast crossJoin pair cost 2 extra jobs per round
         top = (
             counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        docs = _bpe_apply(docs, top.select("l", "r"))
-        n_after = docs.agg(
+        if not top:
+            break  # empty corpus: no pair to learn, no row to emit
+        docs = _bpe_apply(docs, [(top[0]["l"], top[0]["r"])])
+        row = docs.agg(
             F.sum(F.size("arr")).cast("long").alias("n_tokens_after")
-        )
-        row = top.crossJoin(F.broadcast(n_after)).select(
+        ).select(
             F.lit(step).cast("long").alias("step"),
-            "pair",
-            "pair_count",
+            F.lit(top[0]["pair"]).alias("pair"),
+            F.lit(top[0]["pair_count"]).cast("long").alias("pair_count"),
             "n_tokens_after",
         )
         out = row if out is None else out.unionByName(row)
+    if out is None:
+        return spark.createDataFrame(
+            [], "step long, pair string, pair_count long,"
+            " n_tokens_after long"
+        )
     return out
 
 
@@ -1498,7 +1498,7 @@ def bpe_train_merges_batched(
     disjoint, so applying them simultaneously equals applying them
     sequentially — and since round 4 the application IS simultaneous:
     the kept set broadcasts into the same in-row left-to-right fold
-    the serial trainer uses (``_BPE_APPLY_EXPR`` matches ANY kept
+    the serial trainer uses (the replace chain matches ANY kept
     pair at each position; disjointness guarantees the fold never has
     to choose between overlapping kept pairs). One pair-count shuffle
     per round, everything else in-row. Output: (step, merge_rank,
@@ -1506,58 +1506,69 @@ def bpe_train_merges_batched(
     docs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
     out = None
     for step in range(1, rounds + 1):
-        ranked = (
+        # the candidate window is limit(k) — collect it and run the
+        # disjointness filter driver-side (r18, VERDICT item 5): the
+        # old two windows + broadcast anti-join + kept checkpoint were
+        # 3 extra jobs per round over <= k rows. Same rule, verbatim:
+        # rank by (count desc, pair asc); keep iff {l, r, l_r} is
+        # disjoint from EVERY higher-ranked candidate's symbol set
+        # (kept or not).
+        window = (
             _bpe_pair_counts_from(docs)
             .withColumn("pair", F.concat_ws(" ", F.col("l"), F.col("r")))
             .orderBy(F.col("pair_count").desc(), F.col("pair"))
             .limit(k)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.orderBy(
-                        F.col("pair_count").desc(), F.col("pair")
-                    )
-                ),
+            .collect()
+        )
+        kept_rows = []
+        for rn, cand in enumerate(window):
+            syms = {cand["l"], cand["r"], f"{cand['l']}_{cand['r']}"}
+            conflict = any(
+                syms
+                & {
+                    hi["l"],
+                    hi["r"],
+                    f"{hi['l']}_{hi['r']}",
+                }
+                for hi in window[:rn]
             )
-            .withColumn("m", F.concat_ws("_", F.col("l"), F.col("r")))
+            if not conflict:
+                kept_rows.append(cand)
+        if not kept_rows:
+            break  # empty corpus: nothing to learn this round
+        docs = _bpe_apply(
+            docs, [(c["l"], c["r"]) for c in kept_rows]
         )
-        hi = ranked.select(
-            F.col("rn").alias("hrn"),
-            F.col("l").alias("hl"),
-            F.col("r").alias("hr"),
-            F.col("m").alias("hm"),
-        )
-        _mine = [F.col(c) for c in ("l", "r", "m")]
-        _theirs = [F.col(c) for c in ("hl", "hr", "hm")]
-        overlap = F.lit(False)
-        for a in _mine:
-            for b in _theirs:
-                overlap = overlap | (a == b)
-        conflict = (F.col("hrn") < F.col("rn")) & overlap
-        kept = (
-            ranked.join(F.broadcast(hi), conflict, "left_anti")
-            .withColumn(
-                "merge_rank",
-                F.row_number().over(
-                    Window.orderBy(
-                        F.col("pair_count").desc(), F.col("pair")
-                    )
-                ),
-            )
-            .localCheckpoint()
-        )
-        docs = _bpe_apply(docs, kept.select("l", "r"))
         n_after = docs.agg(
             F.sum(F.size("arr")).cast("long").alias("n_tokens_after")
         )
-        rows = kept.crossJoin(F.broadcast(n_after)).select(
-            F.lit(step).cast("long").alias("step"),
-            F.col("merge_rank").cast("long"),
-            "pair",
-            "pair_count",
+        rows = n_after.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(step).cast("long").alias("step"),
+                            F.lit(mr + 1).cast("long").alias("merge_rank"),
+                            F.lit(c["pair"]).alias("pair"),
+                            F.lit(c["pair_count"])
+                            .cast("long")
+                            .alias("pair_count"),
+                        )
+                        for mr, c in enumerate(kept_rows)
+                    ]
+                )
+            ).alias("s"),
+            "n_tokens_after",
+        ).select(
+            "s.step", "s.merge_rank", "s.pair", "s.pair_count",
             "n_tokens_after",
         )
         out = rows if out is None else out.unionByName(rows)
+    if out is None:
+        return spark.createDataFrame(
+            [], "step long, merge_rank long, pair string,"
+            " pair_count long, n_tokens_after long"
+        )
     return out
 
 
@@ -1575,14 +1586,18 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     other."""
     docs = _bpe_corpus_arrays(spark, sf_dir).localCheckpoint()
     for _ in range(BPE_TRAIN_STEPS):
-        counts = _bpe_pair_counts_from(docs).withColumn(
-            "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
-        )
         top = (
-            counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            _bpe_pair_counts_from(docs)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.concat_ws(" ", F.col("l"), F.col("r")),
+            )
             .limit(1)
+            .collect()
         )
-        docs = _bpe_apply(docs, top.select("l", "r"))
+        if not top:
+            break
+        docs = _bpe_apply(docs, [(top[0]["l"], top[0]["r"])])
     return docs.filter(F.size("arr") >= 1).select(
         "doc_id",
         F.size("arr").cast("long").alias("n_tokens"),
@@ -1616,14 +1631,18 @@ def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_before") >= 1)
     enc = arrs
     for _ in range(BPE_TRAIN_STEPS):
-        counts = _bpe_pair_counts_from(enc).withColumn(
-            "pair", F.concat_ws(" ", F.col("l"), F.col("r"))
-        )
         top = (
-            counts.orderBy(F.col("pair_count").desc(), F.col("pair"))
+            _bpe_pair_counts_from(enc)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.concat_ws(" ", F.col("l"), F.col("r")),
+            )
             .limit(1)
+            .collect()
         )
-        enc = _bpe_apply(enc, top.select("l", "r"))
+        if not top:
+            break
+        enc = _bpe_apply(enc, [(top[0]["l"], top[0]["r"])])
     after = enc.filter(F.size("arr") >= 1).select(
         "doc_id", F.size("arr").cast("long").alias("n_after")
     )
@@ -1833,30 +1852,23 @@ def _bpe_corpus_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, arr) with empty tokens dropped — the array-native BPE
     corpus representation: the whole merge step then happens IN-ROW
     (no per-step shuffle of the token stream at all; only the pair
-    COUNT aggregates)."""
-    docs = parallel_table(spark, sf_dir, "documents")
+    COUNT aggregates). r18: size-adaptive spread instead of the fixed
+    defaultParallelism one — every loop pass (Arrow pair partials,
+    apply checkpoint) pays a per-task floor times the width, and the
+    fixed 32 lost to 8 cores in the r17 scaling bench; see
+    :func:`...registry.adaptive_spread` for the A/B numbers."""
+    docs = adaptive_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), t -> t != '')").alias("arr"),
     )
 
 
-# Adjacent-pair stream as arrays_zip(arr, arr[2:]) instead of an
-# interpreted transform(sequence(...), i -> struct(element_at ...))
-# lambda (r17, guide §1.2 step 2): arrays_zip and slice are plain
-# native expressions, no per-element lambda interpreter. zip pads the
-# shorter side with NULL, so the one padded tail struct (and the whole
-# row when size(arr) < 2) drops on the nxt-NOT-NULL filter — tokens
-# are never NULL/'' by construction. Measured 10.4 -> 8.2 CPU-s /
-# 0.67 -> 0.56 s per pair-counts pass at sf0.1.
-_BPE_SHIFTED_EXPR = "slice(arr, 2, greatest(size(arr) - 1, 0))"
-
-# Left-to-right greedy merge of every (l, r) in the broadcast `kept`
-# array, as native string replacement (r17, guide §1.2 step 2): the
-# earlier formulation was an interpreted `aggregate` fold whose
-# accumulator re-copied the result array at every position — O(len^2)
-# per row, and higher-order functions never enter codegen. Because
-# tokens come from split(text, ' ') they can never CONTAIN a space, so
+# Merge-application algebra (r17, kept as the canonical record; since
+# r18 the fold is a literal `replace` CHAIN built in _bpe_apply from
+# the collected kept pairs rather than an in-row aggregate over a
+# broadcast array — same semantics, zero broadcast machinery):
+# tokens come from split(text, ' ') so they can never CONTAIN a space;
 # the array round-trips through a DOUBLE-space-joined string (each gap
 # is two spaces; every match pattern ' l  r ' claims the inner half of
 # each gap, so consecutive merges never fight over a shared delimiter)
@@ -1865,42 +1877,111 @@ _BPE_SHIFTED_EXPR = "slice(arr, 2, greatest(size(arr) - 1, 0))"
 # AFTER the replacement — exactly the greedy fold's skip semantics;
 # replacements can never create new matches because kept pairs are
 # symbol-disjoint (the batched trainer's selection rule; the serial
-# trainer broadcasts one pair) and the merged token l_r differs from
+# trainer collects one pair) and the merged token l_r differs from
 # every kept symbol. Equivalence is pinned by the greedy-replay
 # hypothesis fuzz in test_properties.py.
-_BPE_APPLY_EXPR = (
-    "filter(split(aggregate(kept,"
-    " concat('  ', array_join(arr, '  '), '  '),"
-    " (s, p) -> replace(s,"
-    "   concat(' ', p.l, '  ', p.r, ' '),"
-    "   concat(' ', p.l, '_', p.r, ' '))),"
-    " '  '), t -> t != '')"
-)
+
+
+def _pair_partials_arrow(docs: DataFrame, col: str = "arr") -> DataFrame:
+    """Arrow-vectorized adjacent-pair PARTIAL counts over a token-array
+    column: emits (l, r, pair_count) per-batch partials; callers finish
+    with ``groupBy(l, r).sum`` (r18, guide §4.2 — aggregate before the
+    shuffle, heavy lifting in native code).
+
+    Replaces the JVM ``explode(arrays_zip(arr, arr[2:]))`` + hash
+    aggregate, which was the dominant cost of every BPE pass (~7-8
+    executor-CPU-s per pair-count stage at sf0.1: per-pair struct
+    allocation and two-key row hashing in the row interpreter). Here
+    the ListArray's flat values buffer yields both pair sides as
+    ZERO-COPY slices (guide §4.2's offsets observation), row
+    boundaries mask out cross-document pairs, and the per-batch count
+    is one C++ ``group_by`` — the shuffle then carries |vocab|^2-ish
+    partials instead of every token. Counts are exact integers, so
+    partial/merge split points cannot change any result. NULL/array
+    irregularities fail loudly (the corpus arrays are non-null by
+    construction)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            arr = batch.column(0)
+            if arr.null_count:
+                raise ValueError("_pair_partials_arrow: NULL token array")
+            offs = np.asarray(arr.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            flat = arr.flatten()
+            m = len(flat)
+            if m < 2:
+                continue
+            valid = np.ones(m - 1, dtype=bool)
+            starts = offs[1:-1]
+            starts = starts[(starts > 0) & (starts < m)]
+            valid[starts - 1] = False
+            mask = pa.array(valid)
+            left = pc.filter(flat.slice(0, m - 1), mask)
+            right = pc.filter(flat.slice(1, m - 1), mask)
+            if len(left) == 0:
+                continue
+            t = (
+                pa.table({"l": left, "r": right})
+                .group_by(["l", "r"])
+                .aggregate([("l", "count")])
+            )
+            t = pa.table(
+                {
+                    "l": t.column("l"),
+                    "r": t.column("r"),
+                    "pair_count": t.column("l_count").cast(pa.int64()),
+                }
+            )
+            for out in t.combine_chunks().to_batches():
+                yield out
+
+    return docs.select(col).mapInArrow(
+        partials, "l string, r string, pair_count long"
+    )
 
 
 def _bpe_pair_counts_from(docs: DataFrame) -> DataFrame:
     """(l, r, pair_count) over the array corpus — the step's ONE
-    shuffle."""
+    shuffle (of per-batch partials since r18; see
+    :func:`_pair_partials_arrow`)."""
     return (
-        docs.select("arr", F.expr(_BPE_SHIFTED_EXPR).alias("nxt"))
-        .select(F.explode(F.arrays_zip("arr", "nxt")).alias("z"))
-        .filter(F.col("z.nxt").isNotNull())
-        .groupBy(F.col("z.arr").alias("l"), F.col("z.nxt").alias("r"))
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        _pair_partials_arrow(docs)
+        .groupBy("l", "r")
+        .agg(F.sum("pair_count").alias("pair_count"))
     )
 
 
-def _bpe_apply(docs: DataFrame, kept: DataFrame) -> DataFrame:
-    """Apply the broadcast kept-pair set in-row; returns the merged
-    (doc_id, arr) corpus."""
-    kept_row = kept.groupBy().agg(
-        F.expr("collect_list(struct(l, r))").alias("kept")
-    )
-    return (
-        docs.crossJoin(F.broadcast(kept_row))
-        .select("doc_id", F.expr(_BPE_APPLY_EXPR).alias("arr"))
-        .localCheckpoint()
-    )
+def _bpe_apply(docs: DataFrame, kept_pairs: list) -> DataFrame:
+    """Apply the collected kept-pair list in-row; returns the merged
+    (doc_id, arr) corpus, checkpointed.
+
+    r18 (VERDICT r17 item 5): ``kept_pairs`` is the COLLECTED top-k
+    window — driver-scale by construction (``limit(1)`` / ``limit(k)``
+    gates every caller) — so each pair inlines as a literal codegen'd
+    ``replace`` instead of the former collect_list aggregate +
+    broadcast crossJoin + interpreted fold over a kept array; that
+    removes two jobs (kept checkpoint, broadcast build) and one
+    broadcast exchange per training round. Same double-space delimiter
+    algebra as ``_BPE_APPLY_EXPR`` (kept for the in-row fold
+    documentation), same greedy left-to-right `replace` semantics,
+    fold order irrelevant because kept pairs are symbol-disjoint. An
+    empty kept list round-trips the array through join/split — the
+    identity on space-free tokens, exactly what the old empty
+    collect_list fold did."""
+    cur = F.concat(F.lit("  "), F.array_join("arr", "  "), F.lit("  "))
+    for left, right in kept_pairs:
+        cur = F.replace(
+            cur,
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}_{right} "),
+        )
+    arr = F.filter(F.split(cur, "  "), lambda t: t != F.lit(""))
+    return docs.select("doc_id", arr.alias("arr")).localCheckpoint()
 
 
 # PII scrub patterns — restricted to the RE2∩Java-identical subset

@@ -102,3 +102,44 @@ def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     splits and drop this hint."""
     df = table(spark, sf_dir, name)
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def adaptive_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bytes_per_task: int = 128 << 10,
+) -> DataFrame:
+    """Size-adaptive variant of :func:`parallel_table` (r18, guide
+    §2.5 / VERDICT r17 item 4): spread width = input bytes /
+    ``bytes_per_task``, clamped to [1, defaultParallelism] — so small
+    inputs get a few fat tasks instead of defaultParallelism near-empty
+    ones, and the width GROWS with the data until the core-count cap.
+
+    Motivation (measured): the BPE loop's fixed 32-way spread cost
+    more in per-task overhead than it bought at sf0.1 — the r17
+    8-core bench beat 32 cores on bpe_encode_corpus (ratio 0.68), and
+    a width A/B on the encode loop read 29 CPU-s at width 32 vs ~5 at
+    width 4 with the best wall (every Arrow/checkpoint pass pays a
+    per-task Python-worker/scheduling floor times the width). 128 KiB
+    of compressed parquet per task keeps tasks comfortably larger
+    than that floor; at cluster scale the clamp pins the cap and the
+    scan's own file splits carry the parallelism anyway."""
+    df = table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = None
+    par = spark.sparkContext.defaultParallelism
+    width = (
+        par if size is None else max(1, min(par, size // bytes_per_task))
+    )
+    return df.repartition(int(width))

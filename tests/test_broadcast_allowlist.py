@@ -68,9 +68,10 @@ ALLOWLIST = {
     # optional fixed probe-word literal (BM25_QUERIES terms — bounded
     # by construction; r17 semi-join pushdown)
     "operators/text.py::bm25_topk_docs": 1,  # fixed query literal
-    "operators/textstats.py::_bpe_apply": 1,  # <=k kept merges
-    "operators/textstats.py::bpe_train_merges": 1,  # limit(1) winner
-    "operators/textstats.py::bpe_train_merges_batched": 2,  # limit(k) x2
+    # r18: the BPE trainers collect their gated limit(1)/limit(k)
+    # windows driver-side and inline literal replace chains — the
+    # _bpe_apply broadcast crossJoin and both trainer hint sites are
+    # gone
     "operators/textstats.py::mixture_allocation": 1,  # total scalar
     "operators/textstats.py::quality_logreg_step": 1,  # weight row
     "operators/textstats.py::source_mix_weights": 1,  # total scalar
