@@ -1765,48 +1765,110 @@ def neardup_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work at sf0.1). An unrolled all-levels union was tried and
     # REVERTED: AQE materializes every replayed shuffle of every branch
     # as its own query-stage job — 105 jobs, 2x the wall it saved.
+    # r18 (VERDICT item 7): when the edge set passes the same
+    # size gate the other graph ops use, the whole DP runs DRIVER-side
+    # over the collected edges (exact integer recurrence, identical
+    # raise semantics) — the old per-round lazy-chain gate cost up to
+    # RCTE_MAX_DEPTH sequential collect jobs; the big-graph branch
+    # keeps the distributed DP unchanged.
+    n_edges = edges.count()
     total_paths = 0
-    cnt = edges.groupBy(F.col("doc_b").alias("node")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    n_edges = 0
-    for d in range(RCTE_MAX_DEPTH):  # path lengths 1..RCTE_MAX_DEPTH
-        round_paths = (cnt.agg(F.sum("cnt")).collect()[0][0]) or 0
-        if d == 0:
-            n_edges = round_paths
-        total_paths += round_paths
-        if total_paths > RCTE_PATH_BUDGET:
-            raise RuntimeError(
-                f"neardup_reach_rcte: dense candidate graph — "
-                f">{RCTE_PATH_BUDGET:.0e} chains under depth "
-                f"{RCTE_MAX_DEPTH}; use dedup_clusters for the "
-                "transitive closure on graphs this dense"
-            )
-        if round_paths == 0:
-            break
-        cnt = (
-            cnt.join(edges, cnt["node"] == edges["doc_a"])
-            .groupBy(F.col("doc_b").alias("node"))
-            .agg(F.sum("cnt").alias("cnt"))
+    if n_edges <= SMALL_GRAPH_EDGES:
+        from collections import defaultdict
+
+        rows = edges.collect()
+        adj: dict = defaultdict(list)
+        cnt_d: dict = defaultdict(int)
+        for r in rows:
+            adj[r["doc_a"]].append(r["doc_b"])
+            cnt_d[r["doc_b"]] += 1
+        for _ in range(RCTE_MAX_DEPTH):
+            round_paths = sum(cnt_d.values())
+            total_paths += round_paths
+            if total_paths > RCTE_PATH_BUDGET:
+                raise RuntimeError(
+                    f"neardup_reach_rcte: dense candidate graph — "
+                    f">{RCTE_PATH_BUDGET:.0e} chains under depth "
+                    f"{RCTE_MAX_DEPTH}; use dedup_clusters for the "
+                    "transitive closure on graphs this dense"
+                )
+            if round_paths == 0:
+                break
+            nxt: dict = defaultdict(int)
+            for node, c in cnt_d.items():
+                for v in adj.get(node, ()):
+                    nxt[v] += c
+            cnt_d = nxt
+    else:
+        cnt = edges.groupBy(F.col("doc_b").alias("node")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+        for _ in range(RCTE_MAX_DEPTH):  # path lengths 1..MAX_DEPTH
+            round_paths = (cnt.agg(F.sum("cnt")).collect()[0][0]) or 0
+            total_paths += round_paths
+            if total_paths > RCTE_PATH_BUDGET:
+                raise RuntimeError(
+                    f"neardup_reach_rcte: dense candidate graph — "
+                    f">{RCTE_PATH_BUDGET:.0e} chains under depth "
+                    f"{RCTE_MAX_DEPTH}; use dedup_clusters for the "
+                    "transitive closure on graphs this dense"
+                )
+            if round_paths == 0:
+                break
+            cnt = (
+                cnt.join(edges, cnt["node"] == edges["doc_a"])
+                .groupBy(F.col("doc_b").alias("node"))
+                .agg(F.sum("cnt").alias("cnt"))
+            )
     # Size-adaptive layout for the recursion (guide §2.2): a small edge
     # set runs the UnionLoop on ONE checkpointed partition (each
     # iteration is otherwise 32 near-empty tasks of pure scheduling
     # overhead, and the 1-task localCheckpoint costs one job); a big
     # one keeps the cached distribution.
-    edges_rec = (
-        edges.coalesce(1).localCheckpoint()
-        if n_edges <= SMALL_GRAPH_EDGES
-        else edges
+    small = n_edges <= SMALL_GRAPH_EDGES
+    edges_rec = edges.coalesce(1).localCheckpoint() if small else edges
+    # r18 STEP-BY-2 recursion (VERDICT item 7 — halve the UnionLoop's
+    # per-iteration scheduling floor): seed with path lengths 1 and 2,
+    # then extend by the DISTINCT 2-hop relation. The generated
+    # (src, dst, depth) TRIPLE SET is unchanged — the pair DAG is
+    # strictly increasing (doc_a < doc_b), so any concatenation of
+    # real paths is a real path, and any true path of length d has
+    # exactly one decomposition into a parity seed (1 or 2 edges) plus
+    # consecutive 2-edge blocks, each of which is a 2-hop pair; walk
+    # row MULTIPLICITIES differ (distinct 2-hop pairs collapse
+    # parallel midpoints) but the outer aggregate reads only
+    # count(DISTINCT dst) and max(depth), which are multiplicity-free.
+    # Iterations: ceil((MAX_DEPTH-2)/2)+1 UnionLoop rounds instead of
+    # MAX_DEPTH.
+    e2 = (
+        edges_rec.alias("x")
+        .join(
+            edges_rec.alias("y"),
+            F.col("x.doc_b") == F.col("y.doc_a"),
+        )
+        .select(
+            F.col("x.doc_a").alias("doc_a"),
+            F.col("y.doc_b").alias("doc_b"),
+        )
+        .distinct()
     )
-    edges_rec.createOrReplaceTempView("gbs_rcte_edges")
+    edges2_rec = (
+        e2.coalesce(1).localCheckpoint() if small else e2.localCheckpoint()
+    )
+    seed = edges_rec.select(
+        "doc_a", "doc_b", F.lit(1).alias("depth")
+    ).unionAll(
+        edges2_rec.select("doc_a", "doc_b", F.lit(2).alias("depth"))
+    )
+    seed.createOrReplaceTempView("gbs_rcte_seed")
+    edges2_rec.createOrReplaceTempView("gbs_rcte_edges2")
     return spark.sql(f"""
         WITH RECURSIVE walk(src, dst, depth) AS (
-            SELECT doc_a, doc_b, 1 FROM gbs_rcte_edges
+            SELECT doc_a, doc_b, depth FROM gbs_rcte_seed
             UNION ALL
-            SELECT w.src, e.doc_b, w.depth + 1
-            FROM walk w JOIN gbs_rcte_edges e ON w.dst = e.doc_a
-            WHERE w.depth < {RCTE_MAX_DEPTH}
+            SELECT w.src, e.doc_b, w.depth + 2
+            FROM walk w JOIN gbs_rcte_edges2 e ON w.dst = e.doc_a
+            WHERE w.depth < {RCTE_MAX_DEPTH - 1}
         )
         SELECT src AS doc_id,
                CAST(count(DISTINCT dst) AS BIGINT) AS n_reachable,

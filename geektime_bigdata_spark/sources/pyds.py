@@ -597,14 +597,18 @@ def tsv_roundtrip_stats(spark, sf_dir: str):
             .alias("value_micros"),
         # r17 (guide §4 — size the Python boundary): the events scan is
         # one partition locally, so the row-formatting Python writer ran
-        # as ONE task. Fan-out is BOUNDED at 8 — the write is row-bound
+        # as ONE task. Fan-out is BOUNDED — the write is row-bound
         # Python work with real per-task worker overhead (measured at
         # sf0.1: 1 task 1.04 s wall / 1.5 CPU-s; 4-8 tasks 0.63 s /
         # ~2 CPU-s; 32 tasks 0.81 s / 9.3 CPU-s — over-fan-out burns CPU
-        # for nothing). Row-to-file assignment changes, but the
-        # read-back aggregate (and the parquet-side oracle) is
+        # for nothing). r18 tightened 8 -> 4: within the 4-8 plateau,
+        # 4 halves the Python task count of every downstream leg (sink
+        # tasks = source splits; readback tasks = sink files) — the
+        # fan/split A/B read totals 3.3-3.7 s at fan 4 vs 3.4-4.4 at
+        # fan 8, identical results. Row-to-file assignment changes, but
+        # the read-back aggregate (and the parquet-side oracle) is
         # partition-agnostic.
-        ).repartition(min(8, spark.sparkContext.defaultParallelism))
+        ).repartition(min(4, spark.sparkContext.defaultParallelism))
         proj.write.format("gbs_tsv").mode("overwrite").save(scratch)
         back = (
             spark.read.format("gbs_tsv")
@@ -653,9 +657,16 @@ def stream_roundtrip_stats(spark, sf_dir: str):
             .cast("long")
             .alias("value_micros"),
         # bounded parallel source-write leg — same measured sizing as
-        # tsv_roundtrip_stats (r17); the streaming reader re-splits by
-        # byte range, so downstream batch parallelism is unchanged
-        ).repartition(min(8, spark.sparkContext.defaultParallelism))
+        # tsv_roundtrip_stats (r17, tightened r18); the streaming reader
+        # re-splits by byte range, so downstream batch parallelism is
+        # unchanged. r18 floor decomposition (VERDICT item 3 probe,
+        # progress-instrumented): warm drain = ~1.3 s Python
+        # stream-runner startup/stop (per-query, cannot amortize) +
+        # ~1.0 s addBatch (Python read+write tasks); walCommit +
+        # commitOffsets ~0.12 s; split_size 256KB->4MB and fan 8->2
+        # together move the total by <= 0.4 s — the micro-batch
+        # machinery is the floor, as documented in r17.
+        ).repartition(min(4, spark.sparkContext.defaultParallelism))
         proj.write.format("gbs_tsv").mode("overwrite").save(src)
         stream = (
             spark.readStream.format("gbs_tsv")

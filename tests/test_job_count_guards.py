@@ -24,13 +24,17 @@ import __spark_entry__ as entry
 
 # (query, measured warm jobs r14 @ sf0.001, ceiling = measured + 3)
 CEILINGS = [
-    ("neardup_reach_rcte", 45, 48),
+    # r18: driver-side DP gate on the size-gated branch + step-by-2
+    # recursion (seeded depths 1+2, distinct 2-hop extension) —
+    # 45 -> 24 warm jobs
+    ("neardup_reach_rcte", 24, 27),
     ("neardup_random_walks", 43, 46),
     # r16: driver-side eigen-solve over the 4096-row Gram (bit-equal
     # to the distributed twin) — 39 -> 2 warm jobs
     ("embedding_pca_top2", 2, 5),
-    ("bpe_train_merges_batched", 20, 23),
-    ("bpe_train_merges", 18, 21),
+    # r18: collected top-k windows + literal replace chains — 20 -> 12
+    ("bpe_train_merges_batched", 12, 15),
+    ("bpe_train_merges", 12, 15),
 ]
 
 
