@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from geektime_bigdata_spark.functions import grid_round
 from geektime_bigdata_spark.registry import parallel_table, table
+from geektime_bigdata_spark.session import register_session_memo
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -36,23 +37,97 @@ def _tokens(df: DataFrame) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
+# one materialized (doc_id, word, tf) relation per (applicationId,
+# sf_dir) — the Arrow counting pass pickles a fresh closure per call,
+# so CacheManager plan-dedup can never share a .cache() across calls;
+# the session memo is the seam (the _GRAM_FULL_MEMO pattern). Cleared
+# by session.release_caches.
+_TOKEN_TF_MEMO: dict = register_session_memo({})
+
+
+def token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact per-document term-frequency relation
+    ``(doc_id, word, tf)`` — ONE Arrow-vectorized corpus pass, memoized
+    per (session, sf_dir) and shared by the whole token family
+    (term_freq, word_counts, the inverted indexes, posting lists,
+    TF-IDF, BM25). r18, guide §4.2: the JVM split stays codegen'd, the
+    token ListArray's flat values buffer feeds a C++ ``group_by`` with
+    ``np.repeat`` of the doc ids over the list offsets — replacing the
+    explode + two-key hash aggregate that cost ~10 executor-CPU-s per
+    consumer at sf0.1 (measured A/B: 10.7 -> 0.9 CPU-s, identical
+    rows). Counts are exact integers, so batch boundaries cannot move
+    a value; empty tokens are filtered exactly like ``_tokens``. The
+    final groupBy-sum merges per-batch partials (each document's rows
+    are atomic within one batch, so partials are already per-document
+    counts — the sum is a cheap formality that keeps correctness
+    independent of that layout detail)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TOKEN_TF_MEMO.get(key)
+    if df is not None:
+        return df
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            arr = batch.column(1)
+            if arr.null_count:
+                raise ValueError("token_tf: NULL token array")
+            offs = np.asarray(arr.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            flat = arr.flatten()
+            if len(flat) == 0:
+                continue
+            ids = np.repeat(
+                np.asarray(batch.column(0), dtype=np.int64),
+                np.diff(offs),
+            )
+            t = (
+                pa.table({"doc_id": pa.array(ids), "w": flat})
+                .group_by(["doc_id", "w"])
+                .aggregate([("w", "count")])
+            )
+            t = t.filter(pc.not_equal(t.column("w"), ""))
+            out = pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "word": t.column("w"),
+                    "tf": t.column("w_count").cast(pa.int64()),
+                }
+            )
+            for b in out.combine_chunks().to_batches():
+                yield b
+
+    tf = (
+        docs.mapInArrow(partials, "doc_id long, word string, tf long")
+        .groupBy("doc_id", "word")
+        .agg(F.sum("tf").alias("tf"))
+        .localCheckpoint()
+    )
+    _TOKEN_TF_MEMO[key] = tf
+    return tf
+
+
 def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(word, doc) term frequency — InvertedMain.scala:24-25's
-    ``((word, docId), 1) reduceByKey _+_`` as a groupBy count. Op A2."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    return (
-        _tokens(docs)
-        .groupBy("word", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ``((word, docId), 1) reduceByKey _+_``. Rides the shared Arrow tf
+    relation since r18 (see :func:`token_tf`)."""
+    return token_tf(spark, sf_dir).select("word", "doc_id", "tf")
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word -> sorted distinct doc set — InvertedMain.scala:13-19 variant 1.
     Op A3 (+X1/X2). ``sort_array`` makes the set deterministic."""
-    docs = parallel_table(spark, sf_dir, "documents")
+    # distinct (word, doc) pairs are exactly the tf relation's keys —
+    # ride the shared Arrow pass (r18, token_tf); collect_set over the
+    # already-unique pairs is set-identical to the exploded form
     return (
-        _tokens(docs)
+        token_tf(spark, sf_dir)
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
     )
@@ -67,9 +142,8 @@ def inverted_index_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes Spark plan a two-phase distinct expansion over the exploded
     token relation (measured ~25% slower at sf0.1); the set is already
     distinct, so its cardinality is free."""
-    docs = parallel_table(spark, sf_dir, "documents")
     return (
-        _tokens(docs)
+        token_tf(spark, sf_dir)
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .select(
@@ -87,12 +161,7 @@ def posting_list_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-level aggregation: tf per (word, doc), then list-of-struct per word.
     Both aggregations hash-partition on ``word``-prefixed keys so AQE can
     reuse/coalesce the exchange."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    tf = (
-        _tokens(docs)
-        .groupBy("word", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = token_tf(spark, sf_dir)
     return tf.groupBy("word").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings")
     )
@@ -101,12 +170,7 @@ def posting_list_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def posting_list_tf_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-friendly twin of :func:`posting_list_tf`: postings rendered as
     ``doc:tf`` pairs joined by commas, sorted by doc_id."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    tf = (
-        _tokens(docs)
-        .groupBy("word", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = token_tf(spark, sf_dir)
     return (
         tf.withColumn("pair", F.struct("doc_id", "tf"))
         .groupBy("word")
@@ -134,11 +198,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts while small, the r15-verdict hint discipline). The
     doc count N is a scalar
     computed once driver-side — cheap and plan-stable."""
-    docs = parallel_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
-    toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = token_tf(spark, sf_dir)
+    # tf's (doc_id, word) key is unique by construction, so df is a
+    # plain count — countDistinct planned a two-phase distinct
+    # expansion (the inverted_index_str docstring's measured trap)
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     from pyspark.sql import Window
 
     scored = (
@@ -165,8 +231,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word count — the canonical explode+groupBy job; feeds
     plan-shape tests for partial/final HashAggregate."""
-    docs = parallel_table(spark, sf_dir, "documents")
-    return _tokens(docs).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        token_tf(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.sum("tf").alias("cnt"))
+    )
 
 
 def positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,17 +377,11 @@ def _bm25_scored(
     that word's tf rows (the semi-join keeps every row of a kept word),
     and dl/avgdl always aggregate the unfiltered tf — scores for the
     surviving rows are bit-identical to the unfiltered relation."""
-    docs = parallel_table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()  # tiny scalar; at scale use an approx or metadata
-    toks = _tokens(docs)
-    # one explode feeds everything: dl = sum of tf per doc (identical to
-    # counting tokens, without a second pass over the tokens relation),
-    # and tf is materialized once for its two consumers (df + the join)
-    tf = (
-        toks.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
-    )
+    # the shared memoized Arrow tf relation feeds everything (r18):
+    # dl = sum of tf per doc, df = per-word row count, the scoring join
+    tf = token_tf(spark, sf_dir)
     # dl has two consumers per query (the per-doc join and the avgdl
     # scalar) and two consuming queries; uncached the aggregate subtree
     # executed once per consumer (r17 — the SQL tab showed the pair of
