@@ -47,6 +47,7 @@ from geektime_bigdata_spark.functions import (
     values_relation,
 )
 from geektime_bigdata_spark.registry import parallel_table, table
+from geektime_bigdata_spark.session import CORPUS_CACHE_LEVEL
 
 N_HASHES = 12
 BAND_ROWS = 3  # 4 bands x 3 rows
@@ -80,7 +81,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", tokens().alias("toks"))
         .select("doc_id", F.explode(shingles()).alias("shingle"))
-        .cache()
+        .persist(CORPUS_CACHE_LEVEL)
     )
 
 
@@ -1993,7 +1994,7 @@ def _jaccard_verify(
     ``session.release_caches`` like the other shared intermediates."""
     sets = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("shs")
-    ).cache()
+    ).persist(CORPUS_CACHE_LEVEL)
     inter = (
         cands.select("doc_a", "doc_b")
         .join(

@@ -291,7 +291,7 @@ def _ivf_probe_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = len(cell_ids)
 
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+        "vec_id", "embedding", "label"
     )
 
     def compute(batches):
@@ -329,6 +329,29 @@ def _ivf_probe_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sum(axis=2)
             )
             ranked = cell_ids[np.argsort(d2, axis=1, kind="stable")]
+            # simplified-silhouette micros off the SAME d2 matrix (r18
+            # rider — cluster_silhouette's own Arrow stage read slower
+            # in-bench than this zero-marginal-cost column): a = sqrt
+            # of the OWN-LABEL cell's d2, b = min over other cells,
+            # s = (b-a)/max(a,b) with the single-label and max=0 edges
+            # defined as 0 (ADVICE r15; mirrored in the oracle), all in
+            # float64 exactly as the former WHEN chain evaluated
+            labels = np.asarray(batch.column("label"), dtype=np.int64)
+            own = np.searchsorted(cell_ids, labels)
+            if np.any(own >= k) or np.any(cell_ids[own] != labels):
+                raise ValueError("_ivf_probe_pass: label w/o centroid")
+            rows_ix = np.arange(n)
+            a_d = np.sqrt(d2[rows_ix, own] / 1e6)
+            if k == 1:
+                sil_sm = np.zeros(n, dtype=np.int64)
+            else:
+                d2o = d2.copy()
+                d2o[rows_ix, own] = np.iinfo(np.int64).max
+                b_d = np.sqrt(d2o.min(axis=1) / 1e6)
+                g = np.maximum(a_d, b_d)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s_v = np.where(g == 0.0, 0.0, (b_d - a_d) / g)
+                sil_sm = np.floor(s_v * 1e6 + 0.5).astype(np.int64)
             # cell ids are the int32 label column's values — the
             # declared outputs that surface `cell` (ann_topk_ivf*,
             # cluster_balanced_sample, kmeans_step) hash their schema,
@@ -348,15 +371,17 @@ def _ivf_probe_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pa.array(bucket, type=pa.int64()),
                     pa.array(nrm, type=pa.float64()),
                     order_col,
+                    batch.column("label"),
+                    pa.array(sil_sm, type=pa.int64()),
                 ],
                 ["vec_id", "embedding", "cell", "bucket", "nrm",
-                 "cell_order"],
+                 "cell_order", "label", "sil_sm"],
             )
 
     return e.mapInArrow(
         compute,
         "vec_id long, embedding array<float>, cell int, bucket long,"
-        " nrm double, cell_order array<int>",
+        " nrm double, cell_order array<int>, label int, sil_sm long",
     )
 
 
@@ -768,80 +793,21 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, s quantizes back to micros before the group sum (integer —
     associative), and the mean divides two exact integers.
 
-    r18 (guide §4.2): the per-row centroid-distance fold (an
+    r18 (guide §4.2/§2.4): the per-row centroid-distance fold (an
     interpreted ``transform`` over k cells x 64 dims per vector) moved
-    into an Arrow/numpy batch stage emitting (label, sm) directly —
-    the same micro-quantized int64 distance matrix as
-    :func:`_ivf_probe_pass` (bit-identity argued there), with a/b/s
-    evaluated in float64 exactly as the old WHEN chain did: a lone
-    distinct label (empty other-set) and the max(a,b)=0 knife-edge
-    both still define s = 0 (ADVICE r15; mirrored in the oracle), and
-    ``sm = floor(s * 1e6 + 0.5)`` quantizes before the (associative)
-    integer group sum."""
-    import numpy as np
-    import pyarrow as pa
-
-    cells = _cells_one(spark, sf_dir).collect()[0]["cells"]
-    cents = sorted(
-        (int(c["cell"]), [float(v) for v in c["cent"]]) for c in cells
-    )
-    cell_ids = np.array([c[0] for c in cents], dtype=np.int64)
-    cmat = np.array([c[1] for c in cents], dtype=np.float64)
-    k = len(cell_ids)
-
-    # natural scan splits, not parallel_table — see _ivf_probe_pass
-    e = table(spark, sf_dir, "embeddings").select(
-        "label", "embedding"
-    )
-
-    def sil_batches(batches):
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            emb = batch.column("embedding")
-            if emb.null_count:
-                raise ValueError("cluster_silhouette: NULL embedding")
-            offs = np.asarray(emb.offsets, dtype=np.int64)
-            offs = offs - offs[0]
-            if not np.all(np.diff(offs) == N_DIMS):
-                raise ValueError("cluster_silhouette: ragged embedding")
-            x = np.asarray(emb.flatten(), dtype=np.float64).reshape(
-                n, N_DIMS
-            )
-            labels = np.asarray(batch.column("label"), dtype=np.int64)
-            diff = x[:, None, :] - cmat[None, :, :]
-            d2 = (
-                np.floor(diff * diff * 1e6 + 0.5)
-                .astype(np.int64)
-                .sum(axis=2)
-            )
-            own = np.searchsorted(cell_ids, labels)
-            if np.any(own >= k) or np.any(cell_ids[own] != labels):
-                # structurally impossible (centroids are the label
-                # group-by of the same table) — fail loudly, not skew
-                raise ValueError("cluster_silhouette: label w/o centroid")
-            rows = np.arange(n)
-            a = np.sqrt(d2[rows, own] / 1e6)
-            if k == 1:
-                sm = np.zeros(n, dtype=np.int64)
-            else:
-                d2o = d2.copy()
-                d2o[rows, own] = np.iinfo(np.int64).max
-                b = np.sqrt(d2o.min(axis=1) / 1e6)
-                g = np.maximum(a, b)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    s = np.where(g == 0.0, 0.0, (b - a) / g)
-                sm = np.floor(s * 1e6 + 0.5).astype(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("label"),
-                    pa.array(sm, type=pa.int64()),
-                ],
-                ["label", "sm"],
-            )
-
-    per_vec = e.mapInArrow(sil_batches, "label int, sm long")
+    into the Arrow index pass, which already computes the full d2
+    matrix — ``sil_sm`` is a zero-marginal-cost column of
+    :func:`_ivf_probe_pass` (bit-identity argued there; a/b/s run in
+    float64 exactly as the old WHEN chain, a lone distinct label and
+    the max(a,b)=0 knife-edge both still define s = 0 — ADVICE r15,
+    mirrored in the oracle; ``sm = floor(s * 1e6 + 0.5)`` quantizes
+    before the associative integer group sum). This query is then ONE
+    aggregate over the memoized index (a first standalone Arrow stage
+    variant measured SLOWER in-bench than the old fold — 0.97 -> 1.46 s
+    — because the per-query collect + single-task Python stage cost
+    more than it saved; riding the shared memo removes both)."""
+    per_vec = _ivf_assigned(spark, sf_dir).select("label", "sil_sm")
+    per_vec = per_vec.select("label", F.col("sil_sm").alias("sm"))
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         grid_round(
