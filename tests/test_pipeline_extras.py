@@ -559,9 +559,10 @@ def test_bpe_batched_conflict_rule(spark, monkeypatch):
         + [(200 + i, "d e") for i in range(8)]
     )
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # r18: the BPE corpus rides adaptive_spread (size-adaptive width)
     monkeypatch.setattr(
-        "geektime_bigdata_spark.operators.textstats.parallel_table",
-        lambda *a: docs,
+        "geektime_bigdata_spark.operators.textstats.adaptive_spread",
+        lambda *a, **k: docs,
     )
     out = {
         (r["step"], r["merge_rank"]): r
@@ -585,8 +586,8 @@ def test_bpe_batched_overlap_parity(spark, monkeypatch):
         [(1, "a a a a a")], "doc_id long, text string"
     )
     monkeypatch.setattr(
-        "geektime_bigdata_spark.operators.textstats.parallel_table",
-        lambda *a: docs,
+        "geektime_bigdata_spark.operators.textstats.adaptive_spread",
+        lambda *a, **k: docs,
     )
     out = bpe_train_merges_batched(spark, "x", rounds=1).collect()
     assert len(out) == 1
