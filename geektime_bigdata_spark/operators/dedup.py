@@ -46,7 +46,11 @@ from geektime_bigdata_spark.functions import (
     tokens,
     values_relation,
 )
-from geektime_bigdata_spark.registry import parallel_table, table
+from geektime_bigdata_spark.registry import (
+    adaptive_spread,
+    parallel_table,
+    table,
+)
 from geektime_bigdata_spark.session import CORPUS_CACHE_LEVEL
 
 N_HASHES = 12
@@ -77,6 +81,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     working set a shingle-based pipeline has to hold somewhere anyway;
     in production it is the persisted intermediate a dedup job writes
     once and reuses across stages."""
+    # r18 measured revert (guide §1.1 record): switching this spread to
+    # the size-adaptive rule (width 4 at sf0.1) was tried and REVERTED
+    # on an interleaved same-session A/B — the light consumers were
+    # flat but ngram_jaccard_pairs_dfcapped's candidate self-join reads
+    # the cached relation's partitioning and its WALL doubled
+    # (0.9-1.2 s -> 2.0-2.2 s at slightly lower CPU): the heavy
+    # join tiers genuinely use the 32-way layout. The fixed spread
+    # stays for this family head; duplicate_span_stats' OWN positional
+    # head (which no join reuses) took the adaptive rule with a clean
+    # 12.7 -> 2.2 CPU-s win.
     docs = parallel_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", tokens().alias("toks"))
@@ -2513,7 +2527,9 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic islands trick (pos - row_number() is constant within a
     run) on a window PARTITIONED BY doc_id — no unpartitioned window
     anywhere."""
-    docs = parallel_table(spark, sf_dir, "documents").select(
+    # adaptive spread (r18): this head's own A/B read 12.7 -> 2.2
+    # CPU-s / 1.28 -> 0.87 s at sf0.1 vs the fixed 32-way spread
+    docs = adaptive_spread(spark, sf_dir, "documents").select(
         "doc_id", tokens().alias("toks")
     )
     # positional shingles off arrays_zip of offset slices (r17, guide
